@@ -1,0 +1,312 @@
+"""Spatial primitives over WKB ``binary`` geometry columns.
+
+Replaces the reference's PostGIS surface: the geometry codec (reference
+backend/load_data.py:152-168), the point-in-polygon predicate
+``ST_Intersects(geom, ST_SetSRID(ST_MakePoint(lon,lat),4326))`` (reference
+backend/models.py:167-174), the GiST R-tree index (reference
+backend/load_data.py:89-99), and pyproj point reprojection (reference
+backend/models.py:37-42).
+
+shapely/pyproj are not available in this environment, so the WKB codec,
+ray-casting point-in-polygon, and EPSG:3857 web-mercator math are
+implemented directly from their public specifications (OGC SFA WKB layout;
+even-odd ray casting; EPSG spherical-mercator formulas). All Python
+boundaries are Arrow-batched pandas UDFs.
+
+Scale design (SURVEY.md §4.3.1): Spark has no secondary indexes, so the
+R-tree's coarse-filter role is played by a derived ``bbox`` struct column —
+a cheap native ``xmin≤lon≤xmax AND ymin≤lat≤ymax`` predicate that (a) is
+evaluated JVM-side before any Python, and (b) generates Parquet row-group
+min/max stats so file/row-group skipping prunes the scan itself. The exact
+ray-casting UDF then refines only the survivors (filter-and-refine).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..schemas import BBOX_SCHEMA
+
+# ---------------------------------------------------------------------------
+# WKB codec (OGC Simple Features; EWKB SRID flag tolerated on read)
+# ---------------------------------------------------------------------------
+
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
+_EWKB_SRID_FLAG = 0x20000000
+_EWKB_Z_FLAG = 0x80000000
+_EWKB_M_FLAG = 0x40000000
+
+
+def wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    """Encode a (closed-ring) polygon as little-endian WKB."""
+    out = [struct.pack("<BI", 1, _WKB_POLYGON), struct.pack("<I", len(rings))]
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        out.append(struct.pack("<I", len(pts)))
+        for x, y in pts:
+            out.append(struct.pack("<dd", x, y))
+    return b"".join(out)
+
+
+def wkb_box(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
+    """Axis-aligned rectangle polygon (CCW exterior ring)."""
+    return wkb_polygon(
+        [[(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]]
+    )
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def _read_header(buf: memoryview, off: int) -> tuple[str, int, int]:
+    """Return (endianness char, base geometry type, new offset)."""
+    byte_order = buf[off]
+    endian = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
+    off += 5
+    if gtype & _EWKB_SRID_FLAG:
+        off += 4  # skip SRID
+    if gtype & (_EWKB_Z_FLAG | _EWKB_M_FLAG):
+        raise ValueError("Z/M dimensions not supported")
+    base = gtype & 0xFFFF
+    if base > 1000:  # ISO WKB 3D/4D encodings (1001 etc.)
+        raise ValueError("ISO WKB Z/M not supported")
+    return endian, base, off
+
+
+def _parse_rings(buf: memoryview, off: int, endian: str) -> tuple[list[np.ndarray], int]:
+    (nrings,) = struct.unpack_from(endian + "I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        arr = np.frombuffer(buf, dtype=np.dtype(endian + "f8"), count=npts * 2, offset=off)
+        rings.append(arr.reshape(npts, 2))
+        off += npts * 16
+    return rings, off
+
+
+def parse_wkb_polygons(wkb: bytes) -> list[list[np.ndarray]]:
+    """Parse Point/Polygon/MultiPolygon WKB → list of polygons, each a list
+    of (n,2) ring arrays (ring 0 = exterior). Points become degenerate
+    1-vertex "polygons"."""
+    buf = memoryview(wkb)
+    endian, base, off = _read_header(buf, 0)
+    if base == _WKB_POINT:
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        return [[np.array([[x, y]])]]
+    if base == _WKB_POLYGON:
+        rings, _ = _parse_rings(buf, off, endian)
+        return [rings]
+    if base == _WKB_MULTIPOLYGON:
+        (ngeom,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(ngeom):
+            endian2, base2, off = _read_header(buf, off)
+            if base2 != _WKB_POLYGON:
+                raise ValueError(f"multipolygon member type {base2}")
+            rings, off = _parse_rings(buf, off, endian2)
+            polys.append(rings)
+        return polys
+    raise ValueError(f"unsupported WKB geometry type {base}")
+
+
+def wkb_bounds(wkb: bytes | None) -> tuple[float, float, float, float] | None:
+    if wkb is None:
+        return None
+    try:
+        polys = parse_wkb_polygons(bytes(wkb))
+    except (ValueError, struct.error):
+        return None
+    pts = np.vstack([r for poly in polys for r in poly])
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def point_in_polygon_wkb(wkb: bytes | None, lon: float, lat: float) -> bool:
+    """Even-odd ray casting over all rings (holes handled naturally);
+    boundary-inclusive on vertices/edges within float tolerance is NOT
+    guaranteed — matches ST_Intersects for interior points, which is the
+    reference's actual use (query points vs. extent rectangles)."""
+    if wkb is None:
+        return False
+    try:
+        polys = parse_wkb_polygons(bytes(wkb))
+    except (ValueError, struct.error):
+        return False
+    for rings in polys:
+        if not rings or rings[0].shape[0] == 1:
+            ex = rings[0] if rings else None
+            if ex is not None and ex[0, 0] == lon and ex[0, 1] == lat:
+                return True
+            continue
+        inside = False
+        for ring in rings:
+            xs, ys = ring[:, 0], ring[:, 1]
+            x1, y1 = xs[:-1], ys[:-1]
+            x2, y2 = xs[1:], ys[1:]
+            crosses = (y1 > lat) != (y2 > lat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+            hits = crosses & (lon < xint)
+            if hits.sum() % 2 == 1:
+                inside = not inside
+        if inside:
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions
+# ---------------------------------------------------------------------------
+
+
+def wkb_bbox_udf():
+    """pandas UDF: WKB binary → bbox struct (ingest-time derivation)."""
+
+    @pandas_udf(BBOX_SCHEMA)
+    def _bbox(wkbs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for w in wkbs:
+            b = wkb_bounds(w)
+            rows.append(
+                {"xmin": None, "ymin": None, "xmax": None, "ymax": None}
+                if b is None
+                else {"xmin": b[0], "ymin": b[1], "xmax": b[2], "ymax": b[3]}
+            )
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return _bbox
+
+
+def bbox_contains_point(bbox: Column | str, lon: float, lat: float) -> Column:
+    """Native coarse filter — the GiST-index replacement. Evaluated in
+    whole-stage codegen and eligible for Parquet min/max row-group skipping."""
+    b = F.col(bbox) if isinstance(bbox, str) else bbox
+    return (
+        (b["xmin"] <= F.lit(lon))
+        & (F.lit(lon) <= b["xmax"])
+        & (b["ymin"] <= F.lit(lat))
+        & (F.lit(lat) <= b["ymax"])
+    )
+
+
+def make_point_intersects_udf(lon: float, lat: float):
+    """Exact refinement: ST_Intersects(geom, point) as an Arrow-batched UDF."""
+
+    @pandas_udf(BooleanType())
+    def _intersects(wkbs: pd.Series) -> pd.Series:
+        return wkbs.apply(lambda w: point_in_polygon_wkb(w, lon, lat))
+
+    return _intersects
+
+
+def bboxes_overlap(a: Column, b: Column) -> Column:
+    """Rectangle-overlap join predicate (range join; used by spatial joins)."""
+    return (
+        (a["xmin"] <= b["xmax"])
+        & (b["xmin"] <= a["xmax"])
+        & (a["ymin"] <= b["ymax"])
+        & (b["ymin"] <= a["ymax"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRS reprojection (reference backend/models.py:30-64)
+# ---------------------------------------------------------------------------
+
+_R = 6378137.0  # WGS84 spherical-mercator earth radius (EPSG:3857 spec)
+
+
+def mercator_to_lonlat(x: float, y: float) -> tuple[float, float]:
+    lon = math.degrees(x / _R)
+    lat = math.degrees(2.0 * math.atan(math.exp(y / _R)) - math.pi / 2.0)
+    return lon, lat
+
+
+def lonlat_to_mercator(lon: float, lat: float) -> tuple[float, float]:
+    x = _R * math.radians(lon)
+    y = _R * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0))
+    return x, y
+
+
+def reproject_point(x: float, y: float, src_epsg: int, dst_epsg: int = 4326) -> tuple[float, float]:
+    """Driver-side point reprojection (pyproj replacement for the two CRSs
+    the engine supports natively; others require pyproj if installed)."""
+    if src_epsg == dst_epsg:
+        return x, y
+    if src_epsg == 3857 and dst_epsg == 4326:
+        return mercator_to_lonlat(x, y)
+    if src_epsg == 4326 and dst_epsg == 3857:
+        return lonlat_to_mercator(x, y)
+    try:  # optional dependency path
+        from pyproj import Transformer  # type: ignore
+
+        t = Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
+        return t.transform(x, y)
+    except ImportError as e:
+        raise ValueError(
+            f"unsupported CRS pair {src_epsg}->{dst_epsg} without pyproj"
+        ) from e
+
+
+def make_reproject_udf(src_epsg: int, dst_epsg: int = 4326):
+    """Column-wise reprojection for (x, y) double columns (vectorized
+    web-mercator math; the extension of reference backend/models.py:37-42)."""
+
+    @pandas_udf(BBOX_SCHEMA["xmin"].dataType)  # DoubleType
+    def _x(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if src_epsg == 3857 and dst_epsg == 4326:
+            return pd.Series(np.degrees(np.asarray(xs, dtype=np.float64) / _R))
+        if src_epsg == 4326 and dst_epsg == 3857:
+            return pd.Series(_R * np.radians(np.asarray(xs, dtype=np.float64)))
+        return pd.Series([reproject_point(x, y, src_epsg, dst_epsg)[0] for x, y in zip(xs, ys)])
+
+    @pandas_udf(BBOX_SCHEMA["xmin"].dataType)
+    def _y(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        y64 = np.asarray(ys, dtype=np.float64)
+        if src_epsg == 3857 and dst_epsg == 4326:
+            return pd.Series(np.degrees(2.0 * np.arctan(np.exp(y64 / _R)) - np.pi / 2.0))
+        if src_epsg == 4326 and dst_epsg == 3857:
+            return pd.Series(_R * np.log(np.tan(np.pi / 4.0 + np.radians(y64) / 2.0)))
+        return pd.Series([reproject_point(x, y, src_epsg, dst_epsg)[1] for x, y in zip(xs, ys)])
+
+    return _x, _y
+
+
+def validate_lonlat(lon: float, lat: float) -> None:
+    """Range checks mirroring reference backend/models.py:52-64."""
+    if not (-180.0 <= lon <= 180.0):
+        raise ValueError(f"longitude {lon} out of range [-180, 180]")
+    if not (-90.0 <= lat <= 90.0):
+        raise ValueError(f"latitude {lat} out of range [-90, 90]")
+
+
+Point = tuple[float, float]
+
+
+def iter_flat(points: Iterable[Point]) -> list[float]:
+    return [c for p in points for c in p]

@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's entire dedup surface is
+``drop_duplicates(subset=["id","metadata_text"])`` in single-node pandas
+(reference backend/load_data.py:177). Here each strategy is a distributed
+DataFrame transform; the candidate-generation step (LSH banding / band
+blocking / bucket join) is what keeps the pairwise phase from being an
+O(N²) shuffle at 100 TB — candidates meet by key in one shuffle, and only
+candidates pay the exact-verification cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash_band,
+    simhash_udf,
+    word_shingles,
+)
+from ..functions.text import fingerprint_udf
+from ..functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Reference O2 parity: hash-shuffle on the key columns, first-wins
+    (nondeterministic in both engines)."""
+    return df.dropDuplicates(subset)
+
+
+def exact_dedup_deterministic(
+    df: DataFrame, subset: list[str], order_col: str
+) -> DataFrame:
+    """Deterministic variant: keep the min-``order_col`` row per key.
+    One shuffle (window), stable across runs — required for oracle checks."""
+    w = Window.partitionBy(*subset).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact-dup groups by normalized rolling-hash fingerprint: shuffles an
+    8-byte key instead of full document text."""
+    return (
+        df.withColumn("fp", fingerprint_udf()(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding.
+
+    shingle → signature (native exprs, no shuffle) → explode band keys →
+    self-join on (band, key) → distinct pairs. The explode multiplies rows
+    by `bands`, but each carries only (id, band, key) — 20 bytes — so the
+    bucket shuffle is tiny relative to the corpus.
+    """
+    rows = num_perm // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            word_shingles(text_col, shingle_k), num_perm=num_perm, seed=seed
+        ).alias("sig"),
+    )
+    buckets = sigs.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified by EXACT shingle Jaccard ≥ threshold.
+
+    Verification joins the shingle arrays back by id — only candidate pairs
+    (a vanishing fraction of N²) carry full shingle payloads through the
+    shuffle.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_k, num_perm, bands, seed
+    )
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        word_shingles(text_col, shingle_k).alias("__shingles"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    probe_ids: list | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (no approximation).
+
+    With ``probe_ids`` set this is probes × corpus (broadcastable); without,
+    a full self-join — only for modest corpora or after blocking. This is
+    the oracle-checkable ground truth the MinHash path approximates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    )
+    left = sh.where(F.col("id").isin(probe_ids)) if probe_ids is not None else sh
+    a, b = left.alias("a"), sh.alias("b")
+    joined = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        if probe_ids is None
+        else F.broadcast(a).crossJoin(b).where(F.col("a.id") != F.col("b.id"))
+    )
+    return (
+        joined.withColumn("jaccard", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("jaccard").alias("jaccard"),
+        )
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: pigeonhole band blocking then exact Hamming ≤ t.
+
+    Any two 64-bit hashes with Hamming distance < ``bands`` agree on at
+    least one 16-bit band → join per band key, verify with bit_count (native)
+    — never a full O(N²) comparison.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
+    )
+    banded = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"), simhash_band(F.col("sh"), i, bands).alias("key")
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dups by embedding cosine similarity ≥ threshold (exact).
+
+    ``block_col`` (e.g. an LSH bucket or a label) turns the self-join into a
+    per-block join — the required move at scale; None means full N²/2 and is
+    only for small corpora / oracle checks.
+    """
+    sel = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    if block_col is not None:
+        sel = df.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            F.col(block_col).alias("blk"),
+        )
+    a, b = sel.alias("a"), sel.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", cosine_similarity(F.col("a.emb"), F.col("b.emb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("cos_sim").alias("cos_sim"),
+        )
+    )

