@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship hybrid search (the reference's one query
+shape, SURVEY.md §2.2) at sf0.001. `queries()` / `oracle_sql()` expose the
+engine's operator catalog (govgis_nov2023_slim_spatial_server_spark.catalog) — one entry per
+implemented operator from SURVEY.md §2, each oracle an ANSI-SQL DuckDB
+equivalent with matching column names/rounding.
 """
 
 from __future__ import annotations
@@ -13,26 +13,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return QUERIES["flagship_hybrid_search"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only:
+    approximate/hash-kernel ops that SQL cannot express)."""
+    return dict(ORACLES)

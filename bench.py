@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once as a warm-up-free wall-clock action (count()
+drives the full plan; results are not collected to the driver beyond the
+aggregate). Total = sum of per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_hybrid_search",
+    "knn_topk",
+    "similarity_join_topk",
+    "embedding_near_dup",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_rank_orders_per_customer",
+    "tumbling_window_1h",
+    "session_windows_30m",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_topk",
+    "spatial_point_filter",
+    "multimodal_byte_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+    from govgis_nov2023_slim_spatial_server_spark.session import get_spark
+
+    spark = get_spark(app_name="govgis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one tiny action to absorb session/JVM warm-up outside the timings
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Registry the driver contract (__spark_entry__.py) is built from.
+
+Every operator claimed in SURVEY.md §2 registers here as a named query:
+a (spark, sf_dir) -> DataFrame callable, plus — when ANSI-SQL-expressible —
+a DuckDB oracle string with IDENTICAL output column names and value
+rounding (the driver hash-compares sorted values; see task contract).
+
+Conventions that make the hash comparison robust:
+- every computed double is ROUND()ed the same way on both sides (sums →2,
+  ratios/distances →4); group keys stay exact (ints/strings/dates);
+- timestamps are emitted as epoch-second BIGINTs (Spark µs-truncation
+  matches DuckDB's ns→µs coercion, but hashing raw timestamp objects is
+  representation-fragile — integers are not);
+- every ORDER BY that feeds a LIMIT carries a unique-key tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` ⇒ rows-only check (reserved for
+    genuinely non-SQL-expressible ops — Spark-hash LSH, streaming)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def fmt_vec_sql(vec: list[float]) -> str:
+    """Python float list → DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"

@@ -1,0 +1,692 @@
+"""Relational core queries: joins, aggregations, windows, sorts, set ops,
+scalar functions (SURVEY.md §2.3 gap table — none of these exist in the
+reference, whose only relational surface is one filtered top-k scan;
+they're required by the driver's general-analytics grading).
+
+Physical notes recorded per query where it matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k
+from ..operators.windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+from ..schemas import load_table
+from ._registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) agg → 1 shuffle on 2 low-card
+    keys; scales linearly, shuffle volume = O(groups), not O(rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_stats",
+    """
+    SELECT COUNT(*)                       AS n_rows,
+           COUNT(DISTINCT c_nationkey)    AS n_nations,
+           COUNT(DISTINCT c_mktsegment)   AS n_segments,
+           ROUND(AVG(c_acctbal), 4)       AS avg_bal,
+           ROUND(SUM(c_acctbal), 2)       AS sum_bal,
+           ROUND(MIN(c_acctbal), 2)       AS min_bal,
+           ROUND(MAX(c_acctbal), 2)       AS max_bal
+    FROM customer
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals; the two dim joins auto-broadcast (25 / 5 rows)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_revenue_orders",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    At scale: customer filter prunes before the shuffle join; final top-10
+    is TakeOrderedAndProject, never a global sort."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast, one fact shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: no payload duplication, build side only emits keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_range_events_orders",
+    """
+    SELECT e.event_id, COUNT(*) AS n_concurrent
+    FROM events e JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts BETWEEN e.ts - INTERVAL '5 minutes' AND e.ts
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.event_id
+    """,
+)
+def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range self-join (interval containment): equi-key on user_id
+    carries the shuffle; the time predicate is evaluated post-join — the
+    standard Spark shape for bounded-interval joins."""
+    e = _t(spark, sf_dir, "events")
+    f = _t(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type") == "purchase").alias("e")
+    fv = f.alias("f")
+    return (
+        ev.join(
+            fv,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") >= F.col("e.ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("f.ts") <= F.col("e.ts")),
+        )
+        .groupBy(F.col("e.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(LAG(value)  OVER w, 4) AS prev_value,
+           ROUND(LEAD(value) OVER w, 4) AS next_value,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias("gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / pagination
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_offset_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+def topk_offset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O18 generalized (LIMIT/OFFSET with deterministic ties)."""
+    o = _t(spark, sf_dir, "orders")
+    out = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], k=10, skip=5)
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+
+
+@query(
+    "filter_caseins_topk",
+    """
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE LOWER(c_mktsegment) IN ('building', 'machinery')
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10 OFFSET 2
+    """,
+)
+def filter_caseins_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O14+O18 on a relational table: the exact filter shape of
+    `LOWER(type) = ANY($types)` (reference backend/models.py:159-164)."""
+    c = _t(spark, sf_dir, "customer")
+    filtered = c.where(F.lower(F.col("c_mktsegment")).isin(["building", "machinery"]))
+    out = top_k(filtered, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], k=10, skip=2)
+    return out.select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except_keys",
+    """
+    SELECT c_custkey % 100 AS k FROM customer
+    EXCEPT
+    SELECT s_suppkey % 77 FROM supplier
+    """,
+)
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) with a guaranteed-nonempty difference."""
+    c = _t(spark, sf_dir, "customer").select((F.col("c_custkey") % 100).alias("k"))
+    s = _t(spark, sf_dir, "supplier").select((F.col("s_suppkey") % 77).alias("k"))
+    return c.subtract(s)
+
+
+@query(
+    "set_union_keys",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION
+    SELECT s_nationkey, 'supplier' FROM supplier
+    """,
+)
+def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.union(s).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / date / math / JSON
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           UPPER(p_name)                                    AS name_upper,
+           LOWER(p_brand)                                   AS brand_lower,
+           SUBSTR(p_type, 1, 4)                             AS type_prefix,
+           regexp_extract(p_brand, '([0-9]+)', 1)           AS brand_num,
+           LENGTH(p_name)                                   AS name_len,
+           CONCAT(p_brand, '-', p_type)                     AS brand_type,
+           REPLACE(p_name, ' ', '_')                        AS name_snake
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@query(
+    "date_funcs_orders",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year  FROM o_orderdate)::BIGINT AS order_year,
+           EXTRACT(month FROM o_orderdate)::BIGINT AS order_month,
+           EXTRACT(day   FROM o_orderdate)::BIGINT AS order_day,
+           EXTRACT(quarter FROM o_orderdate)::BIGINT AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))::BIGINT AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@query(
+    "math_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 6)        AS abs_disc,
+           ROUND(SQRT(l_quantity), 6)              AS sqrt_qty,
+           ROUND(LN(l_extendedprice + 1), 6)       AS ln_price,
+           ROUND(POW(l_quantity, 2), 4)            AS qty_sq,
+           CAST(CEIL(l_extendedprice)  AS BIGINT)  AS ceil_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)  AS floor_price,
+           GREATEST(l_tax, l_discount)             AS max_rate,
+           l_linenumber % 3                        AS ln_mod
+    FROM lineitem
+    """,
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("long").alias("floor_price"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        (F.col("l_linenumber") % 3).alias("ln_mod"),
+    )
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k_val,
+           LENGTH(props) AS props_len
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup (exact, deterministic) — reference O2 generalized
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_distinct_pairs",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", "source").dropDuplicates()
+
+
+@query(
+    "dedup_first_event_per_key",
+    """
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           COUNT(*)      AS n_rows
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup (keep min-id row per key) — the
+    oracle-safe form of reference backend/load_data.py:177's first-wins."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (batch; SURVEY.md §7.6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window_1h",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e,
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+        "sum_value",
+        "n_users",
+    )
+
+
+@query(
+    "sliding_window_1h_30m",
+    """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value FROM events
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(e, "1 hour", "30 minutes")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "session_windows_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = session_window_agg(e, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.col("session_start").cast("long").alias("session_start_s"),
+        F.col("session_end").cast("long").alias("session_end_s"),
+        "sum_value",
+    )

@@ -1,0 +1,200 @@
+"""Spatial, reprojection, HTML→Markdown, and multimodal queries.
+
+The driver tables carry no geometry, so spatial queries derive
+deterministic rectangles arithmetically from table keys, encode them
+through the REAL WKB path (pandas-UDF box encoder → WKB bytes → bbox
+derivation → coarse prune → exact ray-casting refine), and the oracle
+checks the same containment with plain double arithmetic — exercising the
+full geometry stack against an exactly-computable answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.spatial import (
+    bbox_contains_point,
+    bboxes_overlap,
+    make_box_wkb_udf,
+    make_point_intersects_udf,
+    make_reproject_udf,
+)
+from ..functions.text import html_to_markdown_udf
+from ..operators.multimodal import extract_byte_stats, with_binary_payload
+from ..schemas import load_table
+from ..sources.ingest import derive_bbox
+from ._registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _customer_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rectangles keyed on c_custkey (pure int→double
+    arithmetic ⇒ bit-identical in Spark and DuckDB)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    xmin = F.lit(-125.0) + (k % 50).cast("double")
+    w = F.lit(0.5) + (k % 7).cast("double") * 0.25
+    ymin = F.lit(24.0) + (k % 20).cast("double")
+    h = F.lit(0.4) + (k % 5).cast("double") * 0.3
+    return c.select(
+        "c_custkey",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + w).alias("xmax"),
+        (ymin + h).alias("ymax"),
+    )
+
+_CUST_RECT_SQL = """
+      SELECT c_custkey,
+             -125.0 + (c_custkey % 50) AS xmin,
+             24.0 + (c_custkey % 20)   AS ymin,
+             -125.0 + (c_custkey % 50) + 0.5 + (c_custkey % 7) * 0.25 AS xmax,
+             24.0 + (c_custkey % 20) + 0.4 + (c_custkey % 5) * 0.3    AS ymax
+      FROM customer
+"""
+
+
+@query(
+    "spatial_point_filter",
+    f"""
+    WITH r AS ({_CUST_RECT_SQL})
+    SELECT c_custkey FROM r
+    WHERE xmin <= -100.7 AND -100.7 <= xmax
+      AND ymin <=   28.2 AND  28.2 <= ymax
+    """,
+)
+def spatial_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O15 (ST_Intersects point-in-polygon) through the full
+    engine path: WKB encode → bbox derive → native coarse prune → exact
+    ray-cast refine. For rectangles the refine must agree with the prune,
+    which is what makes the arithmetic oracle exact."""
+    rects = _customer_rects(spark, sf_dir)
+    wkb = rects.withColumn(
+        "geom_wkb",
+        make_box_wkb_udf()(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
+    ).select("c_custkey", "geom_wkb")
+    layers = derive_bbox(wkb)
+    lon, lat = -100.7, 28.2
+    return (
+        layers.where(bbox_contains_point("bbox", lon, lat))
+        .where(make_point_intersects_udf(lon, lat)(F.col("geom_wkb")))
+        .select("c_custkey")
+    )
+
+
+@query(
+    "spatial_join_overlap",
+    f"""
+    WITH cr AS ({_CUST_RECT_SQL}),
+    sr AS (
+      SELECT s_suppkey,
+             -125.0 + (s_suppkey % 55) AS xmin,
+             24.0 + (s_suppkey % 22)   AS ymin,
+             -125.0 + (s_suppkey % 55) + 1.0 + (s_suppkey % 3) * 0.5 AS xmax,
+             24.0 + (s_suppkey % 22) + 1.0                           AS ymax
+      FROM supplier)
+    SELECT s_suppkey, COUNT(*) AS n_overlaps
+    FROM sr JOIN cr
+      ON cr.xmin <= sr.xmax AND sr.xmin <= cr.xmax
+     AND cr.ymin <= sr.ymax AND sr.ymin <= cr.ymax
+    WHERE cr.c_custkey < 200
+    GROUP BY s_suppkey
+    """,
+)
+def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial (rectangle-overlap) join — the range-join shape. At scale
+    this gets a grid-cell blocking key to become an equi-join; here the
+    direct predicate form is the semantics oracle."""
+    cr = _customer_rects(spark, sf_dir).where(F.col("c_custkey") < 200)
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    xmin = F.lit(-125.0) + (k % 55).cast("double")
+    ymin = F.lit(24.0) + (k % 22).cast("double")
+    sr = s.select(
+        "s_suppkey",
+        F.struct(
+            xmin.alias("xmin"),
+            ymin.alias("ymin"),
+            (xmin + F.lit(1.0) + (k % 3).cast("double") * 0.5).alias("xmax"),
+            (ymin + F.lit(1.0)).alias("ymax"),
+        ).alias("sbox"),
+    )
+    crb = cr.select(
+        "c_custkey",
+        F.struct("xmin", "ymin", "xmax", "ymax").alias("cbox"),
+    )
+    return (
+        sr.join(crb, bboxes_overlap(F.col("sbox"), F.col("cbox")))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@query(
+    "reproject_mercator",
+    """
+    SELECT c_custkey,
+           ROUND(6378137.0 * radians(-125.0 + (c_custkey % 59)), 2) AS merc_x,
+           ROUND(6378137.0 * ln(tan(pi() / 4.0 + radians(24.0 + (c_custkey % 25)) / 2.0)), 2) AS merc_y
+    FROM customer
+    """,
+)
+def reproject_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise CRS reprojection (reference backend/models.py:37-42
+    generalized): EPSG:4326 → 3857 via the vectorized web-mercator UDF."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-125.0) + (k % 59).cast("double")).alias("lon")
+    lat = (F.lit(24.0) + (k % 25).cast("double")).alias("lat")
+    pts = c.select("c_custkey", lon, lat)
+    ux, uy = make_reproject_udf(4326, 3857)
+    return pts.select(
+        "c_custkey",
+        F.round(ux(F.col("lon"), F.col("lat")), 2).alias("merc_x"),
+        F.round(uy(F.col("lon"), F.col("lat")), 2).alias("merc_y"),
+    )
+
+
+@query(
+    "html_to_markdown",
+    """
+    SELECT p_partkey,
+           '**' || p_name || '** brand ' || p_brand AS md
+    FROM part
+    """,
+)
+def html_to_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O25 (mcp.py markdownify) as a column operator: build an
+    HTML string natively, convert with the Arrow-batched UDF; the oracle
+    states the expected markdown directly."""
+    p = _t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit("<p><b>"), F.col("p_name"), F.lit("</b> brand "), F.col("p_brand"), F.lit("</p>")
+    )
+    return p.select(
+        "p_partkey",
+        html_to_markdown_udf()(html).alias("md"),
+    )
+
+
+@query(
+    "multimodal_byte_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           ascii(text)::BIGINT AS first_byte,
+           (octet_length(encode(text)) % 640)::BIGINT AS width,
+           ((octet_length(encode(text)) * 7) % 480)::BIGINT AS height
+    FROM documents
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + mapInPandas feature
+    extraction (deterministic fake decode; real decoder is a stubbed seam,
+    operators/multimodal.decode_image)."""
+    d = _t(spark, sf_dir, "documents")
+    return extract_byte_stats(with_binary_payload(d))

@@ -1,0 +1,371 @@
+"""Vector-search, dedup, and text-analysis queries over the driver's
+documents ⋈ embeddings fixture (the test-scale analogue of the reference's
+layers table, FIXTURES.md).
+
+The flagship entry reproduces the reference's one query shape (reference
+backend/models.py:186-191) — filter → cosine-rank → top-k — and the rest
+widen it into the LLM-pipeline surface: exact/approximate near-dup
+detection, similarity join, quality/language/token analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures.embedder import FakeEmbedder
+from ..functions.hashes import jaccard, word_shingles
+from ..functions.text import (
+    lang_id,
+    quality_metrics,
+    quality_score,
+    token_count,
+)
+from ..functions.vector import dot, l2_norm
+from ..operators.dedup import (
+    fingerprint_dup_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from ..operators.knn import knn, lsh_bucketed_knn, similarity_join
+from ..schemas import load_table
+from ._registry import fmt_vec_sql, query
+
+# Deterministic unit probe vector (FakeEmbedder is the test-scale stand-in
+# for the reference's BGE model, reference backend/app.py:28-33).
+PROBE_VEC: list[float] = FakeEmbedder(dim=64, seed=42).embed_query(
+    "government gis parcel layers probe"
+)
+PROBE_SQL = fmt_vec_sql(PROBE_VEC)
+
+# cosine distance to the unit probe: 1 - dot(e, q) / ||e||
+_DIST_SQL = (
+    f"1 - list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL})"
+    " / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+)
+
+
+def _dist_col() -> F.Column:
+    return 1 - dot("embedding", PROBE_VEC) / l2_norm("embedding")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship + KNN
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flagship_hybrid_search",
+    f"""
+    SELECT d.doc_id, d.lang, ROUND({_DIST_SQL}, 4) AS dist
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE LOWER(d.lang) IN ('en', 'es')
+    ORDER BY {_DIST_SQL}, d.doc_id
+    LIMIT 5
+    """,
+)
+def flagship_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one query shape (O14→O17→O18→O19): case-insensitive
+    IN-list filter, exact cosine ranking, deterministic top-k."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .where(F.lower(F.col("lang")).isin(["en", "es"]))
+        .withColumn("__dist", _dist_col())
+        .orderBy(F.col("__dist").asc(), F.col("doc_id").asc())
+        .limit(5)
+        .select("doc_id", "lang", F.round("__dist", 4).alias("dist"))
+    )
+
+
+@query(
+    "knn_topk",
+    f"""
+    SELECT vec_id, label, ROUND({_DIST_SQL}, 4) AS dist
+    FROM embeddings
+    ORDER BY {_DIST_SQL}, vec_id
+    LIMIT 10
+    """,
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force KNN (pgvector `<=>` parity, reference
+    backend/models.py:189) → TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn(e, PROBE_VEC, k=10, emb_col="embedding", id_col="vec_id", normalized=False)
+    return out.select("vec_id", "label", F.round("dist", 4).alias("dist"))
+
+
+@query("knn_lsh_approx")  # approximate ⇒ rows-only; recall vs exact in tests
+def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_knn(e, PROBE_VEC, k=10, n_planes=6, n_probes=2)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+@query(
+    "similarity_join_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+           ROUND(1 - list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     / (p.nrm * c.nrm), 4) AS dist
+    FROM c p, c c
+    WHERE p.vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY 1 - list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     / (p.nrm * c.nrm), c.vec_id) <= 3
+    """,
+)
+def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity join: per-probe exact top-3 over the corpus
+    (broadcast probes → map-side cross product → one windowed shuffle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    out = similarity_join(
+        probes, e, k=3, probe_id="probe_id", probe_emb="probe_emb",
+        corpus_id="vec_id", corpus_emb="embedding", normalized=False,
+    )
+    return out.select("probe_id", "vec_id", F.round("dist", 4).alias("dist"))
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM c a, c b
+    WHERE a.vec_id < 50 AND b.vec_id > a.vec_id
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (a.nrm * b.nrm) >= 0.15
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (probe block vs corpus).
+    At scale the probe restriction becomes LSH-bucket blocking
+    (operators/dedup.embedding_near_duplicates block_col)."""
+    from ..functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < 50).alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") > F.col("a.vec_id"))
+        .withColumn("__sim", cosine_similarity(F.col("a.embedding"), F.col("b.embedding")))
+        .where(F.col("__sim") >= 0.15)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("__sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "vector_stats_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def vector_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregates (norms stay native-HOF → codegen)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(l2_norm("embedding")), 4).alias("avg_norm"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_first"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup detection (text)
+# --------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+"""
+
+
+@query(
+    "ngram_jaccard_topk",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS probe_id, b.doc_id AS other_id,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.doc_id
+        ORDER BY len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) DESC, b.doc_id) <= 3
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard: top-3 most similar docs per probe — the
+    ground truth the MinHash path approximates."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles("text", 3).alias("s"))
+    probes = sh.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("probe_id"), F.col("s").alias("ps")
+    )
+    joined = (
+        F.broadcast(probes)
+        .crossJoin(sh)
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("__j", jaccard(F.col("ps"), F.col("s")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("__j").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("other_id"),
+            F.round("__j", 4).alias("jaccard"),
+        )
+    )
+
+
+@query("minhash_lsh_neardup")  # Spark murmur3 not reproducible in SQL ⇒ rows-only
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.2, shingle_k=3, num_perm=64, bands=16
+    ).withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query("simhash_neardup")  # blake2b-hash kernel ⇒ rows-only
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, bands=4)
+
+
+@query("fingerprint_dup_groups")  # rolling-hash kernel ⇒ rows-only
+def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus is dup-free, so re-inject docs 0..19 (with shifted ids)
+    to prove the fingerprint actually groups exact duplicates."""
+    d = _t(spark, sf_dir, "documents")
+    dups = d.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return fingerprint_dup_groups(d.unionByName(dups), "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+           LENGTH(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "doc_quality",
+    """
+    SELECT doc_id,
+           LENGTH(text)::BIGINT AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+           ROUND(LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_word_len,
+           ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text), 4) AS alpha_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text), 4) AS digit_ratio,
+           ROUND(LEAST(GREATEST(
+             0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
+             + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
+                                BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
+             0.0), 1.0), 4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].cast("long").alias("n_chars"),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(m["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(m["digit_ratio"], 4).alias("digit_ratio"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "nicht"],
+}
+
+
+def _lang_score_expr(lang: str) -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return " + ".join(
+        f"len(list_filter({toks}, x -> x = '{w}'))" for w in _LANG_SCORE_SQL[lang]
+    )
+
+
+@query(
+    "lang_id_stopwords",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score_expr('en')} AS en_s,
+             {_lang_score_expr('es')} AS es_s,
+             {_lang_score_expr('fr')} AS fr_s,
+             {_lang_score_expr('de')} AS de_s
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN GREATEST(en_s, es_s, fr_s, de_s) = 0 THEN 'und'
+                WHEN en_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'en'
+                WHEN es_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'es'
+                WHEN fr_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family), fully native."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))

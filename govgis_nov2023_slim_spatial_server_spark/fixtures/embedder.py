@@ -32,15 +32,15 @@ class FakeEmbedder:
         self.seed = seed
 
     def embed_query(self, text: str) -> list[float]:
-        out = np.empty(self.dim, dtype=np.float64)
-        n_blocks = (self.dim + 7) // 8
+        # need dim u64s = dim*8 bytes; each blake2b digest yields 64 bytes
+        n_digests = (self.dim * 8 + 63) // 64
         raw = b"".join(
             hashlib.blake2b(
                 text.encode("utf-8"),
                 digest_size=64,
                 salt=self.seed.to_bytes(8, "little") + i.to_bytes(8, "little"),
             ).digest()
-            for i in range((n_blocks + 7) // 8)
+            for i in range(n_digests)
         )
         ints = np.frombuffer(raw[: self.dim * 8], dtype="<u8").astype(np.float64)
         out = ints / float(1 << 64) * 2.0 - 1.0

@@ -38,15 +38,16 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     builds each shingle. Docs shorter than k words yield their full text as
     the single shingle.
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.when(n > 0, F.array(F.lit(0))).otherwise(F.array().cast("array<int>"))
-    )
-    sh = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))
-    )
-    return F.array_distinct(sh)
+    def _shingles_from(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.when(n > 0, F.array(F.lit(0))).otherwise(F.array().cast("array<int>"))
+        )
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k))))
+        )
+
+    return _let(tokens(col), _shingles_from)
 
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:
@@ -60,11 +61,30 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal hash family."""
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    Ranges sized so ``a·h + b`` stays below 2^63 for h < 2^32 (base hash):
+    ANSI mode (Spark 4 default) hard-errors on long overflow, so the
+    arithmetic must be provably overflow-free rather than wrapping.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_P - 1, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, 1 << 30, size=num_perm, dtype=np.int64)
     b = rng.randint(0, _MERSENNE_P - 1, size=num_perm, dtype=np.int64)
     return list(zip(a.tolist(), b.tolist()))
+
+
+def _let(bound: Column, body) -> Column:
+    """Poor-man's let-binding for Spark expressions: evaluate ``bound``
+    exactly once per row and feed it to ``body`` as a lambda variable.
+
+    Catalyst's CollapseProject freely inlines projected expressions into
+    every downstream reference — for a 64-permutation MinHash signature
+    referenced by 16 band keys that is a 16x recomputation blowup (measured
+    >100x wall-clock on the LSH pipeline). Wrapping the value in a 1-element
+    array and binding it via ``transform``'s lambda variable forces single
+    evaluation regardless of how many times the body references it.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
 
 
 def minhash_signature(
@@ -72,40 +92,58 @@ def minhash_signature(
 ) -> Column:
     """array<long> MinHash signature of a shingle array — fully native.
 
-    Base hash: Spark's murmur3 ``hash()`` lifted to non-negative long;
-    permutations: ``min((a·h + b) mod p)`` per (a, b). Empty shingle sets
-    yield a sentinel signature of p (never collides with real hashes).
+    Base hash: Spark's murmur3 ``hash()`` lifted to [0, 2^32); permutations:
+    ``min((a*h + b) mod p)`` per (a, b). Empty shingle sets yield a sentinel
+    signature of p (never collides with real hashes). The base-hash array is
+    let-bound so the permutations share one evaluation.
     """
     base = F.transform(
-        shingle_col, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_MERSENNE_P))
+        shingle_col, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(1 << 32))
     )
-    sig = []
-    for a, b in _perm_params(num_perm, seed):
-        permuted = F.transform(
-            base,
-            lambda h, a=a, b=b: F.pmod(
-                F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)
-            ),
+
+    def _perm(a: int, b: int):
+        # NB: pyspark derives HOF lambda arity from the Python signature,
+        # so (a, b) must be closed over, not defaulted parameters.
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))
+
+    def _sig_from(bs: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(bs, _perm(a, b))),
+                    F.lit(_MERSENNE_P).cast("long"),
+                )
+                for a, b in _perm_params(num_perm, seed)
+            ]
         )
-        sig.append(
-            F.coalesce(F.array_min(permuted), F.lit(_MERSENNE_P).cast("long"))
-        )
-    return F.array(*sig)
+
+    return _let(base, _sig_from)
 
 
 def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, key:long>> — one bucket key per band.
 
     Two docs land in the same (band, key) bucket iff their signatures agree
-    on that band's rows → standard MinHash-LSH banding. ``hash`` over the
-    band slice keeps the bucket key fixed-width for the shuffle.
+    on that band's rows → standard MinHash-LSH banding. The signature is
+    let-bound (one evaluation feeds all bands) and each band key is murmur3
+    over the band's slice — fixed-width for the bucket shuffle, no string
+    building.
     """
-    entries = []
-    for band in range(bands):
-        band_slice = F.slice(sig_col, band * rows_per_band + 1, rows_per_band)
-        key = F.hash(F.concat_ws(",", F.transform(band_slice, lambda x: x.cast("string")))).cast("long")
-        entries.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
-    return F.array(*entries)
+
+    def _keys_from(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.hash(F.slice(sig, band * rows_per_band + 1, rows_per_band))
+                    .cast("long")
+                    .alias("key"),
+                )
+                for band in range(bands)
+            ]
+        )
+
+    return _let(sig_col, _keys_from)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -133,9 +171,10 @@ def simhash_str(s: str | None) -> int | None:
     if not toks:
         return 0
     votes = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        h = _token_hash64(t)
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(_token_hash64(t))
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
         votes += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):

@@ -202,6 +202,26 @@ def wkb_bbox_udf():
     return _bbox
 
 
+def make_box_wkb_udf():
+    """pandas UDF: four double columns (xmin,ymin,xmax,ymax) → rectangle
+    polygon WKB. Used by fixtures/tests to build real WKB geometry from
+    arithmetic bounds so the full codec path is exercised."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _box(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in (a, b, c, d))
+                else wkb_box(float(a), float(b), float(c), float(d))
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ],
+            dtype=object,
+        )
+
+    return _box
+
+
 def bbox_contains_point(bbox: Column | str, lon: float, lat: float) -> Column:
     """Native coarse filter — the GiST-index replacement. Evaluated in
     whole-stage codegen and eligible for Parquet min/max row-group skipping."""

@@ -12,6 +12,7 @@ GiST index (reference backend/load_data.py:89-99).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -80,8 +81,20 @@ DRIVER_TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain parquet scan → Catalyst gets pushdown,
-    pruning, and the vectorized reader for free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pruning, and the vectorized reader for free.
+
+    `events.ts` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+    nanoseconds and is converted here to a µs timestamp — the same
+    truncation DuckDB applies, so oracle comparisons see identical values.
+    """
+    if name == "events":
+        # must be set on whatever session the driver hands us, not only ours
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores event timestamps as parquet TIMESTAMP(NANOS),
+        # which Spark rejects by default; read as long ns and convert in the
+        # loader (schemas.load_table) to µs timestamps (same truncation DuckDB
+        # applies when it coerces ns → its µs TIMESTAMP).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

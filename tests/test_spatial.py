@@ -1,0 +1,137 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+    bbox_contains_point,
+    lonlat_to_mercator,
+    make_box_wkb_udf,
+    make_point_intersects_udf,
+    make_reproject_udf,
+    mercator_to_lonlat,
+    parse_wkb_polygons,
+    point_in_polygon_wkb,
+    reproject_point,
+    validate_lonlat,
+    wkb_bounds,
+    wkb_box,
+    wkb_bbox_udf,
+    wkb_point,
+    wkb_polygon,
+)
+from govgis_nov2023_slim_spatial_server_spark.sources.ingest import derive_bbox
+
+
+def test_wkb_roundtrip_box():
+    w = wkb_box(-10.0, 20.0, -5.0, 25.0)
+    polys = parse_wkb_polygons(w)
+    assert len(polys) == 1 and len(polys[0]) == 1
+    assert wkb_bounds(w) == (-10.0, 20.0, -5.0, 25.0)
+
+
+def test_point_in_polygon_basic():
+    w = wkb_box(0.0, 0.0, 10.0, 10.0)
+    assert point_in_polygon_wkb(w, 5.0, 5.0)
+    assert not point_in_polygon_wkb(w, 15.0, 5.0)
+    assert not point_in_polygon_wkb(w, -0.1, 5.0)
+
+
+def test_point_in_polygon_with_hole():
+    w = wkb_polygon(
+        [
+            [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+            [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)],  # hole
+        ]
+    )
+    assert point_in_polygon_wkb(w, 2.0, 2.0)
+    assert not point_in_polygon_wkb(w, 5.0, 5.0)  # inside the hole
+
+
+def test_point_in_nonconvex():
+    # L-shaped polygon
+    w = wkb_polygon([[(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0)]])
+    assert point_in_polygon_wkb(w, 1.0, 3.0)
+    assert point_in_polygon_wkb(w, 3.0, 1.0)
+    assert not point_in_polygon_wkb(w, 3.0, 3.0)
+
+
+def test_wkb_point_and_none():
+    assert wkb_bounds(wkb_point(3.0, 4.0)) == (3.0, 4.0, 3.0, 4.0)
+    assert wkb_bounds(None) is None
+    assert not point_in_polygon_wkb(None, 0, 0)
+    assert wkb_bounds(b"\x01\x99\x00\x00\x00") is None  # bad type byte → None
+
+
+def test_bbox_udf_and_prune(spark):
+    rows = [(1, wkb_box(0, 0, 2, 2)), (2, wkb_box(5, 5, 9, 9)), (3, None)]
+    df = spark.createDataFrame(rows, "id: long, geom_wkb: binary")
+    out = derive_bbox(df)
+    got = {r["id"]: r["bbox"] for r in out.collect()}
+    assert got[1]["xmin"] == 0.0 and got[1]["ymax"] == 2.0
+    assert got[3]["xmin"] is None
+    hits = out.where(bbox_contains_point("bbox", 1.0, 1.5)).select("id").collect()
+    assert [r["id"] for r in hits] == [1]
+
+
+def test_exact_intersects_udf(spark):
+    rows = [(1, wkb_box(0, 0, 2, 2)), (2, wkb_box(5, 5, 9, 9)), (3, None)]
+    df = spark.createDataFrame(rows, "id: long, geom_wkb: binary")
+    out = df.where(make_point_intersects_udf(6.0, 6.0)(F.col("geom_wkb")))
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_box_wkb_udf_matches_python(spark):
+    df = spark.createDataFrame([(1, -10.0, 20.0, -5.0, 25.0)], "id: long, a: double, b: double, c: double, d: double")
+    out = df.select(make_box_wkb_udf()(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("w")).first()
+    assert bytes(out["w"]) == wkb_box(-10.0, 20.0, -5.0, 25.0)
+
+
+def test_mercator_roundtrip():
+    for lon, lat in [(-100.0, 40.0), (0.0, 0.0), (179.0, -60.0)]:
+        x, y = lonlat_to_mercator(lon, lat)
+        lon2, lat2 = mercator_to_lonlat(x, y)
+        assert lon2 == pytest.approx(lon, abs=1e-9)
+        assert lat2 == pytest.approx(lat, abs=1e-9)
+    # EPSG:3857 reference value: lon=1° → x ≈ 111319.49079327358
+    x, _ = lonlat_to_mercator(1.0, 0.0)
+    assert x == pytest.approx(111319.49079327358, rel=1e-12)
+
+
+def test_reproject_point_dispatch():
+    assert reproject_point(5, 6, 4326, 4326) == (5, 6)
+    x, y = reproject_point(-100.0, 40.0, 4326, 3857)
+    assert (x, y) == lonlat_to_mercator(-100.0, 40.0)
+    with pytest.raises(ValueError):
+        reproject_point(0, 0, 9999, 4326)
+
+
+def test_reproject_udf(spark):
+    df = spark.createDataFrame([(i, float(-120 + i), float(30 + i)) for i in range(5)], "id: long, lon: double, lat: double")
+    ux, uy = make_reproject_udf(4326, 3857)
+    rows = df.select("lon", "lat", ux(F.col("lon"), F.col("lat")).alias("x"), uy(F.col("lon"), F.col("lat")).alias("y")).collect()
+    for r in rows:
+        ex, ey = lonlat_to_mercator(r["lon"], r["lat"])
+        assert r["x"] == pytest.approx(ex, rel=1e-12)
+        assert r["y"] == pytest.approx(ey, rel=1e-12)
+
+
+def test_validate_lonlat():
+    validate_lonlat(-180, -90)
+    with pytest.raises(ValueError):
+        validate_lonlat(181, 0)
+    with pytest.raises(ValueError):
+        validate_lonlat(0, -91)
+
+
+def test_multipolygon_and_big_endian():
+    import struct
+
+    # two disjoint boxes as a multipolygon (little-endian)
+    p1 = wkb_box(0, 0, 1, 1)
+    p2 = wkb_box(5, 5, 6, 6)
+    mp = struct.pack("<BII", 1, 6, 2) + p1 + p2
+    assert wkb_bounds(mp) == (0.0, 0.0, 6.0, 6.0)
+    assert point_in_polygon_wkb(mp, 0.5, 0.5)
+    assert point_in_polygon_wkb(mp, 5.5, 5.5)
+    assert not point_in_polygon_wkb(mp, 3.0, 3.0)

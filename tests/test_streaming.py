@@ -1,0 +1,67 @@
+"""Streaming facade: stream-over-files must agree with the batch operator
+on the same finite input (the only way to grade streaming without an
+oracle, SURVEY.md §5.2)."""
+
+import datetime
+
+import pytest
+
+from govgis_nov2023_slim_spatial_server_spark.operators.windows import tumbling_window_agg
+from govgis_nov2023_slim_spatial_server_spark.streaming.facade import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=7 * i),
+                i % 5,
+                "t",
+                float(i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    )
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_streaming_tumbling_matches_batch(spark, event_files):
+    path, df = event_files
+    stream = read_events_stream(spark, path, df.schema, max_files_per_trigger=2)
+    agg = streaming_tumbling_counts(stream, "1 hour", watermark="2 hours")
+    run_stream_to_memory(agg, "t_counts", timeout_s=120)
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_counts").collect()
+    }
+    batch = tumbling_window_agg(df, "1 hour")
+    expect = {
+        r["window_start"]: (r["n_events"], float(r["sum_value"]))
+        for r in batch.collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1])
+
+
+def test_streaming_session_counts_runs(spark, event_files):
+    path, df = event_files
+    stream = read_events_stream(spark, path, df.schema, max_files_per_trigger=2)
+    agg = streaming_session_counts(stream, gap="30 minutes", watermark="2 hours")
+    run_stream_to_memory(agg, "s_counts", timeout_s=120)
+    rows = spark.sql("SELECT * FROM s_counts").collect()
+    assert len(rows) > 0
+    assert sum(r["n_events"] for r in rows) == 200

@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.functions.vector import (
+    cosine_distance,
+    cosine_distance_pandas,
+    cosine_similarity,
+    dot,
+    euclidean_distance,
+    l2_norm,
+    l2_normalize,
+)
+from govgis_nov2023_slim_spatial_server_spark.operators.knn import knn, lsh_bucketed_knn, similarity_join
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).astype("float32").tolist()) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>"), rows
+
+
+def test_dot_matches_numpy(spark, vec_df):
+    df, rows = vec_df
+    q = [1.0, -1.0, 0.5, 0.0, 2.0, -0.5, 1.5, 0.25]
+    got = {r["vec_id"]: r["d"] for r in df.select("vec_id", dot("embedding", q).alias("d")).collect()}
+    for i, emb in rows[:10]:
+        expect = float(np.float64(np.asarray(emb, dtype=np.float64)) @ np.asarray(q))
+        assert got[i] == pytest.approx(expect, rel=1e-12)
+
+
+def test_cosine_and_norms(spark, vec_df):
+    df, rows = vec_df
+    out = df.select(
+        "vec_id",
+        l2_norm("embedding").alias("n"),
+        cosine_similarity("embedding", rows[0][1]).alias("cs"),
+        euclidean_distance("embedding", rows[0][1]).alias("ed"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    for i, emb in rows[:10]:
+        a = np.asarray(emb, dtype=np.float64)
+        b = np.asarray(rows[0][1], dtype=np.float64)
+        assert by_id[i]["n"] == pytest.approx(float(np.linalg.norm(a)), rel=1e-9)
+        assert by_id[i]["cs"] == pytest.approx(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), rel=1e-9
+        )
+        assert by_id[i]["ed"] == pytest.approx(float(np.linalg.norm(a - b)), rel=1e-9)
+
+
+def test_l2_normalize(spark, vec_df):
+    df, _ = vec_df
+    norms = df.select(l2_norm(l2_normalize("embedding")).alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-12 for r in norms)
+
+
+def test_pandas_impl_matches_native(spark, vec_df):
+    df, _ = vec_df
+    q = list(np.random.RandomState(3).randn(8))
+    qn = (np.asarray(q) / np.linalg.norm(q)).tolist()
+    ndf = df.withColumn("emb_n", l2_normalize("embedding"))
+    native = ndf.select("vec_id", cosine_distance("emb_n", qn, normalized=True).alias("d"))
+    pand = ndf.select("vec_id", cosine_distance_pandas("emb_n", qn).alias("d"))
+    nrows = {r["vec_id"]: r["d"] for r in native.collect()}
+    prows = {r["vec_id"]: r["d"] for r in pand.collect()}
+    for k in nrows:
+        assert nrows[k] == pytest.approx(prows[k], abs=1e-9)
+
+
+def test_knn_matches_bruteforce(spark, vec_df):
+    df, rows = vec_df
+    q = list(np.random.RandomState(5).randn(8))
+    out = knn(df, q, k=7, emb_col="embedding", id_col="vec_id").collect()
+    qa = np.asarray(q)
+    dists = []
+    for i, emb in rows:
+        a = np.asarray(emb, dtype=np.float64)
+        dists.append((1 - a @ qa / (np.linalg.norm(a) * np.linalg.norm(qa)), i))
+    expect = [i for _, i in sorted(dists)[:7]]
+    assert [r["vec_id"] for r in out] == expect
+
+
+def test_similarity_join_matches_bruteforce(spark, vec_df):
+    df, rows = vec_df
+    probes = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    out = similarity_join(probes, df, k=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["probe_id"], []).append(r["vec_id"])
+    for pid in range(3):
+        p = np.asarray(rows[pid][1], dtype=np.float64)
+        dists = sorted(
+            (
+                1 - np.asarray(e, dtype=np.float64) @ p
+                / (np.linalg.norm(e) * np.linalg.norm(p)),
+                i,
+            )
+            for i, e in rows
+        )
+        assert got[pid] == [i for _, i in dists[:4]]
+
+
+def test_lsh_knn_recall(spark, vec_df):
+    df, rows = vec_df
+    q = list(np.random.RandomState(11).randn(8))
+    exact = {r["vec_id"] for r in knn(df, q, k=10, emb_col="embedding", id_col="vec_id").collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_bucketed_knn(
+            df, q, k=10, emb_col="embedding", id_col="vec_id", n_planes=4, n_probes=2, normalized=False
+        ).collect()
+    }
+    # approximate: just require meaningful overlap and correct cardinality cap
+    assert len(approx) <= 10
+    assert len(exact & approx) >= 3

@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables; compare row count, column names, and order-insensitive values.
+
+Usage:
+    python tools/oracle_check.py [--sf /root/testdata/sf0.01] [--query NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver hashes exact values; we normalize -0.0 and format
+        if v == 0.0:
+            v = 0.0
+        return f"{v:.10g}"
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--query", default=None)
+    ap.add_argument("--rows-only-ok", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from govgis_nov2023_slim_spatial_server_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = [args.query] if args.query else sorted(qs)
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        ok = True
+        msg = []
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msg.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        elif len(srows) != len(orows):
+            ok = False
+            msg.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        else:
+            sm = rows_to_multiset(scols, srows)
+            om = rows_to_multiset(ocols, orows)
+            if sm != om:
+                ok = False
+                diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+                msg.append(f"values differ; first diffs {diff}")
+        if ok:
+            n_pass += 1
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(msg)}")
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(names)} queries"
+    )
+    if failures:
+        print("failures:", " ".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
