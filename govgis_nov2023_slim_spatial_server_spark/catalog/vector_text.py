@@ -159,14 +159,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (probe block vs corpus).
     At scale the probe restriction becomes LSH-bucket blocking
     (operators/dedup.embedding_near_duplicates block_col)."""
-    from ..functions.vector import cosine_similarity
-
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").withColumn("__nrm", l2_norm("embedding"))
     a = e.where(F.col("vec_id") < 50).alias("a")
     b = e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         a.join(b, F.col("b.vec_id") > F.col("a.vec_id"))
-        .withColumn("__sim", cosine_similarity(F.col("a.embedding"), F.col("b.embedding")))
+        .withColumn("__sim", sim)
         .where(F.col("__sim") >= 0.15)
         .select(
             F.col("a.vec_id").alias("id_a"),

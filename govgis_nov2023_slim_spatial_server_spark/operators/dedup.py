@@ -71,6 +71,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash-LSH banding.
 
@@ -78,6 +79,12 @@ def minhash_lsh_candidates(
     self-join on (band, key) → distinct pairs. The explode multiplies rows
     by `bands`, but each carries only (id, band, key) — 20 bytes — so the
     bucket shuffle is tiny relative to the corpus.
+
+    ``materialize`` localCheckpoints the signature table so the self-join
+    scans it once instead of recomputing shingling+hashing per branch
+    (signatures are 8·num_perm bytes/doc — tiny next to the text). At
+    production scale the equivalent move is writing signatures to a table
+    and joining that.
     """
     rows = num_perm // bands
     sigs = df.select(
@@ -86,6 +93,8 @@ def minhash_lsh_candidates(
             word_shingles(text_col, shingle_k), num_perm=num_perm, seed=seed
         ).alias("sig"),
     )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=False)
     buckets = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -125,7 +134,7 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("__sid"),
         word_shingles(text_col, shingle_k).alias("__shingles"),
-    )
+    ).localCheckpoint(eager=False)  # joined twice below; shingle once
     return (
         cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__shingles", "sh_b"), "id_b")

@@ -65,8 +65,20 @@ def similarity_join(
     probe_id, skew-safe because every probe has exactly |corpus| rows before
     AQE coalescing.
     """
-    joined = corpus.crossJoin(F.broadcast(probes))
-    dist = cosine_distance(corpus_emb, probe_emb, normalized=normalized)
+    from ..functions.vector import dot, l2_norm
+
+    if normalized:
+        joined = corpus.crossJoin(F.broadcast(probes))
+        dist = cosine_distance(corpus_emb, probe_emb, normalized=True)
+    else:
+        # precompute each side's norm ONCE per row before the join — the
+        # per-pair work drops from 3 array folds (dot + 2 norms) to 1
+        corpus = corpus.withColumn("__cnorm", l2_norm(corpus_emb))
+        probes = probes.withColumn("__pnorm", l2_norm(probe_emb))
+        joined = corpus.crossJoin(F.broadcast(probes))
+        dist = F.lit(1.0) - dot(corpus_emb, probe_emb) / (
+            F.col("__cnorm") * F.col("__pnorm")
+        )
     w = (
         Window.partitionBy(probe_id)
         .orderBy(F.col(dist_name).asc(), F.col(corpus_id).asc())
@@ -75,7 +87,7 @@ def similarity_join(
         joined.withColumn(dist_name, dist)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", "__cnorm", "__pnorm")
     )
 
 
