@@ -1,0 +1,401 @@
+"""Second-wave coverage: grouping sets, pivot, outer/correlated joins,
+scalar subqueries, exact percentiles, collect/explode, and deeper
+vector/text analysis — rounding out the SURVEY.md §2.3 gap table so a
+reference user gets the full general-analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashes import char_shingles
+from ..functions.text import tokens
+from ..functions.vector import dot, euclidean_distance, l2_norm
+from ..schemas import load_table
+from ._registry import fmt_vec_sql, query
+from .vector_text import PROBE_SQL, PROBE_VEC
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / pivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIASES = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+
+@query(
+    "pivot_status_priority",
+    "SELECT o_orderstatus,\n"
+    + ",\n".join(
+        f"       COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+        for p, a in zip(_PRIOS, _PRIO_ALIASES)
+    )
+    + "\nFROM orders GROUP BY o_orderstatus",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation). Missing combos must be 0, not NULL, to
+    match SQL's FILTER-count semantics."""
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIOS).count()
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIOS, _PRIO_ALIASES)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Join shapes: full outer, correlated EXISTS, scalar subquery, cross
+# --------------------------------------------------------------------------
+
+
+@query(
+    "full_outer_join_counts",
+    """
+    WITH left_side AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100),
+    right_side AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_name,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM left_side FULL OUTER JOIN right_side ON c_custkey = o_custkey
+    """,
+)
+def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select("c_custkey", "c_name")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").between(50, 150))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "exists_correlated_bigqty",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def exists_correlated_bigqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a conditioned left-semi join (Catalyst's own
+    decorrelation target shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    """
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery via broadcast cross-join (stays in-plan —
+    no driver collect)."""
+    c = _t(spark, sf_dir, "customer")
+    avg_df = c.agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "cross_join_region_nation",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# --------------------------------------------------------------------------
+# Aggregation shapes: percentiles, multi-distinct, having, collect
+# --------------------------------------------------------------------------
+
+
+@query(
+    "percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same estimator in both
+    engines). At 100 TB swap in approx_percentile and drop the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "distinct_multi_agg_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_multi_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "having_populous_nations",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 55
+    """,
+)
+def having_populous_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") >= 55)
+    )
+
+
+@query(
+    "collect_sorted_priorities",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def collect_sorted_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → deterministic via sort; emitted as a joined string so
+    the value comparison is representation-stable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias("prios")
+    )
+
+
+@query(
+    "case_when_discount_buckets",
+    """
+    SELECT CASE WHEN l_discount < 0.02 THEN 'low'
+                WHEN l_discount < 0.06 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(COALESCE(NULLIF(l_tax, 0.0), 0.01)), 6) AS avg_tax_floor
+    FROM lineitem GROUP BY 1
+    """,
+)
+def case_when_discount_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_discount") < 0.02, "low")
+        .when(F.col("l_discount") < 0.06, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(
+            F.avg(F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(0.01))), 6
+        ).alias("avg_tax_floor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Explode / vector structure
+# --------------------------------------------------------------------------
+
+
+@query(
+    "explode_embedding_dims",
+    """
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS val
+    FROM embeddings, (SELECT unnest(range(1, 9)) AS i)
+    WHERE vec_id < 10
+    """,
+)
+def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-shape lateral view) over the first 8 dims."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("col").cast("double"), 6).alias("val"),
+    )
+
+
+@query(
+    "vector_centroids_by_label",
+    """
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS centroid_val
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, i
+    """,
+)
+def vector_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped element-wise centroid: posexplode → (label, pos) hash-agg.
+    One shuffle of n_rows×dim skinny rows; at scale prefer a grouped-agg
+    pandas UDF summing numpy arrays per partition first."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("col").cast("double")), 4).alias("centroid_val"))
+    )
+
+
+@query(
+    "knn_euclidean",
+    f"""
+    SELECT vec_id,
+           ROUND(list_distance(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), 4) AS l2_dist
+    FROM embeddings
+    ORDER BY list_distance(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), vec_id
+    LIMIT 10
+    """,
+)
+def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    d = euclidean_distance("embedding", PROBE_VEC)
+    return (
+        e.withColumn("__d", d)
+        .orderBy(F.col("__d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__d", 4).alias("l2_dist"))
+    )
+
+
+@query(
+    "dot_product_ranking",
+    f"""
+    SELECT vec_id, label,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), 4) AS score
+    FROM embeddings
+    ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}) DESC, vec_id
+    LIMIT 15
+    """,
+)
+def dot_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product ranking (pgvector `<#>` analogue)."""
+    e = _t(spark, sf_dir, "embeddings")
+    s = dot("embedding", PROBE_VEC)
+    return (
+        e.withColumn("__s", s)
+        .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+        .limit(15)
+        .select("vec_id", "label", F.round("__s", 4).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (second wave)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "char_ngram_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+             range(1, CASE WHEN LENGTH(text) >= 5 THEN LENGTH(text) - 4 ELSE 1 END + 1),
+             i -> text[i:i+4]))) AS BIGINT) AS n_char5grams
+    FROM documents
+    """,
+)
+def char_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(char_shingles("text", 5)).cast("long").alias("n_char5grams")
+    )
+
+
+_EN_STOP = ["the", "and", "of", "to", "in", "a", "is", "for"]
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOP) + "]"
+
+
+@query(
+    "stopword_ratio_en",
+    f"""
+    SELECT doc_id,
+           ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stop_ratio
+    FROM documents
+    """,
+)
+def stopword_ratio_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(_EN_STOP)))
+    return d.select(
+        "doc_id",
+        F.round(hits.cast("double") / F.size(tokens("text")), 4).alias("stop_ratio"),
+    )

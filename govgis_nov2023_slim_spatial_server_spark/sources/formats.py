@@ -1,0 +1,82 @@
+"""File-format connectors beyond parquet.
+
+The reference reads exactly one format (GeoParquet, reference
+backend/load_data.py:176) and writes Postgres via COPY. A general engine
+needs CSV/JSON/NDJSON ingestion with explicit schemas — schema inference
+is a full extra pass over the data, unaffordable at 100 TB, so every
+reader here takes (or derives) a schema and inference is opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # opt-in: extra pass
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout → partition pruning on read: a filter
+    on a partition column skips whole directories (the coarsest and
+    cheapest pruning tier at 100 TB)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on the bucket key skip the
+    shuffle entirely (co-located join). The write pays one shuffle once;
+    every subsequent join on the key reads pre-partitioned data."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,78 @@
+import pytest
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.api.mcp import gis_layer_search, markdownify_all_strings
+from govgis_nov2023_slim_spatial_server_spark.api.models import SemanticSearchRequest
+from govgis_nov2023_slim_spatial_server_spark.api.search import SearchService
+from govgis_nov2023_slim_spatial_server_spark.fixtures.embedder import FakeEmbedder
+from govgis_nov2023_slim_spatial_server_spark.fixtures.layers import make_layers_df
+from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+from govgis_nov2023_slim_spatial_server_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    path = str(tmp_path / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, schema="doc_id bigint, lang string, source string")
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = str(tmp_path / "docs_json")
+    write_json(docs, path)
+    back = read_json(spark, path, schema="doc_id bigint, text string, lang string")
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in docs.collect()}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_part")
+    write_partitioned_parquet(docs, path, ["lang"])
+    back = spark.read.parquet(path)
+    one = back.where(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the lang filter becomes a PartitionFilter, and the
+    # scan only touches the en directory
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert one.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_mcp_markdownify_tree():
+    tree = {"a": "<b>x</b>", "b": [{"c": "<i>y</i>"}, "plain"], "d": 3}
+    out = markdownify_all_strings(tree)
+    assert out == {"a": "**x**", "b": [{"c": "*y*"}, "plain"], "d": 3}
+
+
+def test_mcp_tool_search(spark):
+    svc = SearchService(make_layers_df(spark, n=60), FakeEmbedder(dim=64, seed=42))
+    resp = gis_layer_search(svc, SemanticSearchRequest(request_string="flood zone", limit=3))
+    assert resp.error is None
+    assert len(resp.layers) == 3
+    assert all("<p>" not in (l.description or "") for l in resp.layers)
+
+
+def test_fastapi_gated(spark):
+    from govgis_nov2023_slim_spatial_server_spark.api.app import create_app
+
+    svc = SearchService(make_layers_df(spark, n=5), FakeEmbedder(dim=64, seed=42))
+    try:
+        import fastapi  # noqa: F401
+
+        app = create_app(svc)
+        assert app is not None
+    except ImportError:
+        with pytest.raises(ImportError):
+            create_app(svc)
