@@ -107,6 +107,15 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
+@query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_knn(e, PROBE_VEC, k=10, n_centroids=8, n_probe=2)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
 @query(
     "similarity_join_topk",
     f"""
