@@ -261,12 +261,72 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_sql() -> str:
+    """Generate the full MinHash-LSH oracle: identical rolling-hash base,
+    identical permutation constants, band-slice-equality candidates, exact
+    Jaccard verification."""
+    from ..functions.hashes import _MERSENNE_P, _POLY_BASE, _POLY_MOD, _perm_params
+
+    num_perm, bands, rows, thr = 16, 4, 4, 0.2
+    perms = _perm_params(num_perm, 42)
+    base_hash = (
+        "list_transform(s, str -> list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(str, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(x, y) -> (x * {_POLY_BASE} + y) % {_POLY_MOD}) % 4294967296)"
+    )
+    sig_elems = ", ".join(
+        f"COALESCE(list_min(list_transform(bh, h -> ({a} * h + {b}) % {_MERSENNE_P})), {_MERSENNE_P})"
+        for a, b in perms
+    )
+    band_joins = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b"
+        f" ON a.sig[{bnd * rows + 1}:{bnd * rows + rows}] = b.sig[{bnd * rows + 1}:{bnd * rows + rows}]"
+        f" AND a.doc_id < b.doc_id"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, [{sig_elems}] AS sig
+      FROM (SELECT doc_id, {base_hash} AS bh FROM sh)),
+    cands AS (
+{band_joins}
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= {thr}
+    """
+
+
 @query("minhash_lsh_neardup")  # Spark murmur3 not reproducible in SQL ⇒ rows-only
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         d, "doc_id", "text", threshold=0.2, shingle_k=3, num_perm=64, bands=16
     ).withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query("minhash_neardup_oracle", None)  # oracle attached below (generated SQL)
+def minhash_neardup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-reproducible MinHash-LSH pipeline (see
+    operators/dedup.minhash_near_duplicates_exactband): same rolling-hash
+    base, same permutation constants, band-slice-equality candidates —
+    DuckDB computes the byte-identical signatures and pair set."""
+    from ..operators.dedup import minhash_near_duplicates_exactband
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates_exactband(
+        d, "doc_id", "text", threshold=0.2, shingle_k=3, num_perm=16, bands=4
+    )
+
+
+from ._registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["minhash_neardup_oracle"] = _minhash_oracle_sql()
 
 
 @query("simhash_neardup")  # blake2b-hash kernel ⇒ rows-only

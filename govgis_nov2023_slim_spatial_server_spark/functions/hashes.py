@@ -73,6 +73,27 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+_POLY_MOD = (1 << 54) - 33  # odd, co-prime to base 257; acc*257 < 2^63 (ANSI-safe)
+_POLY_BASE = 257
+
+
+def poly_text_hash(s: Column) -> Column:
+    """Arithmetic rolling hash of a string, reduced to [0, 2^32).
+
+    Exists alongside murmur3 because it is expressible in BOTH Spark
+    expressions and ANSI SQL (DuckDB ``list_reduce``) — making the entire
+    MinHash-LSH pipeline oracle-checkable. Folds character codepoints:
+    ``h = (h*257 + codepoint) mod (2^54-33)``, then ``mod 2^32``.
+    """
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    folded = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(_POLY_BASE) + F.ascii(c), F.lit(_POLY_MOD)),
+    )
+    return F.pmod(folded, F.lit(1 << 32))
+
+
 def _let(bound: Column, body) -> Column:
     """Poor-man's let-binding for Spark expressions: evaluate ``bound``
     exactly once per row and feed it to ``body`` as a lambda variable.
@@ -88,18 +109,23 @@ def _let(bound: Column, body) -> Column:
 
 
 def minhash_signature(
-    shingle_col: Column, num_perm: int = 64, seed: int = 42
+    shingle_col: Column, num_perm: int = 64, seed: int = 42, base_hash: str = "murmur"
 ) -> Column:
     """array<long> MinHash signature of a shingle array — fully native.
 
-    Base hash: Spark's murmur3 ``hash()`` lifted to [0, 2^32); permutations:
-    ``min((a*h + b) mod p)`` per (a, b). Empty shingle sets yield a sentinel
-    signature of p (never collides with real hashes). The base-hash array is
-    let-bound so the permutations share one evaluation.
+    Base hash: Spark's murmur3 ``hash()`` lifted to [0, 2^32) (default), or
+    ``base_hash="poly"`` for the SQL-reproducible rolling hash (slower —
+    char-level fold — but lets DuckDB compute the identical signature).
+    Permutations: ``min((a*h + b) mod p)`` per (a, b). Empty shingle sets
+    yield a sentinel signature of p (never collides with real hashes). The
+    base-hash array is let-bound so the permutations share one evaluation.
     """
-    base = F.transform(
-        shingle_col, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(1 << 32))
-    )
+    if base_hash == "poly":
+        base = F.transform(shingle_col, poly_text_hash)
+    else:
+        base = F.transform(
+            shingle_col, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(1 << 32))
+        )
 
     def _perm(a: int, b: int):
         # NB: pyspark derives HOF lambda arity from the Python signature,

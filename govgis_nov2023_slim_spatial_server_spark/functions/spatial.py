@@ -254,6 +254,40 @@ def bboxes_overlap(a: Column, b: Column) -> Column:
     )
 
 
+def zorder_key(
+    lon: Column,
+    lat: Column,
+    bits: int = 16,
+    lon_range: tuple[float, float] = (-180.0, 180.0),
+    lat_range: tuple[float, float] = (-90.0, 90.0),
+) -> Column:
+    """Z-order (Morton) key from lon/lat — native bit interleave.
+
+    Quantizes each coordinate to ``bits`` levels and interleaves them, so a
+    1-D sort clusters 2-D neighbors. Used as the write-time sort key for
+    the layers store: each parquet file then covers a compact spatial cell
+    and bbox min/max stats prune tightly (SURVEY.md §4.3.1 'optionally
+    sort by a Hilbert/Z-order key').
+    """
+    scale = (1 << bits) - 1
+    qx = (
+        (lon - F.lit(lon_range[0])) / F.lit(lon_range[1] - lon_range[0]) * scale
+    ).cast("long")
+    qy = (
+        (lat - F.lit(lat_range[0])) / F.lit(lat_range[1] - lat_range[0]) * scale
+    ).cast("long")
+    qx = F.greatest(F.lit(0).cast("long"), F.least(F.lit(scale).cast("long"), qx))
+    qy = F.greatest(F.lit(0).cast("long"), F.least(F.lit(scale).cast("long"), qy))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftrightunsigned(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
 # ---------------------------------------------------------------------------
 # CRS reprojection (reference backend/models.py:30-64)
 # ---------------------------------------------------------------------------

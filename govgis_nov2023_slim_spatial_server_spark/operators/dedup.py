@@ -144,6 +144,74 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_exactband(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    shingle_k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Fully SQL-reproducible MinHash-LSH near-dup pipeline.
+
+    Differences from ``minhash_near_duplicates`` (the production path):
+    the shingle base hash is the arithmetic rolling hash (``poly``) instead
+    of murmur3, and band bucketing joins on the RAW band slice
+    (``array<long>`` equality) instead of a murmur bucket key — both so an
+    ANSI-SQL oracle computes the byte-identical candidate set. Slower per
+    row (char-level fold); exists as the correctness anchor the murmur path
+    is validated against.
+    """
+    from ..functions.hashes import minhash_signature as _sig
+
+    rows = num_perm // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+        _sig(
+            word_shingles(text_col, shingle_k),
+            num_perm=num_perm,
+            seed=seed,
+            base_hash="poly",
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows + 1, rows).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("id", "sh")
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -59,20 +59,29 @@ def write_layers(
 ) -> None:
     """Write the layers store.
 
-    ``spatial_sort`` range-partitions by (bbox.xmin, bbox.ymin) — a cheap
-    1-D spatial clustering (Z/Hilbert would be tighter; xmin-major is a
-    good-enough first cut) so each output file covers a compact lon band and
-    Parquet min/max stats on the four bbox doubles actually prune files.
+    ``spatial_sort`` range-partitions + sorts by a Z-order (Morton) key of
+    the bbox centroid, so each output file covers a compact 2-D cell and
+    Parquet min/max stats on the four bbox doubles prune files tightly.
     The directory-atomic parquet job commit replaces the reference's
     single-transaction COPY (backend/load_data.py:183-190).
     """
+    from ..functions.spatial import zorder_key
+
     out = df
     if spatial_sort and "bbox" in df.columns:
-        out = df.repartitionByRange(
-            target_partitions or df.sparkSession.sparkContext.defaultParallelism,
-            F.col("bbox.xmin").asc_nulls_last(),
-            F.col("bbox.ymin").asc_nulls_last(),
-        ).sortWithinPartitions("bbox.xmin", "bbox.ymin")
+        zk = zorder_key(
+            (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2,
+            (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2,
+        )
+        out = (
+            df.withColumn("__zk", zk)
+            .repartitionByRange(
+                target_partitions or df.sparkSession.sparkContext.defaultParallelism,
+                F.col("__zk").asc_nulls_last(),
+            )
+            .sortWithinPartitions("__zk")
+            .drop("__zk")
+        )
     elif target_partitions:
         out = df.repartition(target_partitions)
     out.write.mode(mode).parquet(path)
