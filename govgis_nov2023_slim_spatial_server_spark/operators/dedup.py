@@ -129,16 +129,19 @@ def minhash_near_duplicates(
     shuffle.
     """
     rows = num_perm // bands
-    # one eagerly-materialized (id, shingles, signature) table feeds the
-    # banding self-join AND the verification joins — measured 2.7× over
-    # recomputing shingles/signatures per branch (production equivalent:
-    # write this table once, reuse for every dedup pass)
-    sigs = df.select(
+    # materialize shingles, then signatures FROM the materialized column —
+    # each expensive stage computed exactly once; the resulting (id,
+    # shingles, signature) table feeds the banding self-join AND the
+    # verification joins (production equivalent: write this table once per
+    # corpus, reuse for every dedup pass)
+    sh_df = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_k).alias("sh"),
-        minhash_signature(
-            word_shingles(text_col, shingle_k), num_perm=num_perm, seed=seed
-        ).alias("sig"),
+    ).localCheckpoint(eager=True)
+    sigs = sh_df.select(
+        "id",
+        "sh",
+        minhash_signature(F.col("sh"), num_perm=num_perm, seed=seed).alias("sig"),
     ).localCheckpoint(eager=True)
     buckets = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
