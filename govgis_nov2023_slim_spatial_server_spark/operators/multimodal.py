@@ -59,6 +59,62 @@ def extract_byte_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, schema=BYTE_STATS_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width bigint, height bigint, thumb_w bigint, thumb_h bigint"
+
+
+def resize_thumbnails(
+    df: DataFrame, max_side: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Thumbnail "resize": aspect-preserving dimension math over the fake
+    decoded (width, height) — the real kernel would also rescale pixel
+    buffers, but the Spark-side shape (mapInPandas over stats, fixed output
+    schema, batch iteration) is identical and is what this verifies."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(lower=1)
+            h = pdf["height"].clip(lower=1)
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w,
+                    "height": h,
+                    "thumb_w": (w * scale).astype("int64").clip(lower=1),
+                    "thumb_h": (h * scale).astype("int64").clip(lower=1),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_offset bigint"
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 100, max_frames: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling over a binary "video" payload: emit one row per
+    sampled frame offset (1→N fan-out through mapInPandas — the UDTF-shaped
+    multimodal op). Deterministic byte-stride stand-in for timestamp-based
+    keyframe selection."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for _, row in pdf.iterrows():
+                n = len(row["payload"]) if row["payload"] is not None else 0
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    if i >= max_frames:
+                        break
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    offs.append(off)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_offset": offs})
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real image decode — requires an imaging library absent from this
     environment. The seam exists so production swaps in a decoder without

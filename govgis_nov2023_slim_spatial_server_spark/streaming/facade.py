@@ -86,6 +86,36 @@ def streaming_session_counts(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    lookback: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: for each left event, right events of
+    the same user within ``lookback`` before it.
+
+    Both sides carry watermarks and the join has a bounded time condition —
+    the two requirements that let Spark expire join state instead of
+    buffering both streams forever (the stream-stream analogue of the batch
+    range join in catalog/relational.join_range_events_orders).
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}")),
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"l.{user_col}").alias("user_id"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: int = 60
 ) -> None:

@@ -85,3 +85,77 @@ def test_decode_image_is_stubbed(spark):
     df = spark.createDataFrame([(1, b"notanimage")], "id: long, payload: binary")
     with pytest.raises(NotImplementedError):
         decode_image(df)
+
+
+def test_multimodal_resize(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.multimodal import (
+        resize_thumbnails,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 32, 16), (3, 0, 0)], "doc_id: long, width: long, height: long"
+    )
+    got = {r["doc_id"]: r for r in resize_thumbnails(df, max_side=64).collect()}
+    assert (got[1]["thumb_w"], got[1]["thumb_h"]) == (64, 48)  # aspect kept
+    assert (got[2]["thumb_w"], got[2]["thumb_h"]) == (32, 16)  # no upscale
+    assert got[3]["thumb_w"] >= 1  # degenerate clamps
+
+
+def test_multimodal_frame_sampling(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 250), (2, "y" * 10)], "doc_id: long, text: string")
+    out = sample_frames(with_binary_payload(df), every_n_bytes=100, max_frames=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_offset"])
+    assert by_doc[1] == [0, 100, 200]
+    assert by_doc[2] == [0]
+
+
+def test_embedding_neardup_with_lsh_blocking(spark):
+    """Composition: sign-LSH bucket as the block_col — blocked near-dup
+    must find every pair the exact path finds within a bucket, at a
+    fraction of the pair comparisons."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from govgis_nov2023_slim_spatial_server_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(20, 16)
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, (base[i] / np.linalg.norm(base[i])).tolist()))
+        near = base[i] + rng.randn(16) * 0.02
+        rows.append((2 * i + 1, (near / np.linalg.norm(near)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    # block by the sign of the first random projection (1-plane LSH)
+    plane = rng.randn(16)
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    blocked_df = df.withColumn("blk", (proj >= 0).cast("int"))
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.99).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(blocked_df, threshold=0.99, block_col="blk").collect()
+    }
+    assert blocked <= exact
+    # near-identical pairs project to the same sign almost surely
+    assert len(blocked) >= len(exact) - 1

@@ -65,3 +65,40 @@ def test_streaming_session_counts_runs(spark, event_files):
     rows = spark.sql("SELECT * FROM s_counts").collect()
     assert len(rows) > 0
     assert sum(r["n_events"] for r in rows) == 200
+
+
+def test_stream_stream_join_matches_batch(spark, event_files):
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.streaming.facade import (
+        streaming_interval_join,
+    )
+
+    path, df = event_files
+    purchases = read_events_stream(spark, path, df.schema).where(F.col("event_id") % 2 == 0)
+    clicks = read_events_stream(spark, path, df.schema).where(F.col("event_id") % 2 == 1)
+    joined = streaming_interval_join(purchases, clicks, lookback="40 minutes", watermark="48 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["left_id"], r["right_id"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    lb = df.where(F.col("event_id") % 2 == 0).alias("l")
+    rb = df.where(F.col("event_id") % 2 == 1).alias("r")
+    expect = {
+        (r["left_id"], r["right_id"])
+        for r in lb.join(
+            rb,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 40 minutes"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+        )
+        .select(F.col("l.event_id").alias("left_id"), F.col("r.event_id").alias("right_id"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
