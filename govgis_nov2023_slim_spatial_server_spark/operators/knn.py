@@ -91,6 +91,73 @@ def similarity_join(
     )
 
 
+def similarity_join_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    probe_emb: str = "probe_emb",
+    corpus_id: str = "vec_id",
+    corpus_emb: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    dist_name: str = "dist",
+) -> DataFrame:
+    """Approximate similarity join for LARGE probe sets.
+
+    ``similarity_join`` broadcasts the probes — correct until the probe
+    side outgrows the broadcast limit. Here BOTH sides get sign-LSH bucket
+    ids and meet in an equi-join on the bucket: shuffle size is
+    |probes|·n_buckets_probed + |corpus| rows, never a cross product.
+    Probes explode to their own bucket plus its ``n_probes-1`` Hamming-1
+    neighbors (multi-probe) to recover recall lost at bucket boundaries.
+    Approximate: a true top-k neighbor in an unprobed bucket is missed —
+    recall vs the exact join is the test contract.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(probes.select(probe_emb).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    def bucket_expr(col_name: str):
+        b = F.lit(0).cast("long")
+        for i in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(col_name),
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        return b
+
+    corpus_b = corpus.withColumn("__bucket", bucket_expr(corpus_emb))
+    probe_buckets = F.array(
+        F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)]
+    )
+    probes_b = (
+        probes.withColumn("__b0", bucket_expr(probe_emb))
+        .withColumn("__bucket", F.explode(probe_buckets))
+        .drop("__b0")
+    )
+    joined = probes_b.join(corpus_b, "__bucket")
+    dist = cosine_distance(corpus_emb, F.col(probe_emb), normalized=False)
+    w = Window.partitionBy(probe_id).orderBy(F.col(dist_name).asc(), F.col(corpus_id).asc())
+    return (
+        joined.withColumn(dist_name, dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__bucket")
+    )
+
+
 def brute_force_ann_baseline(
     corpus: DataFrame, query_vec: list[float], k: int, **kw
 ) -> DataFrame:

@@ -116,3 +116,27 @@ def test_lsh_knn_recall(spark, vec_df):
     # approximate: just require meaningful overlap and correct cardinality cap
     assert len(approx) <= 10
     assert len(exact & approx) >= 3
+
+
+def test_similarity_join_lsh_recall(spark, vec_df):
+    from govgis_nov2023_slim_spatial_server_spark.operators.knn import similarity_join_lsh
+
+    df, rows = vec_df
+    probes = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    exact = similarity_join(probes, df, k=5).collect()
+    approx = similarity_join_lsh(probes, df, k=5, n_planes=4, n_probes=3).collect()
+    exact_pairs = {(r["probe_id"], r["vec_id"]) for r in exact}
+    approx_pairs = {(r["probe_id"], r["vec_id"]) for r in approx}
+    # every probe's own vector is its nearest neighbor and shares its bucket
+    assert all((p, p) in approx_pairs for p in range(10))
+    # meaningful recall from multi-probe on random data
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4
+    # distances for recalled pairs must be identical to the exact join
+    exact_d = {(r["probe_id"], r["vec_id"]): r["dist"] for r in exact}
+    for r in approx:
+        key = (r["probe_id"], r["vec_id"])
+        if key in exact_d:
+            assert r["dist"] == pytest.approx(exact_d[key], abs=1e-12)
