@@ -478,3 +478,49 @@ def min_cost_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_nationkey", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 4) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 200)
+    UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of pivot."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "__v",
+    ).select("l_orderkey", "l_linenumber", "measure", F.round("__v", 4).alias("val"))
+
+
+@query(
+    "argmax_order_per_status",
+    """
+    SELECT o_orderstatus, top_orderkey, bottom_orderkey FROM (
+      SELECT o_orderstatus,
+             FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS top_orderkey,
+             FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS bottom_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) with a composite ordering key so
+    ties resolve deterministically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+    )

@@ -86,6 +86,24 @@ def streaming_session_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of the pipeline's dedup
+    surface. ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes (bounded state, the only viable form on an
+    unbounded stream); plain ``dropDuplicates`` on a stream would grow
+    state forever."""
+    w = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return w.dropDuplicatesWithinWatermark(keys)
+    return w.dropDuplicates(keys)
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

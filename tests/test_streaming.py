@@ -102,3 +102,26 @@ def test_stream_stream_join_matches_batch(spark, event_files):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_dedup(spark, event_files, tmp_path):
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.streaming.facade import streaming_dedup
+
+    path, df = event_files
+    stream = read_events_stream(spark, path, df.schema, max_files_per_trigger=2)
+    deduped = streaming_dedup(stream, ["user_id"], watermark="48 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, count(*) AS n FROM sdedup GROUP BY user_id").collect()
+    # exactly one surviving row per user key
+    assert {r["user_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r["n"] == 1 for r in rows)

@@ -1,0 +1,53 @@
+"""Generate CATALOG.md: the full query inventory with category, oracle
+status, and one-line description (from each query's docstring)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+    from govgis_nov2023_slim_spatial_server_spark.catalog import (
+        advanced,
+        relational,
+        spatial_mm,
+        vector_text,
+    )
+
+    modules = {
+        "relational": relational,
+        "vector_text": vector_text,
+        "spatial_mm": spatial_mm,
+        "advanced": advanced,
+    }
+    by_module: dict[str, list[str]] = {m: [] for m in modules}
+    for name, fn in QUERIES.items():
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append(name)
+
+    out = [
+        "# CATALOG — query inventory",
+        "",
+        f"{len(QUERIES)} queries; {len(ORACLES)} DuckDB-oracle-checked"
+        " (rows-only entries are approximate or non-SQL-expressible hash"
+        " kernels, each validated in pytest instead).",
+        "",
+        "| query | module | oracle | description |",
+        "|---|---|---|---|",
+    ]
+    for mod in modules:
+        for name in sorted(by_module.get(mod, [])):
+            fn = QUERIES[name]
+            doc = (fn.__doc__ or "").strip().split("\n")[0].rstrip(".")
+            flag = "✓" if name in ORACLES else "rows-only"
+            out.append(f"| `{name}` | {mod} | {flag} | {doc} |")
+    with open("CATALOG.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote CATALOG.md ({len(QUERIES)} queries)")
+
+
+if __name__ == "__main__":
+    main()
