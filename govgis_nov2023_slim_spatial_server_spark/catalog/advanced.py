@@ -36,6 +36,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregation (independent rollup axes in one pass)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupingSets(
         [["o_orderstatus"], ["o_orderpriority"], []],
@@ -94,6 +95,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NULL-filling on both unmatched sides."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select("c_custkey", "c_name")
     o = (
         _t(spark, sf_dir, "orders")
@@ -154,6 +156,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (explicit crossJoin)."""
     r = _t(spark, sf_dir, "region").select("r_name")
     n = _t(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
@@ -196,6 +199,7 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_multi_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) aggregates in one grouped pass."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_orderpriority").alias("n_prios"),
@@ -212,6 +216,7 @@ def distinct_multi_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def having_populous_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with post-aggregation HAVING filter."""
     c = _t(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
@@ -250,6 +255,7 @@ def collect_sorted_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def case_when_discount_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing + NULLIF/COALESCE null-handling inside aggregates."""
     li = _t(spark, sf_dir, "lineitem")
     bucket = (
         F.when(F.col("l_discount") < 0.02, "low")
@@ -323,6 +329,7 @@ def vector_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2-distance KNN (TakeOrderedAndProject)."""
     e = _t(spark, sf_dir, "embeddings")
     d = euclidean_distance("embedding", PROBE_VEC)
     return (
@@ -371,6 +378,7 @@ def dot_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def char_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct character-5-gram counts per document (native substring enumeration)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.size(char_shingles("text", 5)).cast("long").alias("n_char5grams")
@@ -392,6 +400,7 @@ _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOP) + "]"
     """,
 )
 def stopword_ratio_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English stopword hit ratio per document (native token filter)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     hits = F.size(F.filter(toks, lambda t: t.isin(_EN_STOP)))

@@ -75,6 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar aggregates: counts, distincts, avg/sum/min/max."""
     c = _t(spark, sf_dir, "customer")
     return c.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -126,6 +127,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over two axes (all 4 grouping combinations)."""
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -227,6 +229,7 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT IN shape, null-safe formulation)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -241,6 +244,7 @@ def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(col) semantics (unmatched rows count 0)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
@@ -299,6 +303,7 @@ def join_range_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window top-N per partition."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
@@ -324,6 +329,7 @@ def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over an ordered frame (UNBOUNDED PRECEDING..CURRENT ROW)."""
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -348,6 +354,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation plus inter-event gap seconds per user."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return e.select(
@@ -413,6 +420,7 @@ def filter_caseins_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (distinct semantics)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -442,6 +450,7 @@ def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct dedup across tagged sides."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
     )
@@ -471,6 +480,7 @@ def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: case, substring, regexp extract/replace, length, concat."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -499,6 +509,7 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions: extract, trunc, diff, last_day."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -528,6 +539,7 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions: abs/sqrt/ln/pow/ceil/floor/greatest/modulo."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -553,6 +565,7 @@ def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column with typed cast."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -571,6 +584,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT DISTINCT lang, source FROM documents",
 )
 def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via DISTINCT projection (reference drop_duplicates parity)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("lang", "source").dropDuplicates()
 
@@ -612,6 +626,7 @@ def dedup_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour event-time windows (epoch-aligned buckets)."""
     e = _t(spark, sf_dir, "events")
     out = tumbling_window_agg(
         e,
@@ -646,6 +661,7 @@ def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows (each event in duration/slide buckets)."""
     e = _t(spark, sf_dir, "events")
     out = sliding_window_agg(e, "1 hour", "30 minutes")
     return out.select(
@@ -680,6 +696,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (gap-and-islands window form)."""
     e = _t(spark, sf_dir, "events")
     out = session_window_agg(e, gap_minutes=30)
     return out.select(
@@ -689,4 +706,123 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").cast("long").alias("session_start_s"),
         F.col("session_end").cast("long").alias("session_end_s"),
         "sum_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes (Q4/Q6/Q12/Q14 analogues on the driver schema)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_with_late_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL '90 days')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-filtered count per priority (semi join with a
+    cross-table date predicate, then low-cardinality agg)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan → scalar agg; every filter
+    pushes to the parquet scan (zero shuffle beyond the final reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q12_priority_by_year",
+    """
+    SELECT EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional-sum pivot on a derived key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q14_economy_revenue_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS economy_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1
+    """,
+)
+def q14_economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (join + two-branch sum
+    ratio); part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("economy_share_pct")
+        )
     )

@@ -102,6 +102,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_lsh_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN via sign-LSH bucket pruning (multi-probe); recall vs exact asserted in tests."""
     e = _t(spark, sf_dir, "embeddings")
     out = lsh_bucketed_knn(e, PROBE_VEC, k=10, n_planes=6, n_probes=2)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
@@ -109,6 +110,7 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN via IVF cluster probing (sampled k-means + partition-prunable inverted file)."""
     from ..operators.ivf import ivf_knn
 
     e = _t(spark, sf_dir, "embeddings")
@@ -307,6 +309,7 @@ def _minhash_oracle_sql() -> str:
 
 @query("minhash_lsh_neardup")  # Spark murmur3 not reproducible in SQL ⇒ rows-only
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH near-dup path (murmur3 base hash; validated against the oracle variant and exact Jaccard)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         d, "doc_id", "text", threshold=0.2, shingle_k=3, num_perm=64, bands=16
@@ -334,6 +337,7 @@ _ORACLES["minhash_neardup_oracle"] = _minhash_oracle_sql()
 
 @query("simhash_neardup")  # blake2b-hash kernel ⇒ rows-only
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups: 64-bit signature, pigeonhole band blocking, exact Hamming verify."""
     d = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, bands=4)
 
@@ -364,6 +368,7 @@ def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token and character counts per document."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -391,6 +396,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality metrics and composite score (all codegen-native)."""
     d = _t(spark, sf_dir, "documents")
     m = quality_metrics(F.col("text"))
     return d.select(
