@@ -826,3 +826,32 @@ def q14_economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("economy_share_pct")
         )
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS price_quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/first_value/nth_value window navigation with deterministic
+    tie-broken ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )

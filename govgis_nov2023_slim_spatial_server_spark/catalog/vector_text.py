@@ -342,15 +342,46 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, bands=4)
 
 
-@query("fingerprint_dup_groups")  # rolling-hash kernel ⇒ rows-only
+def _fingerprint_oracle_sql() -> str:
+    from ..functions.text import _FP_BASE, _FP_MOD
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex("
+        "array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '),"
+        " ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {_FP_BASE} + b) % {_FP_MOD})"
+    )
+    return f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20)
+    SELECT {fold} AS fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM all_docs
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+
+@query("fingerprint_dup_groups", None)  # oracle attached below (generated SQL)
 def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus is dup-free, so re-inject docs 0..19 (with shifted ids)
-    to prove the fingerprint actually groups exact duplicates."""
+    """Exact-dup groups via the normalized rolling-hash fingerprint. The
+    corpus is dup-free, so docs 0..19 are re-injected (shifted ids) to
+    prove grouping; the same arithmetic fold runs in the DuckDB oracle
+    (ASCII corpus ⇒ utf-8 bytes == codepoints on both sides)."""
     d = _t(spark, sf_dir, "documents")
     dups = d.where(F.col("doc_id") < 20).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
     return fingerprint_dup_groups(d.unionByName(dups), "text", "doc_id")
+
+
+_ORACLES2 = __import__(
+    "govgis_nov2023_slim_spatial_server_spark.catalog._registry", fromlist=["ORACLES"]
+).ORACLES
+_ORACLES2["fingerprint_dup_groups"] = _fingerprint_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -166,7 +166,9 @@ def html_to_markdown_udf():
 # Document fingerprint (rolling polynomial hash; pandas UDF)
 # ---------------------------------------------------------------------------
 
-_FP_MOD = (1 << 61) - 1  # Mersenne prime
+# modulus sized so h*257+ch stays below 2^63 — the same arithmetic is then
+# expressible in overflow-checked SQL engines (DuckDB list_reduce oracle)
+_FP_MOD = (1 << 54) - 33
 _FP_BASE = 257
 
 
