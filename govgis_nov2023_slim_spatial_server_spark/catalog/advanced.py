@@ -178,8 +178,9 @@ def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — same estimator in both
-    engines). At 100 TB swap in approx_percentile and drop the oracle."""
+    """Exact percentiles (linear interpolation, same estimator both engines).
+
+    At 100 TB swap in approx_percentile and drop the oracle."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),

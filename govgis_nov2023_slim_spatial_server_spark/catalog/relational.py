@@ -842,8 +842,10 @@ def q14_economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/first_value/nth_value window navigation with deterministic
-    tie-broken ordering."""
+    """ntile/first_value/nth_value window navigation (deterministic ties).
+
+    The frame for nth_value must be UNBOUNDED..UNBOUNDED so row 1 also sees
+    the partition's second row."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()

@@ -316,23 +316,19 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("jaccard", F.round("jaccard", 4))
 
 
-@query("minhash_neardup_oracle", None)  # oracle attached below (generated SQL)
+@query("minhash_neardup_oracle", _minhash_oracle_sql())
 def minhash_neardup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL-reproducible MinHash-LSH pipeline (see
-    operators/dedup.minhash_near_duplicates_exactband): same rolling-hash
-    base, same permutation constants, band-slice-equality candidates —
-    DuckDB computes the byte-identical signatures and pair set."""
+    """SQL-reproducible MinHash-LSH near-dup pipeline (byte-identical oracle).
+
+    See operators/dedup.minhash_near_duplicates_exactband: same rolling-
+    hash base, same permutation constants, band-slice-equality candidates —
+    DuckDB computes the identical signatures and pair set."""
     from ..operators.dedup import minhash_near_duplicates_exactband
 
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates_exactband(
         d, "doc_id", "text", threshold=0.2, shingle_k=3, num_perm=16, bands=4
     )
-
-
-from ._registry import ORACLES as _ORACLES  # noqa: E402
-
-_ORACLES["minhash_neardup_oracle"] = _minhash_oracle_sql()
 
 
 @query("simhash_neardup")  # blake2b-hash kernel ⇒ rows-only
@@ -365,10 +361,11 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
-@query("fingerprint_dup_groups", None)  # oracle attached below (generated SQL)
+@query("fingerprint_dup_groups", _fingerprint_oracle_sql())
 def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dup groups via the normalized rolling-hash fingerprint. The
-    corpus is dup-free, so docs 0..19 are re-injected (shifted ids) to
+    """Exact-dup groups via the normalized rolling-hash fingerprint.
+
+    The corpus is dup-free, so docs 0..19 are re-injected (shifted ids) to
     prove grouping; the same arithmetic fold runs in the DuckDB oracle
     (ASCII corpus ⇒ utf-8 bytes == codepoints on both sides)."""
     d = _t(spark, sf_dir, "documents")
@@ -376,12 +373,6 @@ def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 1_000_000
     )
     return fingerprint_dup_groups(d.unionByName(dups), "text", "doc_id")
-
-
-_ORACLES2 = __import__(
-    "govgis_nov2023_slim_spatial_server_spark.catalog._registry", fromlist=["ORACLES"]
-).ORACLES
-_ORACLES2["fingerprint_dup_groups"] = _fingerprint_oracle_sql()
 
 
 # --------------------------------------------------------------------------

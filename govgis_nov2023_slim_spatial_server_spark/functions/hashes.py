@@ -73,8 +73,10 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-_POLY_MOD = (1 << 54) - 33  # odd, co-prime to base 257; acc*257 < 2^63 (ANSI-safe)
-_POLY_BASE = 257
+# canonical definitions live in functions/text.py (shared with the
+# document fingerprint so the two rolling hashes can never drift apart)
+from .text import _FP_BASE as _POLY_BASE  # noqa: E402
+from .text import _FP_MOD as _POLY_MOD  # noqa: E402
 
 
 def poly_text_hash(s: Column) -> Column:

@@ -166,8 +166,10 @@ def html_to_markdown_udf():
 # Document fingerprint (rolling polynomial hash; pandas UDF)
 # ---------------------------------------------------------------------------
 
-# modulus sized so h*257+ch stays below 2^63 — the same arithmetic is then
-# expressible in overflow-checked SQL engines (DuckDB list_reduce oracle)
+# Canonical rolling-hash constants, shared with the MinHash poly hash
+# (functions/hashes.py imports these): modulus sized so h*257+byte stays
+# below 2^63 — the same arithmetic is then expressible in overflow-checked
+# SQL engines (the DuckDB list_reduce oracles).
 _FP_MOD = (1 << 54) - 33
 _FP_BASE = 257
 
