@@ -32,6 +32,9 @@ HEADLINE = [
     "ngram_jaccard_topk",
     "spatial_point_filter",
     "multimodal_byte_stats",
+    "q6_revenue_forecast",
+    "vector_centroids_by_label",
+    "grouping_sets_status_priority",
 ]
 
 
