@@ -857,3 +857,61 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
+
+
+@query(
+    "asof_join_purchase_signup",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT * FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           s.event_id AS signup_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest signup
+    at-or-before it (operators/asof.py union-sort construction — one
+    shuffle, no join explosion; oracle is DuckDB's native ASOF JOIN)."""
+    from ..operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase")
+    s = e.where(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    out = as_of_join(p, s, on="user_id", ts_col="ts", right_cols=["event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("signup_id"),
+        (F.col("ts").cast("long") - F.col("ts_right").cast("long")).alias("gap_s"),
+    )
+
+
+@query(
+    "time_hierarchy_rollup",
+    """
+    SELECT EXTRACT(year FROM ts)::BIGINT  AS y,
+           EXTRACT(month FROM ts)::BIGINT AS m,
+           EXTRACT(day FROM ts)::BIGINT   AS d,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (EXTRACT(year FROM ts), EXTRACT(month FROM ts), EXTRACT(day FROM ts))
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: day→month→year→grand-total subtotals
+    in one pass (ROLLUP over the extracted time hierarchy)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("y", F.year("ts").cast("long"))
+        .withColumn("m", F.month("ts").cast("long"))
+        .withColumn("d", F.dayofmonth("ts").cast("long"))
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
