@@ -13,7 +13,7 @@ from ..functions.hashes import char_shingles
 from ..functions.text import tokens
 from ..functions.vector import dot, euclidean_distance, l2_norm
 from ..schemas import load_table
-from ._registry import fmt_vec_sql, query
+from ._registry import fmt_vec_sql, query, rnd_nz
 from .vector_text import PROBE_SQL, PROBE_VEC
 
 
@@ -281,7 +281,7 @@ def case_when_discount_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_embedding_dims",
     """
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-           ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS val
+           ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) + 0.0 AS val
     FROM embeddings, (SELECT unnest(range(1, 9)) AS i)
     WHERE vec_id < 10
     """,
@@ -294,7 +294,7 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round(F.col("col").cast("double"), 6).alias("val"),
+        rnd_nz(F.col("col").cast("double"), 6).alias("val"),
     )
 
 
@@ -302,7 +302,7 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_centroids_by_label",
     """
     SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-           ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS centroid_val
+           ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) + 0.0 AS centroid_val
     FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
     GROUP BY label, i
     """,
@@ -315,7 +315,7 @@ def vector_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("label", F.posexplode("embedding"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg(F.col("col").cast("double")), 4).alias("centroid_val"))
+        .agg(rnd_nz(F.avg(F.col("col").cast("double")), 4).alias("centroid_val"))
     )
 
 
@@ -345,7 +345,7 @@ def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dot_product_ranking",
     f"""
     SELECT vec_id, label,
-           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), 4) AS score
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), 4) + 0.0 AS score
     FROM embeddings
     ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}) DESC, vec_id
     LIMIT 15
@@ -359,7 +359,7 @@ def dot_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("__s", s)
         .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
         .limit(15)
-        .select("vec_id", "label", F.round("__s", 4).alias("score"))
+        .select("vec_id", "label", rnd_nz("__s", 4).alias("score"))
     )
 
 

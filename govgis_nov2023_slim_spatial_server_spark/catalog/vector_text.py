@@ -29,7 +29,7 @@ from ..operators.dedup import (
 )
 from ..operators.knn import knn, lsh_bucketed_knn, similarity_join
 from ..schemas import load_table
-from ._registry import fmt_vec_sql, query
+from ._registry import fmt_vec_sql, query, rnd_nz
 
 # Deterministic unit probe vector (FakeEmbedder is the test-scale stand-in
 # for the reference's BGE model, reference backend/app.py:28-33).
@@ -61,7 +61,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "flagship_hybrid_search",
     f"""
-    SELECT d.doc_id, d.lang, ROUND({_DIST_SQL}, 4) AS dist
+    SELECT d.doc_id, d.lang, ROUND({_DIST_SQL}, 4) + 0.0 AS dist
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     WHERE LOWER(d.lang) IN ('en', 'es')
     ORDER BY {_DIST_SQL}, d.doc_id
@@ -79,14 +79,14 @@ def flagship_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__dist", _dist_col())
         .orderBy(F.col("__dist").asc(), F.col("doc_id").asc())
         .limit(5)
-        .select("doc_id", "lang", F.round("__dist", 4).alias("dist"))
+        .select("doc_id", "lang", rnd_nz("__dist", 4).alias("dist"))
     )
 
 
 @query(
     "knn_topk",
     f"""
-    SELECT vec_id, label, ROUND({_DIST_SQL}, 4) AS dist
+    SELECT vec_id, label, ROUND({_DIST_SQL}, 4) + 0.0 AS dist
     FROM embeddings
     ORDER BY {_DIST_SQL}, vec_id
     LIMIT 10
@@ -97,7 +97,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     backend/models.py:189) → TakeOrderedAndProject."""
     e = _t(spark, sf_dir, "embeddings")
     out = knn(e, PROBE_VEC, k=10, emb_col="embedding", id_col="vec_id", normalized=False)
-    return out.select("vec_id", "label", F.round("dist", 4).alias("dist"))
+    return out.select("vec_id", "label", rnd_nz("dist", 4).alias("dist"))
 
 
 @query("knn_lsh_approx")  # approximate ⇒ rows-only; recall vs exact in tests
@@ -127,7 +127,7 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
            ROUND(1 - list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-                     / (p.nrm * c.nrm), 4) AS dist
+                     / (p.nrm * c.nrm), 4) + 0.0 AS dist
     FROM c p, c c
     WHERE p.vec_id < 5
     QUALIFY ROW_NUMBER() OVER (
@@ -147,7 +147,7 @@ def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, e, k=3, probe_id="probe_id", probe_emb="probe_emb",
         corpus_id="vec_id", corpus_emb="embedding", normalized=False,
     )
-    return out.select("probe_id", "vec_id", F.round("dist", 4).alias("dist"))
+    return out.select("probe_id", "vec_id", rnd_nz("dist", 4).alias("dist"))
 
 
 @query(
@@ -194,7 +194,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            COUNT(*) AS n_vecs,
            ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
-           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) + 0.0 AS avg_first
     FROM embeddings
     GROUP BY label
     """,
@@ -205,7 +205,7 @@ def vector_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(l2_norm("embedding")), 4).alias("avg_norm"),
-        F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_first"),
+        rnd_nz(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_first"),
     )
 
 

@@ -27,9 +27,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver hashes exact values; we normalize -0.0 and format
-        if v == 0.0:
-            v = 0.0
+        # Match the driver: hash EXACT values, including the sign of zero.
+        # -0.0 formats as '-0' here so a -0.0/+0.0 divergence fails locally
+        # exactly like the graded gate (r1's similarity_join_topk lesson —
+        # queries normalize via catalog._registry.rnd_nz instead).
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         return f"{v:.10g}"
     return str(v)
 
