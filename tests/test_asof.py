@@ -59,3 +59,26 @@ def test_asof_tolerance(spark, sides):
     got = {r["event_id"]: r["price_right"] for r in out.collect()}
     assert got[2] == 2.0   # 5-minute gap within tolerance
     assert got[1] is None  # 10-minute gap voided
+
+
+def test_asof_null_payload_from_latest_row(spark):
+    """A NULL payload field in the LATEST matching right row must be kept
+    (not skipped for an older non-null value), and all output columns must
+    come from the same right row — merge_asof/DuckDB ASOF semantics."""
+    left = spark.createDataFrame(
+        [(1, _ts(30), 7)], "event_id: long, ts: timestamp, user_id: long"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(0), 7, 1.0, "old"),
+            (101, _ts(20), 7, None, "new"),  # latest match: price is NULL
+        ],
+        "event_id: long, ts: timestamp, user_id: long, price: double, tag: string",
+    )
+    row = as_of_join(
+        left, right, on="user_id", right_cols=["event_id", "price", "tag"]
+    ).first()
+    assert row["event_id_right"] == 101
+    assert row["price_right"] is None   # NOT 1.0 from the older row
+    assert row["tag_right"] == "new"
+    assert row["ts_right"] == _ts(20)
