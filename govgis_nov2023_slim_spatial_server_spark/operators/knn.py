@@ -47,6 +47,45 @@ def knn(
     )
 
 
+def local_topk_prune(
+    scored: DataFrame,
+    k: int,
+    group_col: str,
+    dist_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Per-partition exact top-k per group — the map-side combine a windowed
+    top-k lacks.
+
+    ``row_number() OVER (PARTITION BY group)`` must shuffle EVERY input row
+    to the group's reducer before it can discard anything. This operator
+    keeps, within each existing partition, only the k best rows per group
+    (total order: ``dist_col`` asc, ``tie_col`` asc — identical to the
+    downstream window), so the shuffle carries ≤ partitions·k·n_groups rows.
+    Exactness: the global top-k per group is a subset of the union of
+    per-partition top-ks under the same total order.
+
+    Arrow-batched ``mapInPandas`` (no row-at-a-time Python): streams the
+    partition's batches through a running ≤ k·n_groups-row pandas frame.
+    Values pass through untouched — float64 round-trips Arrow exactly — so
+    oracle hashes are unaffected.
+    """
+    schema = scored.schema
+
+    def prune(batches):
+        import pandas as pd
+
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if state is None else pd.concat([state, pdf])
+            cur = cur.sort_values([group_col, dist_col, tie_col], kind="mergesort")
+            state = cur.groupby(group_col, sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    return scored.mapInPandas(prune, schema)
+
+
 def similarity_join(
     probes: DataFrame,
     corpus: DataFrame,
@@ -57,13 +96,16 @@ def similarity_join(
     corpus_emb: str = "embedding",
     normalized: bool = False,
     dist_name: str = "dist",
+    local_prune: bool = True,
 ) -> DataFrame:
     """For every probe row, the k nearest corpus rows (exact).
 
-    probes is broadcast (must be the small side); the per-probe top-k is a
-    ``row_number`` window partitioned by probe — one shuffle keyed on
-    probe_id, skew-safe because every probe has exactly |corpus| rows before
-    AQE coalescing.
+    probes is broadcast (must be the small side). Physical shape:
+    map-side cross product → per-(partition, probe) local top-k
+    (``local_topk_prune``) → one per-probe ``row_number`` window whose
+    shuffle carries ≤ P·k·n_probes rows, NOT |corpus|×|probes|. With
+    ``local_prune=False`` the full distance set shuffles into the window —
+    only sensible for debugging or when k ≈ |corpus|/P.
     """
     from ..functions.vector import dot, l2_norm
 
@@ -79,15 +121,17 @@ def similarity_join(
         dist = F.lit(1.0) - dot(corpus_emb, probe_emb) / (
             F.col("__cnorm") * F.col("__pnorm")
         )
+    scored = joined.withColumn(dist_name, dist).drop("__cnorm", "__pnorm")
+    if local_prune:
+        scored = local_topk_prune(scored, k, probe_id, dist_name, corpus_id)
     w = (
         Window.partitionBy(probe_id)
         .orderBy(F.col(dist_name).asc(), F.col(corpus_id).asc())
     )
     return (
-        joined.withColumn(dist_name, dist)
-        .withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__rn", "__cnorm", "__pnorm")
+        .drop("__rn")
     )
 
 
@@ -149,12 +193,15 @@ def similarity_join_lsh(
     )
     joined = probes_b.join(corpus_b, "__bucket")
     dist = cosine_distance(corpus_emb, F.col(probe_emb), normalized=False)
+    scored = joined.withColumn(dist_name, dist).drop("__bucket")
+    # same map-side combine as the exact join: the bucket join's output
+    # partitions prune to ≤ k rows per probe before the global window
+    scored = local_topk_prune(scored, k, probe_id, dist_name, corpus_id)
     w = Window.partitionBy(probe_id).orderBy(F.col(dist_name).asc(), F.col(corpus_id).asc())
     return (
-        joined.withColumn(dist_name, dist)
-        .withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__rn", "__bucket")
+        .drop("__rn")
     )
 
 

@@ -140,3 +140,35 @@ def test_similarity_join_lsh_recall(spark, vec_df):
         key = (r["probe_id"], r["vec_id"])
         if key in exact_d:
             assert r["dist"] == pytest.approx(exact_d[key], abs=1e-12)
+
+
+def test_similarity_join_local_prune_bounds_shuffle(spark, vec_df):
+    """The pre-prune keeps ≤ k rows per (partition, probe) — the window's
+    shuffle input is P·k·n_probes, not |corpus|·n_probes — and the pruned
+    plan returns exactly the unpruned result."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.knn import local_topk_prune
+
+    df, rows = vec_df
+    probes = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    pruned = similarity_join(probes, df, k=4, local_prune=True)
+    full = similarity_join(probes, df, k=4, local_prune=False)
+    key = lambda r: (r["probe_id"], r["vec_id"], round(r["dist"], 9))
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, full.collect()))
+    # the prune runs map-side (MapInPandas before the window's exchange)
+    assert "MapInPandas" in pruned._jdf.queryExecution().executedPlan().toString()
+
+    # direct bound check: after pruning, each (partition, probe) holds ≤ k rows
+    corpus = df.repartition(4)
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
+        "dist", F.rand(seed=1)
+    )
+    n_parts = scored.rdd.getNumPartitions()
+    kept = local_topk_prune(scored, 4, "probe_id", "dist", "vec_id")
+    assert kept.count() <= n_parts * 4 * 3
+    per = (
+        kept.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "probe_id").count().agg(F.max("count")).first()[0]
+    )
+    assert per <= 4
