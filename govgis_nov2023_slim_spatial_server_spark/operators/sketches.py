@@ -98,7 +98,7 @@ class BloomFilter:
         return self
 
 
-def _build_distributed(df: DataFrame, col: str, make_sketch, set_bytes, get_bytes):
+def _build_distributed(df: DataFrame, col: str, make_sketch):
     """One mapInPandas pass → one serialized partial per partition →
     associative driver merge (driver sees n_partitions blobs, not rows)."""
     import pickle
@@ -124,15 +124,13 @@ def _build_distributed(df: DataFrame, col: str, make_sketch, set_bytes, get_byte
 def count_min_sketch(
     df: DataFrame, col: str, eps: float = 0.001, delta: float = 0.01
 ) -> CountMinSketch:
-    return _build_distributed(df, col, lambda: CountMinSketch(eps, delta), None, None)
+    return _build_distributed(df, col, lambda: CountMinSketch(eps, delta))
 
 
 def bloom_filter(
     df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
 ) -> BloomFilter:
-    return _build_distributed(
-        df, col, lambda: BloomFilter(expected_items, fpp), None, None
-    )
+    return _build_distributed(df, col, lambda: BloomFilter(expected_items, fpp))
 
 
 def bloom_prefilter_join(
