@@ -159,3 +159,22 @@ def test_embedding_neardup_with_lsh_blocking(spark):
     assert blocked <= exact
     # near-identical pairs project to the same sign almost surely
     assert len(blocked) >= len(exact) - 1
+
+
+def test_embedding_neardup_blocked_plan_is_equijoin(spark):
+    """block_col must plan as an equi-join on the block key (hash or
+    sort-merge), never a nested-loop cross product — the 100 TB contract."""
+    import numpy as np
+    from govgis_nov2023_slim_spatial_server_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, rng.randn(8).tolist(), int(i % 3)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, blk: int")
+    out = embedding_near_duplicates(df, threshold=0.5, block_col="blk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
