@@ -149,6 +149,52 @@ def spatial_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_join_blocked",
+    f"""
+    WITH cr AS ({_CUST_RECT_SQL}),
+    sr AS (
+      SELECT s_suppkey,
+             -125.0 + (s_suppkey % 55) AS xmin,
+             24.0 + (s_suppkey % 22)   AS ymin,
+             -125.0 + (s_suppkey % 55) + 1.0 + (s_suppkey % 3) * 0.5 AS xmax,
+             24.0 + (s_suppkey % 22) + 1.0                           AS ymax
+      FROM supplier)
+    SELECT s_suppkey, COUNT(*) AS n_overlaps
+    FROM sr JOIN cr
+      ON cr.xmin <= sr.xmax AND sr.xmin <= cr.xmax
+     AND cr.ymin <= sr.ymax AND sr.ymin <= cr.ymax
+    WHERE cr.c_custkey < 200
+    GROUP BY s_suppkey
+    """,
+)
+def spatial_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spatial-join path: grid-cell blocking turns the overlap
+    predicate into an equi-join on (cell_x, cell_y) — shuffled hash join,
+    no BroadcastNestedLoopJoin (operators/spatial_join.py). The oracle is
+    the DIRECT inequality join: same answer, so the check proves the
+    blocked construction's exactness, not just its plan shape."""
+    from ..operators.spatial_join import grid_blocked_overlap_join
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    xmin = F.lit(-125.0) + (k % 55).cast("double")
+    ymin = F.lit(24.0) + (k % 22).cast("double")
+    sr = s.select(
+        "s_suppkey",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + F.lit(1.0) + (k % 3).cast("double") * 0.5).alias("xmax"),
+        (ymin + F.lit(1.0)).alias("ymax"),
+    )
+    cr = _customer_rects(spark, sf_dir).where(F.col("c_custkey") < 200)
+    return (
+        grid_blocked_overlap_join(sr, cr, cell=2.0)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@query(
     "reproject_mercator",
     """
     SELECT c_custkey,
