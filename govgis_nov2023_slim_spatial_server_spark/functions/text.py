@@ -124,34 +124,167 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
 
 
 # ---------------------------------------------------------------------------
-# HTML → Markdown (pandas UDF; markdownify is unavailable so a small
-# deterministic regex converter covers the tags the reference data uses)
+# HTML → Markdown (pandas UDF). The markdownify package the reference uses
+# (backend/mcp.py:1-3, `md(obj)` with default options) is not installed in
+# this environment, so this is a small stdlib html.parser re-implementation
+# of markdownify's DEFAULT behaviors for the common tags:
+#   b/strong → **chomped**; i/em → *chomped*; a → [text](href) with
+#   autolink <href> when the text IS the href; h1/h2 underlined (=== / ---),
+#   h3+ ATX (###); ul bullets cycle * + - by depth, ol numbers 1. 2. …;
+#   <br> → "  \n" (two-space line break); code/pre backticks; img → ![alt](src);
+#   blockquote "> " prefix; * and _ escaped in text.
+# Deviation (documented): the final result is .strip()ed and 3+ newlines
+# collapse to 2 — markdownify keeps outer blank lines; for column values
+# the stripped form is the stable one.
 # ---------------------------------------------------------------------------
 
-_HTML_RULES: list[tuple[re.Pattern[str], str]] = [
-    (re.compile(r"<\s*br\s*/?\s*>", re.I), "\n"),
-    (re.compile(r"<\s*/p\s*>", re.I), "\n\n"),
-    (re.compile(r"<\s*p[^>]*>", re.I), ""),
-    (re.compile(r"<\s*(b|strong)\s*>(.*?)<\s*/\s*\1\s*>", re.I | re.S), r"**\2**"),
-    (re.compile(r"<\s*(i|em)\s*>(.*?)<\s*/\s*\1\s*>", re.I | re.S), r"*\2*"),
-    (re.compile(r"<\s*a[^>]*href\s*=\s*[\"']([^\"']*)[\"'][^>]*>(.*?)<\s*/\s*a\s*>", re.I | re.S), r"[\2](\1)"),
-    (re.compile(r"<\s*li[^>]*>(.*?)<\s*/\s*li\s*>", re.I | re.S), r"* \1\n"),
-    (re.compile(r"<\s*h([1-6])[^>]*>(.*?)<\s*/\s*h\1\s*>", re.I | re.S), lambda m: "#" * int(m.group(1)) + " " + m.group(2) + "\n"),
-    (re.compile(r"<[^>]+>"), ""),  # strip any remaining tags
-]
+from html.parser import HTMLParser
+
+_VOID_TAGS = {"br", "img", "hr", "meta", "input", "link", "source"}
+_ESCAPE_RE = re.compile(r"([*_])")
+_WS_RE = re.compile(r"\s+")
+
+
+class _El:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs=None):
+        self.tag = tag
+        self.attrs = dict(attrs or {})
+        self.children: list = []
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)  # entities decode like BeautifulSoup
+        self.root = _El("_root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        el = _El(tag, attrs)
+        self.stack[-1].children.append(el)
+        if tag not in _VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_El(tag, attrs))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _chomp(s: str) -> tuple[str, str, str]:
+    """markdownify's chomp: spaces move OUTSIDE the inline markers."""
+    core = s.strip(" ")
+    return (" " if s[:1] == " " else "", core, " " if s[-1:] == " " else "")
+
+
+def _indent(text: str, prefix: str) -> str:
+    return "".join(prefix + line if line.strip() else line for line in text.splitlines(True))
+
+
+def _render_children(el: _El, ctx: dict) -> str:
+    return "".join(_render(c, ctx) for c in el.children)
+
+
+def _render_inline(el: _El, ctx: dict, marker: str) -> str:
+    pre, core, post = _chomp(_render_children(el, ctx))
+    return f"{pre}{marker}{core}{marker}{post}" if core else ""
+
+
+def _render_list(el: _El, ctx: dict, ordered: bool) -> str:
+    depth = ctx.get("list_depth", 0)
+    items = []
+    n = 0
+    for c in el.children:
+        if isinstance(c, _El) and c.tag == "li":
+            n += 1
+            txt = _render_children(c, {**ctx, "list_depth": depth + 1}).strip()
+            bullet = f"{n}." if ordered else "*+-"[depth % 3]
+            items.append(f"{bullet} {txt}\n")
+    body = "".join(items)
+    if depth:  # nested list: newline-prefixed, tab-indented under its <li>
+        return "\n" + _indent(body, "\t")
+    return "\n\n" + body + "\n"
+
+
+def _render(node, ctx: dict) -> str:
+    if isinstance(node, str):
+        if ctx.get("pre"):
+            return node
+        text = _WS_RE.sub(" ", node)
+        return _ESCAPE_RE.sub(r"\\\1", text) if ctx.get("escape", True) else text
+    tag = node.tag
+    if tag in ("b", "strong"):
+        return _render_inline(node, ctx, "**")
+    if tag in ("i", "em"):
+        return _render_inline(node, ctx, "*")
+    if tag == "a":
+        href = node.attrs.get("href") or ""
+        title = node.attrs.get("title")
+        text = _render_children(node, ctx)
+        if text.replace("\\", "") == href and not title:
+            return f"<{href}>"  # markdownify autolinks=True default
+        t = f' "{title}"' if title else ""
+        return f"[{text}]({href}{t})" if href else text
+    if tag == "br":
+        return "  \n"  # newline_style='spaces' default
+    if tag == "p":
+        return _render_children(node, ctx) + "\n\n"
+    if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit():
+        level = int(tag[1])
+        text = _WS_RE.sub(" ", _render_children(node, ctx)).strip()
+        if not text:
+            return ""
+        if level == 1:
+            return f"\n\n{text}\n{'=' * len(text)}\n\n"  # heading_style='underlined'
+        if level == 2:
+            return f"\n\n{text}\n{'-' * len(text)}\n\n"
+        return f"\n\n{'#' * level} {text}\n\n"
+    if tag == "ul":
+        return _render_list(node, ctx, ordered=False)
+    if tag == "ol":
+        return _render_list(node, ctx, ordered=True)
+    if tag == "blockquote":
+        inner = _render_children(node, ctx).strip()
+        return "\n" + _indent(inner, "> ") + "\n\n" if inner else ""
+    if tag == "code":
+        return f"`{_render_children(node, {**ctx, 'escape': False})}`"
+    if tag == "pre":
+        return f"\n\n```\n{_render_children(node, {**ctx, 'pre': True, 'escape': False})}\n```\n\n"
+    if tag == "hr":
+        return "\n\n---\n\n"
+    if tag == "img":
+        alt = node.attrs.get("alt") or ""
+        src = node.attrs.get("src") or ""
+        title = node.attrs.get("title")
+        t = f' "{title}"' if title else ""
+        return f"![{alt}]({src}{t})"
+    if tag in ("script", "style", "head"):
+        return ""
+    return _render_children(node, ctx)
 
 
 def html_to_markdown_str(s: str | None) -> str | None:
-    """Pure-Python HTML→Markdown (reference backend/mcp.py:12-20 semantics:
-    best-effort readable text, never raises)."""
+    """Pure-Python HTML→Markdown with markdownify-default semantics
+    (reference backend/mcp.py:12-20); best-effort, never raises."""
     if s is None:
         return None
-    out = s
-    for pat, repl in _HTML_RULES:
-        out = pat.sub(repl, out)  # type: ignore[arg-type]
-    out = out.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-    out = out.replace("&quot;", '"').replace("&#39;", "'").replace("&nbsp;", " ")
-    return re.sub(r"\n{3,}", "\n\n", out).strip()
+    try:
+        builder = _TreeBuilder()
+        builder.feed(s)
+        builder.close()
+        out = _render(builder.root, {})
+        return re.sub(r"\n{3,}", "\n\n", out).strip()
+    except Exception:
+        return re.sub(r"<[^>]+>", "", s).strip()
 
 
 def html_to_markdown_udf():

@@ -40,10 +40,48 @@ def test_html_to_markdown_cases():
         html_to_markdown_str('<a href="http://x.test">link</a>') == "[link](http://x.test)"
     )
     assert html_to_markdown_str("<ul><li>one</li><li>two</li></ul>") == "* one\n* two"
-    assert html_to_markdown_str("<h2>Title</h2>rest") == "## Title\nrest"
     assert html_to_markdown_str("a &amp; b &lt;c&gt;") == "a & b <c>"
     assert html_to_markdown_str(None) is None
     assert html_to_markdown_str("plain text") == "plain text"
+
+
+def test_html_to_markdown_markdownify_parity():
+    """Goldens pinned to `markdownify.markdownify` DEFAULT-option outputs
+    (the reference's exact call, backend/mcp.py:3,12-20), modulo the
+    documented outer strip()."""
+    # heading_style='underlined' for h1/h2, ATX for h3+
+    assert html_to_markdown_str("<h1>Top</h1>") == "Top\n==="
+    assert html_to_markdown_str("<h2>Title</h2>rest") == "Title\n-----\n\nrest"
+    assert html_to_markdown_str("<h3>Sub</h3>") == "### Sub"
+    # chomp: inline-marker spaces move outside the markers
+    assert html_to_markdown_str("a<b> bold </b>b") == "a **bold** b"
+    assert html_to_markdown_str("<b></b>x") == "x"
+    # autolink when anchor text IS the href
+    assert (
+        html_to_markdown_str('<a href="http://x.test">http://x.test</a>')
+        == "<http://x.test>"
+    )
+    assert (
+        html_to_markdown_str('<a href="http://x.test" title="T">link</a>')
+        == '[link](http://x.test "T")'
+    )
+    # newline_style='spaces': <br> is a two-space markdown line break
+    assert html_to_markdown_str("line1<br>line2") == "line1  \nline2"
+    # ordered lists number; nested unordered lists cycle bullet and indent
+    assert html_to_markdown_str("<ol><li>one</li><li>two</li></ol>") == "1. one\n2. two"
+    assert (
+        html_to_markdown_str("<ul><li>a<ul><li>b</li></ul></li><li>c</li></ul>")
+        == "* a\n\t+ b\n* c"
+    )
+    # * and _ escape in text; entities decode first
+    assert html_to_markdown_str("2 * 3 _x_") == "2 \\* 3 \\_x\\_"
+    assert html_to_markdown_str("<code>x = 1*2</code>") == "`x = 1*2`"
+    assert html_to_markdown_str('<img src="u.png" alt="pic">') == "![pic](u.png)"
+    assert html_to_markdown_str("<blockquote>quoted</blockquote>") == "> quoted"
+    assert html_to_markdown_str("<b><i>both</i></b>") == "***both***"
+    # malformed html never raises
+    assert html_to_markdown_str("<b>unclosed") == "**unclosed**"
+    assert html_to_markdown_str("<p>stray</i> tags</p>") == "stray tags"
 
 
 def test_quality_score_bounds(spark):
