@@ -106,6 +106,9 @@ def similarity_join(
     shuffle carries ≤ P·k·n_probes rows, NOT |corpus|×|probes|. With
     ``local_prune=False`` the full distance set shuffles into the window —
     only sensible for debugging or when k ≈ |corpus|/P.
+
+    Output: all probe + corpus columns EXCEPT the two embedding columns
+    (dropped once the distance is computed), plus ``dist_name``.
     """
     from ..functions.vector import dot, l2_norm
 
@@ -121,7 +124,11 @@ def similarity_join(
         dist = F.lit(1.0) - dot(corpus_emb, probe_emb) / (
             F.col("__cnorm") * F.col("__pnorm")
         )
-    scored = joined.withColumn(dist_name, dist).drop("__cnorm", "__pnorm")
+    # embeddings are dead weight once dist is computed: dropping them keeps
+    # wide arrays out of the prune's Arrow batches and the window's shuffle
+    scored = joined.withColumn(dist_name, dist).drop(
+        "__cnorm", "__pnorm", probe_emb, corpus_emb
+    )
     if local_prune:
         scored = local_topk_prune(scored, k, probe_id, dist_name, corpus_id)
     w = (
@@ -193,7 +200,9 @@ def similarity_join_lsh(
     )
     joined = probes_b.join(corpus_b, "__bucket")
     dist = cosine_distance(corpus_emb, F.col(probe_emb), normalized=False)
-    scored = joined.withColumn(dist_name, dist).drop("__bucket")
+    scored = joined.withColumn(dist_name, dist).drop(
+        "__bucket", probe_emb, corpus_emb
+    )
     # same map-side combine as the exact join: the bucket join's output
     # partitions prune to ≤ k rows per probe before the global window
     scored = local_topk_prune(scored, k, probe_id, dist_name, corpus_id)

@@ -65,6 +65,56 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options,
+) -> None:
+    """JDBC sink — the Spark analogue of the reference's bulk COPY into
+    Postgres (reference backend/load_data.py:183-190,
+    ``copy_records_to_table``).
+
+    Every partition opens one connection and writes ``batchsize``-row
+    batches (`rewriteBatchedInserts`-style throughput), so total write
+    parallelism = number of partitions; cap it with ``num_partitions`` to
+    respect the database's connection budget — 1000 executors hammering one
+    Postgres is a DDoS, not a load. Requires the JDBC driver jar on the
+    Spark classpath (``spark.jars``); config assembly is testable without a
+    live database, the terminal ``save()`` is not.
+    """
+    jdbc_writer(df, url, table, mode=mode, batchsize=batchsize,
+                num_partitions=num_partitions, **options).save()
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options,
+):
+    """Configured-but-unsaved JDBC writer (the testable seam — asserting
+    the plumbing reaches Spark's JDBC path needs no live database)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -76,3 +76,26 @@ def test_fastapi_gated(spark):
     except ImportError:
         with pytest.raises(ImportError):
             create_app(svc)
+
+
+def test_jdbc_writer_config_reaches_jdbc_path(spark):
+    """O5 parity sink (reference load_data.py COPY → df.write.jdbc). No
+    live database: asserting that save() on the configured writer fails
+    INSIDE Spark's JDBC connection path (driver resolution) proves the
+    options plumb through."""
+    import pytest
+
+    from govgis_nov2023_slim_spatial_server_spark.sources.formats import (
+        jdbc_writer,
+        write_jdbc,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    w = jdbc_writer(df, "jdbc:postgresql://nohost:5432/db", "layers",
+                    batchsize=500, num_partitions=2)
+    with pytest.raises(Exception) as ei:
+        w.save()
+    msg = str(ei.value)
+    assert ("driver" in msg.lower()) or ("jdbc" in msg.lower())
+    with pytest.raises(Exception):
+        write_jdbc(df, "jdbc:postgresql://nohost:5432/db", "layers")

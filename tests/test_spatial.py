@@ -135,3 +135,51 @@ def test_multipolygon_and_big_endian():
     assert point_in_polygon_wkb(mp, 0.5, 0.5)
     assert point_in_polygon_wkb(mp, 5.5, 5.5)
     assert not point_in_polygon_wkb(mp, 3.0, 3.0)
+
+
+def test_wkb_linestring_and_collections_tolerated():
+    """LineString/MultiPoint/MultiLineString/GeometryCollection WKB must
+    parse (bounds) and contribute no interior (containment) instead of
+    raising and being silently dropped."""
+    import struct
+
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        point_in_polygon_wkb,
+        wkb_bounds,
+        wkb_point,
+    )
+
+    def linestring(pts):
+        out = [struct.pack("<BI", 1, 2), struct.pack("<I", len(pts))]
+        out += [struct.pack("<dd", x, y) for x, y in pts]
+        return b"".join(out)
+
+    ls = linestring([(0.0, 0.0), (2.0, 1.0), (4.0, -1.0)])
+    assert wkb_bounds(ls) == (0.0, -1.0, 4.0, 1.0)
+    assert point_in_polygon_wkb(ls, 2.0, 1.0) is True      # vertex hit
+    assert point_in_polygon_wkb(ls, 2.0, 0.0) is False     # no interior
+
+    mp = b"".join(
+        [struct.pack("<BI", 1, 4), struct.pack("<I", 2),
+         wkb_point(1.0, 2.0), wkb_point(-3.0, 5.0)]
+    )
+    assert wkb_bounds(mp) == (-3.0, 2.0, 1.0, 5.0)
+    assert point_in_polygon_wkb(mp, -3.0, 5.0) is True
+
+    mls = b"".join(
+        [struct.pack("<BI", 1, 5), struct.pack("<I", 2),
+         linestring([(0.0, 0.0), (1.0, 1.0)]),
+         linestring([(5.0, 5.0), (6.0, 7.0)])]
+    )
+    assert wkb_bounds(mls) == (0.0, 0.0, 6.0, 7.0)
+
+    gc = b"".join(
+        [struct.pack("<BI", 1, 7), struct.pack("<I", 2),
+         wkb_point(9.0, 9.0),
+         linestring([(0.0, 0.0), (1.0, 0.0)])]
+    )
+    assert wkb_bounds(gc) == (0.0, 0.0, 9.0, 9.0)
+    # truly malformed bytes still degrade to None, never raise
+    assert wkb_bounds(b"\x01\xff\xff") is None
