@@ -44,17 +44,17 @@ _DRIVER_PRIORITY = [
     # new in r2
     "sketch_bloom_join_counts", "sketch_cms_priority_counts",
     "embedding_near_dup_blocked", "spatial_join_blocked",
+    "sample_deterministic_orders", "split_train_val_test",
+    "chunk_documents_tokens", "tfidf_top_terms",
     # r1's one hash failure, -0.0 fix applied
     "similarity_join_topk",
-    # re-proof sample of r1-green entries (slots 32-50)
+    # re-proof sample of r1-green entries (slots 36-50)
     "flagship_hybrid_search", "knn_topk", "minhash_neardup_oracle",
     "minhash_lsh_neardup", "embedding_near_dup", "ngram_jaccard_topk",
     "fingerprint_dup_groups", "token_counts", "doc_quality",
-    "lang_id_stopwords", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_nation_revenue", "agg_rollup_region_nation",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
     "grouping_sets_status_priority", "window_rank_orders_per_customer",
-    "window_running_total", "join_range_events_orders",
-    "argmax_order_per_status",
+    "join_range_events_orders",
 ]
 
 

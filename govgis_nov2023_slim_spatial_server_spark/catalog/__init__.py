@@ -1,7 +1,7 @@
 """Query catalog: importing the submodules populates the registry that
 __spark_entry__.py exposes to the driver."""
 
-from . import advanced, relational, sketches, spatial_mm, vector_text  # noqa: F401
+from . import advanced, pipeline, relational, sketches, spatial_mm, vector_text  # noqa: F401
 from ._registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,80 @@
+"""Token-window document chunking — the context-length shaper in a
+training-data pipeline (long doc → overlapping fixed-token chunks).
+
+Fully native (split → sequence → explode → slice): per-row fan-out with no
+shuffle at all — chunking 100 TB is a map-only stage whose output streams
+straight into the next operator or sink. The same windowing arithmetic is
+expressible over DuckDB lists, so the operator carries an exact oracle.
+
+Chunk layout: stride S = chunk_tokens - overlap; chunk i covers tokens
+[i·S, i·S + chunk_tokens); n_chunks = 1 if n ≤ chunk_tokens else
+⌈(n - chunk_tokens)/S⌉ + 1 (the final chunk may run short, never empty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Explode each document into (id, chunk_id, chunk_text, n_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)).cast("long") + 1
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_id").cast("int") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("chunk_id").cast("int") * stride + 1, chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_sql(
+    chunk_tokens: int = 64, overlap: int = 16, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``chunk_by_tokens`` over the documents table."""
+    s = chunk_tokens - overlap
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents),
+    c AS (
+      SELECT {id_col}, w, n,
+             CASE WHEN n <= {chunk_tokens} THEN 1
+                  ELSE CAST(FLOOR((n - {chunk_tokens} + {s} - 1) / {s}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM t)
+    SELECT {id_col},
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(w[CAST(i AS INT) * {s} + 1 : CAST(i AS INT) * {s} + {chunk_tokens}], ' ') AS chunk_text,
+           len(w[CAST(i AS INT) * {s} + 1 : CAST(i AS INT) * {s} + {chunk_tokens}])::BIGINT AS n_tokens
+    FROM c, (SELECT unnest(range(0, 1000)) AS i) ids
+    WHERE i < n_chunks
+    """
