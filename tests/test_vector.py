@@ -172,3 +172,29 @@ def test_similarity_join_local_prune_bounds_shuffle(spark, vec_df):
         .groupBy("pid", "probe_id").count().agg(F.max("count")).first()[0]
     )
     assert per <= 4
+
+
+def test_lsh_store_partition_pruning(spark, vec_df, tmp_path_factory):
+    """write_lsh_partitioned + lsh_knn_from_store: the probe must prune at
+    the PARTITION level (bucket directories skipped, not scanned) and the
+    store round-trip must agree with in-memory LSH KNN."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.knn import (
+        lsh_knn_from_store,
+        write_lsh_partitioned,
+    )
+
+    df, rows = vec_df
+    path = str(tmp_path_factory.mktemp("lshstore") / "corpus")
+    write_lsh_partitioned(df, path, n_planes=4, seed=7)
+
+    q = list(np.random.RandomState(23).randn(8))
+    out = lsh_knn_from_store(spark, path, q, k=5, n_planes=4, n_probes=2, seed=7)
+    got = [r["vec_id"] for r in out.collect()]
+    mem = lsh_bucketed_knn(
+        df, q, k=5, n_planes=4, n_probes=2, seed=7, normalized=False
+    )
+    assert got == [r["vec_id"] for r in mem.collect()]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
