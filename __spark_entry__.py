@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "embedding_near_dup_blocked", "spatial_join_blocked",
     "sample_deterministic_orders", "split_train_val_test",
     "chunk_documents_tokens", "tfidf_top_terms",
+    "stream_tumbling_event_counts",
     # r1's one hash failure, -0.0 fix applied
     "similarity_join_topk",
     # re-proof sample of r1-green entries (slots 36-50)
@@ -54,7 +55,6 @@ _DRIVER_PRIORITY = [
     "fingerprint_dup_groups", "token_counts", "doc_quality",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
     "grouping_sets_status_priority", "window_rank_orders_per_customer",
-    "join_range_events_orders",
 ]
 
 

@@ -1,7 +1,15 @@
 """Query catalog: importing the submodules populates the registry that
 __spark_entry__.py exposes to the driver."""
 
-from . import advanced, pipeline, relational, sketches, spatial_mm, vector_text  # noqa: F401
+from . import (  # noqa: F401
+    advanced,
+    pipeline,
+    relational,
+    sketches,
+    spatial_mm,
+    streaming,
+    vector_text,
+)
 from ._registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
