@@ -272,10 +272,13 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard: top-3 most similar docs per probe — the
     ground truth the MinHash path approximates."""
     d = _t(spark, sf_dir, "documents")
-    # probes and corpus both derive from the shingle table → materialize once
-    sh = d.select("doc_id", word_shingles("text", 3).alias("s")).localCheckpoint(
-        eager=True
-    )
+    # probes and corpus both derive from the shingle table → materialize
+    # once, spread across cores first (single-file scan = one partition)
+    from ..session import ensure_min_partitions
+
+    sh = ensure_min_partitions(d).select(
+        "doc_id", word_shingles("text", 3).alias("s")
+    ).localCheckpoint(eager=True)
     probes = sh.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("probe_id"), F.col("s").alias("ps")
     )

@@ -26,6 +26,7 @@ from ..functions.hashes import (
 )
 from ..functions.text import fingerprint_udf
 from ..functions.vector import cosine_similarity
+from ..session import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
@@ -87,7 +88,7 @@ def minhash_lsh_candidates(
     and joining that.
     """
     rows = num_perm // bands
-    sigs = df.select(
+    sigs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         minhash_signature(
             word_shingles(text_col, shingle_k), num_perm=num_perm, seed=seed
@@ -134,7 +135,9 @@ def minhash_near_duplicates(
     # shingles, signature) table feeds the banding self-join AND the
     # verification joins (production equivalent: write this table once per
     # corpus, reuse for every dedup pass)
-    sh_df = df.select(
+    # spread the scan first: shingling + 64 permutation mins are the CPU
+    # hot path and a single-file corpus otherwise runs them on one core
+    sh_df = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_k).alias("sh"),
     ).localCheckpoint(eager=True)
@@ -190,7 +193,7 @@ def minhash_near_duplicates_exactband(
     from ..functions.hashes import minhash_signature as _sig
 
     rows = num_perm // bands
-    sigs = df.select(
+    sigs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_k).alias("sh"),
         _sig(
@@ -283,7 +286,7 @@ def simhash_near_duplicates(
     least one 16-bit band → join per band key, verify with bit_count (native)
     — never a full O(N²) comparison.
     """
-    hashed = df.select(
+    hashed = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
     )
     banded = hashed.select(
@@ -329,6 +332,7 @@ def embedding_near_duplicates(
     per-block join — the required move at scale; None means full N²/2 and is
     only for small corpora / oracle checks.
     """
+    df = ensure_min_partitions(df)
     sel = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
     if block_col is not None:
         sel = df.select(
