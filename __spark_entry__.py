@@ -47,14 +47,17 @@ _DRIVER_PRIORITY = [
     "sample_deterministic_orders", "split_train_val_test",
     "chunk_documents_tokens", "tfidf_top_terms",
     "stream_tumbling_event_counts",
+    "repetition_filter", "chunk_dedup_summary", "pii_redaction",
+    "decontaminate_benchmark", "simhash_poly_signature",
+    "embedding_quantize_int8", "stratified_sample_embeddings",
+    "knn_int8_rerank",
     # r1's one hash failure, -0.0 fix applied
     "similarity_join_topk",
-    # re-proof sample of r1-green entries (slots 36-50)
+    # re-proof sample of r1-green entries (fills to slot 50; the entries
+    # this rotation displaced are all r1-green, so the r1∪r2 union still
+    # covers the whole catalog)
     "flagship_hybrid_search", "knn_topk", "minhash_neardup_oracle",
     "minhash_lsh_neardup", "embedding_near_dup", "ngram_jaccard_topk",
-    "fingerprint_dup_groups", "token_counts", "doc_quality",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
-    "grouping_sets_status_priority", "window_rank_orders_per_customer",
 ]
 
 

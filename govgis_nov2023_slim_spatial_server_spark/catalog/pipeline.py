@@ -1,5 +1,7 @@
 """Training-data pipeline catalog entries: reproducible sampling and
-splits, token-window chunking, TF-IDF term scoring.
+splits, token-window chunking, TF-IDF term scoring, repetition-quality
+filtering, chunk-level boilerplate dedup, PII redaction, and benchmark
+decontamination.
 
 These are the corpus-preparation operators a 100 TB run needs BEYOND the
 reference's own surface: every one is a native-expression map/agg plan
@@ -13,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
-from ..operators.chunking import chunk_by_tokens, chunk_sql
+from ..functions.text import repetition_metrics, tokens
+from ..operators.chunking import chunk_by_tokens, chunk_sql, dedup_chunks
+from ..operators.decontaminate import contamination_counts
 from ..operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -120,4 +123,181 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= 3)
         .select("doc_id", "term", F.round("__s", 4).alias("tfidf"))
+    )
+
+
+@query(
+    "repetition_filter",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    wc AS (SELECT doc_id, term, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY doc_id, term),
+    tw AS (SELECT doc_id, MAX(c) AS top_cnt, COUNT(*) AS n_distinct, SUM(c) AS n_words
+           FROM wc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  list_transform(range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i]) AS bgs
+           FROM t)
+    SELECT tw.doc_id,
+           n_words::BIGINT AS n_words,
+           ROUND(top_cnt::DOUBLE / n_words, 4) AS top_word_ratio,
+           ROUND(n_distinct::DOUBLE / n_words, 4) AS distinct_ratio,
+           ROUND((len(bgs) - len(list_distinct(bgs)))::DOUBLE / len(bgs), 4) AS dup_2gram_ratio,
+           CASE WHEN top_cnt::DOUBLE / n_words <= 0.15
+                 AND n_distinct::DOUBLE / n_words >= 0.5 THEN 1 ELSE 0 END::BIGINT AS keep
+    FROM tw JOIN bg USING (doc_id)
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter — top-word / distinct-word / dup-bigram
+    ratios plus the keep decision, computed as zero-shuffle array expressions
+    (sort-fold max-run, array_distinct) that ride the scan; the oracle
+    reproduces the identical semantics via unnest + GROUP BY."""
+    d = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        F.round(m["top_word_ratio"], 4).alias("top_word_ratio"),
+        F.round(m["distinct_ratio"], 4).alias("distinct_ratio"),
+        F.round(m["dup_2gram_ratio"], 4).alias("dup_2gram_ratio"),
+        F.when(
+            (m["top_word_ratio"] <= 0.15) & (m["distinct_ratio"] >= 0.5), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+@query(
+    "chunk_dedup_summary",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    c AS (SELECT doc_id, i AS chunk_id,
+                 array_to_string(w[CAST(i AS INT)*32+1 : CAST(i AS INT)*32+32], ' ') AS ch
+          FROM t, (SELECT unnest(range(0, 1000)) AS i) ix
+          WHERE i * 32 < len(w)),
+    k AS (SELECT doc_id, chunk_id,
+                 ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id, chunk_id) AS rn
+          FROM c)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM k GROUP BY doc_id
+    """,
+)
+def chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: 32-token non-overlapping chunks of the lowercased
+    corpus, keep-first dedup on the chunk hash (operators/chunking.dedup_chunks
+    — near-dup documents share exact chunks, so per-doc kept counts drop
+    below chunk counts). The window shuffles an 8-byte xxhash64 key, never
+    the passage text; the oracle partitions by the text itself (identical
+    result absent 64-bit collisions)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    chunks = chunk_by_tokens(d, "doc_id", "text", chunk_tokens=32, overlap=0)
+    kept = dedup_chunks(chunks)
+    n_chunks = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    n_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_chunks.join(n_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9-]{6,}[0-9]"
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com' ||
+             CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END ||
+             ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t2, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t2, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(t2, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones → placeholder tokens) with match counts.
+    The corpus has no organic PII, so deterministic synthetic contacts are
+    appended per doc_id first — both engines inject and redact identically.
+    Pure regexp expressions: a map-only stage that rides the scan at 100 TB
+    (patterns are RE2-safe — no lookarounds — per the oracle dialect)."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org")).otherwise(F.lit("")),
+        F.lit(" or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(injected, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "decontaminate_benchmark",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i-7:i], ' ') AS g
+           FROM t, (SELECT unnest(range(8, 2001)) AS i) ix WHERE i <= len(w)),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0)
+    SELECT s.doc_id, COUNT(*)::BIGINT AS n_shared_shingles
+    FROM sh s JOIN bench USING (g)
+    WHERE s.doc_id % 7 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 7 != 0) sharing any
+    lowercased 8-word shingle with the benchmark subset (doc_id % 7 == 0) —
+    near-duplicate documents straddling the boundary are exactly what this
+    catches. Benchmark shingle set broadcasts; corpus side is map-only
+    explode + broadcast semi-join + one agg (operators/decontaminate)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return contamination_counts(corpus, bench, "doc_id", "text", ngram=8)
+
+
+_STRATA_FRACTIONS = {0: 0.5, 1: 0.3, 2: 0.2, 5: 0.1}
+
+
+def _stratified_oracle_sql() -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("vec_id", "label", _STRATA_FRACTIONS)
+    return f"SELECT vec_id, label FROM embeddings WHERE {pred}"
+
+
+@query("stratified_sample_embeddings", _stratified_oracle_sql())
+def stratified_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic sampling: each label keeps its own
+    fraction, decided by the shared key hash (operators/sampling.
+    stratified_sample) — a pure scan predicate, no shuffle, no RNG; labels
+    outside the fraction map are dropped entirely."""
+    from ..operators.sampling import stratified_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return stratified_sample(e, "vec_id", "label", _STRATA_FRACTIONS).select(
+        "vec_id", "label"
     )

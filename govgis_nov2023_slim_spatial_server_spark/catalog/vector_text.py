@@ -372,6 +372,85 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, bands=4)
 
 
+def _simhash_poly_oracle_sql() -> str:
+    """DuckDB twin of functions/hashes.simhash_poly: identical rolling token
+    hash, identical per-bit vote rule (bit set iff vote sum > 0)."""
+    from ..functions.hashes import _POLY_BASE, _POLY_MOD
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    th AS (SELECT doc_id, list_transform(w, str -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(str, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (x, y) -> (x * {_POLY_BASE} + y) % {_POLY_MOD}) % 4294967296) AS hs
+           FROM t),
+    votes AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM (SELECT doc_id, unnest(hs) AS h FROM th),
+                   (SELECT unnest(range(0, 16)) AS j) js
+              GROUP BY doc_id, j)
+    SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END)::BIGINT AS simhash16
+    FROM votes GROUP BY doc_id
+    """
+
+
+@query("simhash_poly_signature", _simhash_poly_oracle_sql())
+def simhash_poly_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-reproducible SimHash signatures (oracle twin of the blake2b
+    production kernel in `simhash_neardup`, same role the exactband variant
+    plays for MinHash): DuckDB computes the byte-identical 16-bit signature
+    per document, anchoring the vote-accumulation kernel in the driver gate."""
+    from ..functions.hashes import simhash_poly
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_poly(F.col("text"), n_bits=16).alias("simhash16"))
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) / 127.0 AS sc
+          FROM v WHERE list_max(list_transform(vv, x -> abs(x))) > 0),
+    q AS (SELECT vec_id, vv, sc,
+                 list_transform(vv, x ->
+                   CAST(GREATEST(-127, LEAST(127, FLOOR(x / sc + 0.5))) AS BIGINT)) AS qq
+          FROM s)
+    SELECT vec_id,
+           ROUND(sc, 6) AS scale_r,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qq), (a, b) -> a + b) AS q_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qq), (a, b) -> a + abs(b)) AS q_l1,
+           ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(vv) + 1),
+                                  i -> (vv[i] - qq[i] * sc) * (vv[i] - qq[i] * sc))),
+                 (a, b) -> a + b) / len(vv) * 1000000.0, 4) AS mse_e6
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/vector.quantize_int8)
+    — the 4× ANN-store compressor. Emits the quantized checksum (q_sum/q_l1,
+    exact BIGINTs), the per-vector scale, and the round-trip MSE (×1e6);
+    floor-based rounding keeps both engines bit-identical."""
+    from ..functions.vector import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qz = e.where(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))) > 0
+    ).select("vec_id", quantize_int8("embedding").alias("__q"))
+    return qz.select(
+        "vec_id",
+        F.round(F.col("__q.scale"), 6).alias("scale_r"),
+        F.aggregate(
+            F.col("__q.q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("__q.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round(F.col("__q.mse") * F.lit(1000000.0), 4).alias("mse_e6"),
+    )
+
+
 def _fingerprint_oracle_sql() -> str:
     from ..functions.text import _FP_BASE, _FP_MOD
 
@@ -504,3 +583,49 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (n-gram-heuristic family), fully native."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "knn_int8_rerank",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s AS (SELECT vec_id, embedding, vv,
+                 list_max(list_transform(vv, x -> abs(x))) / 127.0 AS sc
+          FROM v WHERE list_max(list_transform(vv, x -> abs(x))) > 0),
+    q AS (SELECT vec_id, embedding, sc,
+                 list_transform(vv, x ->
+                   CAST(GREATEST(-127, LEAST(127, FLOOR(x / sc + 0.5))) AS BIGINT)) AS qq
+          FROM s),
+    dq AS (SELECT vec_id, embedding,
+                  list_transform(range(1, len(qq) + 1), i -> qq[i] * sc) AS dv
+           FROM q),
+    cand AS (
+      SELECT vec_id, embedding,
+             1 - list_dot_product(dv, {PROBE_SQL})
+                 / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product({PROBE_SQL}, {PROBE_SQL}))) AS adist
+      FROM dq
+      ORDER BY adist, vec_id LIMIT 30)
+    SELECT vec_id,
+           ROUND(1 - list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL})
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product({PROBE_SQL}, {PROBE_SQL}))), 4) + 0.0 AS dist
+    FROM cand
+    ORDER BY 1 - list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL})
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product({PROBE_SQL}, {PROBE_SQL}))), vec_id
+    LIMIT 10
+    """,
+)
+def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan KNN (operators/knn.knn_quantized_rerank): candidate
+    ranking on dequantized int8 codes — at scale, a scan of the 4×-smaller
+    int8 store — then exact full-precision rerank of the 30 survivors.
+    Deterministic (floor quantizer + id tie-breaks) ⇒ fully oracle-checked,
+    unlike classic ANN entries which are rows-only."""
+    from ..operators.knn import knn_quantized_rerank
+
+    e = _t(spark, sf_dir, "embeddings").where(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))) > 0
+    )
+    out = knn_quantized_rerank(e, PROBE_VEC, k=10, candidates=30)
+    return out.select("vec_id", rnd_nz("dist", 4).alias("dist"))

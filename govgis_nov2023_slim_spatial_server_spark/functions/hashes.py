@@ -220,6 +220,39 @@ def simhash_udf():
     return _simhash
 
 
+def simhash_poly(col: Column | str, n_bits: int = 16) -> Column:
+    """SQL-reproducible SimHash: per-bit vote accumulation over the rolling
+    poly token hash, entirely native (the oracle twin of ``simhash_udf``,
+    same role ``minhash_near_duplicates_exactband`` plays for MinHash).
+
+    Tokens keep multiplicity (a word's votes count once per occurrence,
+    matching ``simhash_str``); bit j of the result is set iff the signed
+    vote sum over ``(token_hash >> j) & 1`` is strictly positive. n_bits is
+    intentionally small (default 16) — the production 64-bit path stays on
+    the blake2b pandas-UDF kernel; this variant exists so DuckDB can compute
+    the byte-identical signature and anchor the kernel in the driver gate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.transform(tokens(F.lower(c)), poly_text_hash)
+
+    def _vote(j: int):
+        # closure, never a default arg (pyspark derives arity from signature)
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        )
+
+    def _sim_from(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(n_bits):
+            votes = F.aggregate(hs, F.lit(0).cast("long"), _vote(j))
+            out = out + F.when(votes > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return _let(hashes, _sim_from)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two signed-64-bit SimHashes (native bit ops)."""
     return F.bit_count(a.bitwiseXOR(b))

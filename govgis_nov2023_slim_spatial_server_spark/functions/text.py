@@ -90,6 +90,69 @@ def quality_score(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules; native, zero-shuffle)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(col: Column | str) -> dict[str, Column]:
+    """Per-document repetition signals (the Gopher / RefinedWeb rule family):
+
+    - ``top_word_ratio``   — most frequent word count / total words
+    - ``distinct_ratio``   — distinct words / total words
+    - ``dup_2gram_ratio``  — fraction of word-bigrams that are repeats
+
+    All three are computed as pure array expressions over the row's own
+    token list (sort-fold for the max run, ``array_distinct`` for the set
+    sizes) — a map-only stage with NO shuffle, so at 100 TB this is a
+    filter that rides the scan for free, unlike the explode→groupBy
+    formulation which would shuffle every (doc, word) pair.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+
+    # max word frequency == longest equal-run in the sorted token array:
+    # fold (prev, run, best) left-to-right (O(n log n) per row, no shuffle)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(F.array_sort(toks), init, _merge, lambda acc: acc["best"])
+
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n_words),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    dup_bg = F.when(
+        n_bg > 0,
+        (n_bg - F.size(F.array_distinct(bigrams))).cast("double") / n_bg,
+    ).otherwise(F.lit(0.0))
+
+    nw_d = n_words.cast("double")
+    return {
+        "n_words": n_words.cast("long"),
+        "top_word_ratio": F.when(n_words > 0, top_cnt.cast("double") / nw_d).otherwise(F.lit(0.0)),
+        "distinct_ratio": F.when(n_words > 0, n_distinct.cast("double") / nw_d).otherwise(F.lit(0.0)),
+        "dup_2gram_ratio": dup_bg,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Language ID (stopword-hit heuristic; native so it is oracle-expressible)
 # ---------------------------------------------------------------------------
 

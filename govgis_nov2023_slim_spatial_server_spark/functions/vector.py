@@ -120,3 +120,52 @@ def cosine_distance_pandas(emb_col: Column | str, query_vec: list[float]) -> Col
     udf = make_dot_pandas_udf(query_vec)
     c = emb_col if isinstance(emb_col, Column) else F.col(emb_col)
     return F.lit(1.0) - udf(c)
+
+
+def quantize_int8(emb_col: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization — the 4× memory/IO reducer for
+    ANN stores at 100 TB (scan int8 codes, dequantize only survivors).
+
+    Returns struct<scale:double, q:array<long>, mse:double>:
+    ``scale = max|x| / 127``, ``q_i = clamp(floor(x_i/scale + 0.5), ±127)``,
+    ``mse`` the round-trip squared error mean. floor(x+0.5) is used instead
+    of round() deliberately: HALF_UP vs banker's rounding differs BETWEEN
+    engines, floor arithmetic is bit-identical everywhere — which is what
+    makes the operator oracle-checkable. Fully native HOFs (codegen); each
+    binding is let-bound so Catalyst's CollapseProject cannot re-inline the
+    shared subexpressions (see hashes._let).
+    """
+    from .hashes import _let
+
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    v = F.transform(c, lambda x: x.cast("double"))
+
+    def _with_v(vv: Column) -> Column:
+        scale = F.array_max(F.transform(vv, lambda x: F.abs(x))) / F.lit(127.0)
+
+        def _with_scale(sc: Column) -> Column:
+            q = F.transform(
+                vv,
+                lambda x: F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.least(F.lit(127).cast("long"), F.floor(x / sc + F.lit(0.5))),
+                ),
+            )
+
+            def _with_q(qq: Column) -> Column:
+                se = F.aggregate(
+                    F.zip_with(vv, qq, lambda a, b: (a - b * sc) * (a - b * sc)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                return F.struct(
+                    sc.alias("scale"),
+                    qq.alias("q"),
+                    (se / F.size(vv)).alias("mse"),
+                )
+
+            return _let(q, _with_q)
+
+        return _let(scale, _with_scale)
+
+    return _let(v, _with_v)

@@ -13,7 +13,7 @@ Chunk layout: stride S = chunk_tokens - overlap; chunk i covers tokens
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -52,6 +52,33 @@ def chunk_by_tokens(
                 F.slice(F.col("__toks"), F.col("chunk_id").cast("int") * stride + 1, chunk_tokens)
             ).cast("long").alias("n_tokens"),
         )
+    )
+
+
+def dedup_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    exact_key: bool = False,
+) -> DataFrame:
+    """Keep-first dedup at chunk granularity (boilerplate removal: identical
+    passages repeated across documents survive exactly once, in the lowest
+    (doc, chunk) position).
+
+    The dedup key is ``xxhash64(chunk_text)`` by default — the shuffle for
+    the keep-first window then carries an 8-byte key instead of the full
+    passage text, which is what makes this viable over 100 TB of chunks
+    (a 64-bit collision merging two genuinely different passages is ~1e-8
+    at a trillion chunks — the standard trade; pass ``exact_key=True`` to
+    shuffle the text itself when exactness matters more than width).
+    """
+    key = F.col(text_col) if exact_key else F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc(), F.col(chunk_id_col).asc())
+    return (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

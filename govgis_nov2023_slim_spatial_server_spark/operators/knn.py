@@ -316,3 +316,35 @@ def lsh_bucketed_knn(
     bucketed = df.withColumn("__bucket", sign_lsh_bucket(emb_col, planes))
     filtered = bucketed.where(F.col("__bucket").isin(candidates)).drop("__bucket")
     return knn(filtered, query_vec, k, emb_col=emb_col, id_col=id_col, normalized=normalized)
+
+
+def knn_quantized_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    candidates: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage KNN over int8-quantized vectors: rank by distance on the
+    DEQUANTIZED codes (at scale this scan reads the 4×-smaller int8 store —
+    sources would persist ``quantize_int8`` output and prune the float
+    column entirely), keep ``candidates`` ≈ 3k survivors via
+    TakeOrderedAndProject, then rerank only those exactly on the full-
+    precision embeddings. Deterministic end-to-end (floor-based quantizer,
+    id tie-breaks), so unlike classic ANN this path is oracle-checkable."""
+    from ..functions.vector import cosine_distance, quantize_int8
+
+    qz = df.select(id_col, emb_col, quantize_int8(emb_col).alias("__qz"))
+    deq = F.transform(F.col("__qz.q"), lambda x: x * F.col("__qz.scale"))
+    cand = (
+        qz.withColumn("__approx", cosine_distance(deq, query_vec, normalized=False))
+        .orderBy(F.col("__approx").asc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (
+        cand.withColumn("dist", cosine_distance(emb_col, query_vec, normalized=False))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dist")
+    )

@@ -88,3 +88,35 @@ def hash_split_case_sql(
         arms.append(f"WHEN {b} >= {edge} AND {b} < {nxt} THEN '{name}'")
         edge = nxt
     return "CASE " + " ".join(arms) + " END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    fractions: dict,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class-balanced corpus drawing):
+    each stratum keeps its own fraction, decided by the SAME key hash — so
+    enlarging one stratum's fraction never changes another's members, and
+    the whole thing stays a map-side predicate (no shuffle, no RNG state).
+    Strata absent from ``fractions`` are dropped."""
+    b = hash_bucket(key, n_buckets)
+    cond = F.lit(False)
+    for s, frac in fractions.items():
+        cut = int(round(frac * n_buckets))
+        cond = cond | ((F.col(strata_col) == F.lit(s)) & (b < F.lit(cut)))
+    return df.where(cond)
+
+
+def stratified_sample_sql(
+    key_expr: str, strata_expr: str, fractions: dict, n_buckets: int = N_BUCKETS
+) -> str:
+    """WHERE-clause twin of ``stratified_sample`` for DuckDB oracles."""
+    b = hash_bucket_sql(key_expr, n_buckets)
+    arms = " OR ".join(
+        f"({strata_expr} = {s} AND {b} < {int(round(f * n_buckets))})"
+        for s, f in fractions.items()
+    )
+    return f"({arms})"

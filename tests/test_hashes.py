@@ -121,3 +121,37 @@ def test_exact_dedup_deterministic(spark):
     )
     out = exact_dedup_deterministic(df, ["k"], "id").collect()
     assert sorted((r["k"], r["id"]) for r in out) == [("k1", 1), ("k2", 3)]
+
+
+def test_simhash_poly_matches_python_reference(spark):
+    """The native simhash_poly column equals a pure-Python fold with the
+    same definition (poly token hash, vote>0 bit rule)."""
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import (
+        _POLY_BASE,
+        _POLY_MOD,
+        simhash_poly,
+    )
+
+    def py_simhash(text: str, n_bits: int = 16) -> int:
+        out = 0
+        toks = text.lower().split()
+        hs = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * _POLY_BASE + ord(ch)) % _POLY_MOD
+            hs.append(h % (1 << 32))
+        for j in range(n_bits):
+            votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if votes > 0:
+                out |= 1 << j
+        return out
+
+    texts = ["the quick brown fox", "the the the", "a b c d e f", "zeta"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", simhash_poly(F.col("text")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), t

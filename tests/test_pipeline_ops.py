@@ -69,3 +69,119 @@ def test_chunking_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
     with pytest.raises(ValueError):
         chunk_by_tokens(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_repetition_metrics_crafted(spark):
+    from govgis_nov2023_slim_spatial_server_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y z w"), (2, "q q q q")], ["id", "text"]
+    )
+    m = repetition_metrics(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            m["n_words"].alias("nw"),
+            F.round(m["top_word_ratio"], 4).alias("top"),
+            F.round(m["distinct_ratio"], 4).alias("dis"),
+            F.round(m["dup_2gram_ratio"], 4).alias("bg"),
+        ).collect()
+    }
+    # "a a a b": top=3/4, distinct=2/4, bigrams [a a, a a, a b] → 1 dup of 3
+    assert rows[0]["nw"] == 4 and rows[0]["top"] == 0.75 and rows[0]["dis"] == 0.5
+    assert rows[0]["bg"] == round(1 / 3, 4)
+    assert rows[1]["top"] == 0.25 and rows[1]["dis"] == 1.0 and rows[1]["bg"] == 0.0
+    # "q q q q": 3 bigrams, 1 distinct → dup ratio 2/3
+    assert rows[2]["top"] == 1.0 and rows[2]["dis"] == 0.25 and rows[2]["bg"] == round(2 / 3, 4)
+
+
+def test_dedup_chunks_keep_first(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.chunking import dedup_chunks
+
+    base = " ".join(f"w{i}" for i in range(64))  # two 32-token chunks
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " tail words here"), (2, "unique doc text")],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_by_tokens(df, "doc_id", "text", chunk_tokens=32, overlap=0)
+    kept = dedup_chunks(chunks)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in kept.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # doc 0 keeps both chunks; doc 1's first two chunks duplicate doc 0's →
+    # only its 3-token tail chunk survives; doc 2 untouched
+    assert per_doc == {0: 2, 1: 1, 2: 1}
+    # hash-key and exact-key paths agree
+    exact = dedup_chunks(chunks, exact_key=True)
+    assert kept.select("doc_id", "chunk_id").exceptAll(
+        exact.select("doc_id", "chunk_id")
+    ).count() == 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.decontaminate import (
+        contamination_counts,
+        decontaminate,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, bench_text),                                  # benchmark
+            (1, "clean " + " ".join(f"c{i}" for i in range(10))),
+            (2, "prefix " + bench_text + " suffix"),          # contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    bench = df.where(F.col("doc_id") == 0)
+    corpus = df.where(F.col("doc_id") > 0)
+    counts = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in contamination_counts(corpus, bench, "doc_id", "text", ngram=8).collect()
+    }
+    assert 2 in counts and 1 not in counts
+    assert counts[2] == 3  # 10-token benchmark has 3 distinct 8-gram shingles
+    clean = decontaminate(corpus, bench, "doc_id", "text", ngram=8)
+    assert [r["doc_id"] for r in clean.select("doc_id").collect()] == [1]
+
+
+def test_stratified_sample_per_stratum(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("cls")
+    )
+    out = stratified_sample(df, "k", "cls", {0: 0.5, 1: 0.1})
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert 2 not in counts  # absent stratum dropped
+    assert abs(counts[0] / 10000 - 0.5) < 0.03
+    assert abs(counts[1] / 10000 - 0.1) < 0.03
+    # same key hash ⇒ stratum members are the plain sample restricted to it
+    plain = deterministic_sample(df.where(F.col("cls") == 0), "k", 0.5)
+    assert out.where(F.col("cls") == 0).select("k").exceptAll(plain.select("k")).count() == 0
+
+
+def test_knn_quantized_rerank_matches_exact(spark):
+    """int8 candidate scan + exact rerank recovers the exact top-k on this
+    corpus (quantization error ≪ neighbor gaps at candidates=3k)."""
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.operators.knn import (
+        knn,
+        knn_quantized_rerank,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    probe = (rng.randn(16) / 4.0).tolist()
+    exact = [r["vec_id"] for r in knn(df, probe, k=5, normalized=False).collect()]
+    reranked = [r["vec_id"] for r in knn_quantized_rerank(df, probe, k=5, candidates=15).collect()]
+    assert reranked == exact

@@ -198,3 +198,30 @@ def test_lsh_store_partition_pruning(spark, vec_df, tmp_path_factory):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_quantize_int8_roundtrip(spark):
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.vector import quantize_int8
+
+    vecs = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [127.0, -127.0, 1.0, -1.0]),
+        (2, [0.001, 0.002, -0.003, 0.0015]),
+    ]
+    df = spark.createDataFrame(vecs, ["id", "v"]).withColumn(
+        "v", F.col("v").cast("array<float>")
+    )
+    rows = {r["id"]: r for r in df.select("id", quantize_int8("v").alias("q")).collect()}
+    for vid, vals in vecs:
+        v = np.asarray(vals, dtype=np.float32).astype(np.float64)
+        scale = np.abs(v).max() / 127.0
+        q = np.clip(np.floor(v / scale + 0.5), -127, 127).astype(np.int64)
+        got = rows[vid]["q"]
+        assert got["scale"] == pytest.approx(scale, rel=1e-12)
+        assert list(got["q"]) == q.tolist()
+        mse = float(((v - q * scale) ** 2).mean())
+        assert got["mse"] == pytest.approx(mse, rel=1e-9, abs=1e-15)
+        # quantization bound: |x - q*scale| <= scale/2 everywhere
+        assert np.abs(v - q * scale).max() <= scale / 2 + 1e-12

@@ -10,23 +10,16 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
-    from govgis_nov2023_slim_spatial_server_spark.catalog import (
-        advanced,
-        relational,
-        spatial_mm,
-        vector_text,
-    )
 
-    modules = {
-        "relational": relational,
-        "vector_text": vector_text,
-        "spatial_mm": spatial_mm,
-        "advanced": advanced,
-    }
-    by_module: dict[str, list[str]] = {m: [] for m in modules}
+    # fixed display order for known modules; anything new lands at the end
+    # (every registered query is rendered — no silent drops)
+    order = ["relational", "vector_text", "spatial_mm", "advanced",
+             "pipeline", "sketches", "streaming"]
+    by_module: dict[str, list[str]] = {m: [] for m in order}
     for name, fn in QUERIES.items():
         mod = fn.__module__.rsplit(".", 1)[-1]
         by_module.setdefault(mod, []).append(name)
+    modules = [m for m in by_module if by_module[m]]
 
     out = [
         "# CATALOG — query inventory",
