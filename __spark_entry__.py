@@ -50,14 +50,14 @@ _DRIVER_PRIORITY = [
     "repetition_filter", "chunk_dedup_summary", "pii_redaction",
     "decontaminate_benchmark", "simhash_poly_signature",
     "embedding_quantize_int8", "stratified_sample_embeddings",
-    "knn_int8_rerank",
+    "knn_int8_rerank", "pack_sequences_512", "rolling_1h_user_stats",
     # r1's one hash failure, -0.0 fix applied
     "similarity_join_topk",
     # re-proof sample of r1-green entries (fills to slot 50; the entries
     # this rotation displaced are all r1-green, so the r1∪r2 union still
     # covers the whole catalog)
     "flagship_hybrid_search", "knn_topk", "minhash_neardup_oracle",
-    "minhash_lsh_neardup", "embedding_near_dup", "ngram_jaccard_topk",
+    "ngram_jaccard_topk",
 ]
 
 

@@ -301,3 +301,36 @@ def stratified_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(e, "vec_id", "label", _STRATA_FRACTIONS).select(
         "vec_id", "label"
     )
+
+
+@query(
+    "pack_sequences_512",
+    """
+    WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT shard, doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+           (cum - n_tokens) - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512 AS offset_in_seq,
+           CASE WHEN FLOOR((cum - 1) / 512.0) > FLOOR((cum - n_tokens) / 512.0)
+                THEN 1 ELSE 0 END::BIGINT AS spans_boundary
+    FROM c
+    """,
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token training rows over 8 shards
+    (operators/chunking.pack_sequences): concatenate-then-split layout with
+    per-shard cumulative sums — parallelism is the shard count, never one
+    global window."""
+    from ..functions.text import token_count
+    from ..operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", seq_tokens=512, shard_col="shard")

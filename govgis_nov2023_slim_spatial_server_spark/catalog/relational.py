@@ -915,3 +915,47 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "rolling_1h_user_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h,
+           FLOOR(SUM(value) OVER w * 100.0 / (COUNT(*) OVER w) + 0.5) / 100.0 AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user rolling stats via a RANGE frame over epoch
+    seconds (the time-based sibling of the ROWS running total): the frame is
+    value-bounded, so peers at the same second aggregate identically in any
+    engine. One shuffle on user_id; frames never cross users. The mean uses
+    floor(x·100 + 0.5)/100 instead of ROUND: 2-decimal inputs make exact
+    .005 halves COMMON, and ROUND-on-double resolves them differently per
+    engine — floor arithmetic is bit-identical everywhere."""
+    e = _t(spark, sf_dir, "events").withColumn("__es", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__es").asc())
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("__es").alias("es"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        (
+            F.floor(
+                F.sum("value").over(w) * F.lit(100.0) / F.count(F.lit(1)).over(w)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("avg_1h"),
+    )

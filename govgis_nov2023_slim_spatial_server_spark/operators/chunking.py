@@ -105,3 +105,42 @@ def chunk_sql(
     FROM c, (SELECT unnest(range(0, 1000)) AS i) ids
     WHERE i < n_chunks
     """
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    seq_tokens: int,
+    shard_col: str,
+) -> DataFrame:
+    """Concatenate-then-split sequence packing (the GPT-style batch shaper):
+    within each shard, documents are laid head-to-tail in ``id_col`` order
+    and cut into fixed ``seq_tokens`` training sequences; a document may
+    straddle a cut (``spans_boundary``).
+
+    Emits (shard, id, n_tokens, seq_id, offset_in_seq, spans_boundary) —
+    enough for a writer to materialize packed sequences without another
+    shuffle. The cumulative sum runs PER SHARD, so at 100 TB parallelism is
+    the shard count (shards don't coordinate; sequence ids are per-shard) —
+    never a single global window.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_col).over(w).cast("long")
+    start = cum - F.col(token_count_col)
+    seq = F.floor(start / F.lit(float(seq_tokens))).cast("long")
+    return df.select(
+        F.col(shard_col),
+        F.col(id_col),
+        F.col(token_count_col).cast("long").alias(token_count_col),
+        seq.alias("seq_id"),
+        (start - seq * seq_tokens).cast("long").alias("offset_in_seq"),
+        F.when(F.floor((cum - 1) / F.lit(float(seq_tokens))) > seq, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("spans_boundary"),
+    )

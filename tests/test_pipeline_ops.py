@@ -185,3 +185,20 @@ def test_knn_quantized_rerank_matches_exact(spark):
     exact = [r["vec_id"] for r in knn(df, probe, k=5, normalized=False).collect()]
     reranked = [r["vec_id"] for r in knn_quantized_rerank(df, probe, k=5, candidates=15).collect()]
     assert reranked == exact
+
+
+def test_pack_sequences_layout(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.chunking import pack_sequences
+
+    # one shard: docs of 300+300+100 tokens into 512-token sequences
+    df = spark.createDataFrame(
+        [(0, 0, 300), (1, 0, 300), (2, 0, 100)], ["doc_id", "shard", "n_tokens"]
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tokens", 512, "shard").collect()}
+    assert (rows[0]["seq_id"], rows[0]["offset_in_seq"], rows[0]["spans_boundary"]) == (0, 0, 0)
+    # doc 1 starts at 300, ends at 599 → straddles the 512 cut
+    assert (rows[1]["seq_id"], rows[1]["offset_in_seq"], rows[1]["spans_boundary"]) == (0, 300, 1)
+    # doc 2 starts at 600 → sequence 1, offset 88
+    assert (rows[2]["seq_id"], rows[2]["offset_in_seq"], rows[2]["spans_boundary"]) == (1, 88, 0)
+    # coverage: total tokens = 700 → last offset+len consistent
+    assert rows[2]["offset_in_seq"] + rows[2]["n_tokens"] == 700 - 512
