@@ -51,13 +51,13 @@ _DRIVER_PRIORITY = [
     "decontaminate_benchmark", "simhash_poly_signature",
     "embedding_quantize_int8", "stratified_sample_embeddings",
     "knn_int8_rerank", "pack_sequences_512", "rolling_1h_user_stats",
+    "multimodal_resize", "multimodal_frame_sample", "skewed_agg_salted",
     # r1's one hash failure, -0.0 fix applied
     "similarity_join_topk",
     # re-proof sample of r1-green entries (fills to slot 50; the entries
     # this rotation displaced are all r1-green, so the r1∪r2 union still
     # covers the whole catalog)
-    "flagship_hybrid_search", "knn_topk", "minhash_neardup_oracle",
-    "ngram_jaccard_topk",
+    "flagship_hybrid_search",
 ]
 
 

@@ -959,3 +959,34 @@ def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("avg_1h"),
     )
+
+
+@query(
+    "skewed_agg_salted",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS o_totalprice_count,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg) over the
+    heavily-skewed o_orderstatus key (one status dominates): phase 1 sprays
+    each hot group across 16 salted partials, phase 2 re-merges — the
+    result is salt-independent by construction, so the oracle is the plain
+    GROUP BY. Floating sums re-associate across salts, hence ROUND(2) on a
+    2-decimal-valued column (exact at any association)."""
+    from ..operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o, ["o_orderstatus"], {"o_totalprice": "sum", "o_totalprice2": "count"}, n_salts=16
+    )
+    # salted_agg names outputs <col>_<how>; count uses a dummy column name
+    return out.select(
+        "o_orderstatus",
+        F.col("o_totalprice2_count").alias("o_totalprice_count"),
+        F.round("o_totalprice_sum", 2).alias("price_sum"),
+    )

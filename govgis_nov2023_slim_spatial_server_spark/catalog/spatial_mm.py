@@ -258,3 +258,49 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.decode_image)."""
     d = _t(spark, sf_dir, "documents")
     return extract_byte_stats(with_binary_payload(d))
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             GREATEST(octet_length(encode(text)) % 640, 1) AS width,
+             GREATEST((octet_length(encode(text)) * 7) % 480, 1) AS height
+      FROM documents)
+    SELECT doc_id, width::BIGINT AS width, height::BIGINT AS height,
+           GREATEST(CAST(FLOOR(width * LEAST(64.0 / GREATEST(width, height), 1.0)) AS BIGINT), 1) AS thumb_w,
+           GREATEST(CAST(FLOOR(height * LEAST(64.0 / GREATEST(width, height), 1.0)) AS BIGINT), 1) AS thumb_h
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail math over the fake-decoded dimensions
+    (operators/multimodal.resize_thumbnails): two chained mapInPandas
+    stages — exactly the plumbing a real pixel-rescale kernel rides; the
+    arithmetic stand-in keeps the whole pipeline oracle-checkable."""
+    from ..operators.multimodal import resize_thumbnails
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_thumbnails(extract_byte_stats(with_binary_payload(d)), max_side=64)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           i AS frame_idx,
+           i * 100 AS frame_offset
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         (SELECT unnest(range(0, 8)) AS i) ix
+    WHERE i * 100 < n
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stride frame sampling over binary "video" payloads
+    (operators/multimodal.sample_frames): the 1→N mapInPandas fan-out shape
+    of keyframe extraction, capped at 8 frames per asset."""
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d), every_n_bytes=100, max_frames=8)
