@@ -52,12 +52,11 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8", "stratified_sample_embeddings",
     "knn_int8_rerank", "pack_sequences_512", "rolling_1h_user_stats",
     "multimodal_resize", "multimodal_frame_sample", "skewed_agg_salted",
-    # r1's one hash failure, -0.0 fix applied
+    "dedup_components",
+    # r1's one hash failure, -0.0 fix applied (slot 50; every displaced
+    # re-proof candidate is r1-green, so the r1∪r2 union covers the whole
+    # catalog — and flagship is re-proven by the driver's entry() smoke)
     "similarity_join_topk",
-    # re-proof sample of r1-green entries (fills to slot 50; the entries
-    # this rotation displaced are all r1-green, so the r1∪r2 union still
-    # covers the whole catalog)
-    "flagship_hybrid_search",
 ]
 
 

@@ -629,3 +629,43 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_quantized_rerank(e, PROBE_VEC, k=10, candidates=30)
     return out.select("vec_id", rnd_nz("dist", 4).alias("dist"))
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE c AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (a.nrm * b.nrm) >= 0.15),
+    e AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib AS s, ia AS d FROM p),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    reach(id, comp) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id)
+    SELECT id AS vec_id, MIN(comp) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: hash-min label-propagation connected
+    components (operators/components.connected_components) over the label-
+    blocked cosine pair table — the clustering step every production dedup
+    pipeline runs between pair generation and the keep-canonical write.
+    The oracle states the same fixpoint (component = min reachable id) as a
+    recursive transitive-closure CTE."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        e, id_col="vec_id", emb_col="embedding", threshold=0.15, block_col="label"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))

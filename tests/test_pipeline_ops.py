@@ -202,3 +202,24 @@ def test_pack_sequences_layout(spark):
     assert (rows[2]["seq_id"], rows[2]["offset_in_seq"], rows[2]["spans_boundary"]) == (1, 88, 0)
     # coverage: total tokens = 700 → last offset+len consistent
     assert rows[2]["offset_in_seq"] + rows[2]["n_tokens"] == 700 - 512
+
+
+def test_connected_components_chain_and_islands(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.components import (
+        connected_components,
+        dedup_groups_from_pairs,
+    )
+
+    # component A: chain 1-2-3-4 (diameter 3 forces multiple propagation
+    # rounds); component B: triangle 10-11-12; component C: pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a", "b"],
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges, "a", "b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    groups = {
+        r["comp"]: (r["n_members"], r["canonical_id"])
+        for r in dedup_groups_from_pairs(edges, "a", "b").collect()
+    }
+    assert groups == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
