@@ -41,7 +41,7 @@ def salted_agg(
             phase1_aggs.append(F.max(c).alias(f"__p_{c}"))
         else:
             raise ValueError(f"non-reaggregable agg {how}; compose it from sum/count")
-    partial = df_group = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
     phase2_aggs = []
     for c, how in aggs.items():
         merge = "sum" if how in ("count", "sum") else how
