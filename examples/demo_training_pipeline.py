@@ -1,0 +1,116 @@
+"""End-to-end LLM training-data pipeline demo over the driver corpus.
+
+Composes the engine's corpus-preparation operators in the order a real
+100 TB run chains them — each stage consumes the previous stage's
+DataFrame, so the whole thing is ONE lazy plan until the final write:
+
+  1. near-dup pair generation (label-blocked embedding cosine)
+  2. connected components → canonical doc per dup group
+  3. benchmark decontamination (8-gram broadcast semi-join)
+  4. quality + repetition filtering (Gopher rules, zero-shuffle)
+  5. PII redaction (map-only regexp scrub)
+  6. token-window chunking + keep-first chunk dedup (boilerplate removal)
+  7. sequence packing into fixed-token training rows (per-shard cumsum)
+
+    python examples/demo_training_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.functions.text import (
+    repetition_metrics,
+    quality_score,
+)
+from govgis_nov2023_slim_spatial_server_spark.operators.chunking import (
+    chunk_by_tokens,
+    dedup_chunks,
+    pack_sequences,
+)
+from govgis_nov2023_slim_spatial_server_spark.operators.components import (
+    dedup_groups_from_pairs,
+)
+from govgis_nov2023_slim_spatial_server_spark.operators.decontaminate import decontaminate
+from govgis_nov2023_slim_spatial_server_spark.operators.dedup import (
+    embedding_near_duplicates,
+)
+from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+from govgis_nov2023_slim_spatial_server_spark.session import get_spark
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n0 = docs.count()
+
+    # 1-2. near-dup pairs → components → drop every non-canonical member
+    pairs = embedding_near_duplicates(
+        embs, id_col="vec_id", emb_col="embedding", threshold=0.3, block_col="label"
+    )
+    groups = dedup_groups_from_pairs(pairs, "id_a", "id_b")
+    # members of each group except the canonical id
+    comp = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    keep_ids = groups.select(F.col("canonical_id").alias("doc_id"))
+    drop_ids = comp.join(keep_ids, "doc_id", "left_anti")
+    docs = docs.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+
+    # 3. decontamination against a held-out benchmark slice
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    corpus = decontaminate(corpus, bench, "doc_id", "text", ngram=8)
+
+    # 4. quality + repetition gates (all zero-shuffle scan expressions)
+    m = repetition_metrics(F.col("text"))
+    corpus = corpus.where(
+        (quality_score(F.col("text")) >= 0.3)
+        & (m["top_word_ratio"] <= 0.3)
+        & (m["distinct_ratio"] >= 0.4)
+    )
+
+    # 5. PII redaction (map-only)
+    corpus = corpus.withColumn(
+        "text", F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]")
+    )
+
+    # 6. chunk + boilerplate dedup
+    chunks = chunk_by_tokens(corpus, "doc_id", "text", chunk_tokens=64, overlap=0)
+    chunks = dedup_chunks(chunks)
+
+    # 7. pack into 512-token training sequences, 8 shards
+    packed = pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("unit_id"),
+            (F.col("doc_id") % 8).alias("shard"),
+            "n_tokens",
+        ),
+        "unit_id",
+        "n_tokens",
+        seq_tokens=512,
+        shard_col="shard",
+    )
+
+    n_seq = packed.agg(F.countDistinct("shard", "seq_id")).first()[0]
+    print(f"documents in          : {n0}")
+    print(f"after near-dup groups : {docs.count()}")
+    print(f"after decontamination : {corpus.count() + bench.count()} (incl. {bench.count()} benchmark)")
+    print(f"chunks after dedup    : {chunks.count()}")
+    print(f"packed sequences      : {n_seq} x 512 tokens over 8 shards")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
