@@ -69,3 +69,87 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (nanos ts → µs, same
+    conversion schemas.load_table applies on the batch side)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+@query(
+    "stream_interval_join_pairs",
+    """
+    SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts >= l.ts - INTERVAL 40 MINUTE AND r.ts <= l.ts
+    """,
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run BY THE STREAMING ENGINE:
+    purchases matched to same-user clicks in the 40 min before them. Inner
+    stream-stream joins emit pairs as they match (the watermark only bounds
+    join state), so the drained availableNow result equals the batch join —
+    which is exactly what the oracle states."""
+    from ..streaming.facade import streaming_interval_join
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = streaming_interval_join(
+        purchases, clicks, lookback="40 minutes", watermark="48 hours"
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_ij_{_SINK_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_dedup_user_type",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): per-key state lives only until the watermark
+    passes — the bounded-state form an unbounded 100 TB/day stream needs.
+    WHICH row survives per key is arrival-order-dependent, so the entry
+    emits only the key columns; the surviving KEY SET is deterministic and
+    equals batch SELECT DISTINCT."""
+    import tempfile
+
+    from ..streaming.facade import streaming_dedup
+
+    ev = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(ev, ["user_id", "event_type"], watermark="48 hours")
+    _SINK_SEQ[0] += 1
+    name = f"__stream_dedup_{_SINK_SEQ[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")

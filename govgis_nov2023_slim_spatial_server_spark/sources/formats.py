@@ -130,3 +130,53 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def upsert_partitioned_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str,
+) -> None:
+    """Keep-latest upsert into a partitioned parquet store — the daily-
+    incremental MERGE pattern without a table format: rows whose key already
+    exists are replaced iff the update's ``order_col`` is newer; new keys
+    append.
+
+    Scale shape: only the partitions the update batch TOUCHES are read back
+    and rewritten (partition pruning on the read, dynamic partition
+    overwrite on the write) — a day's increment against a 100 TB store costs
+    O(touched partitions), not O(store). The keep-latest winner is decided
+    by a window over (key) ordered by (order_col DESC, source DESC) with
+    updates preferred on ties — deterministic for idempotent re-runs.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    upd = updates.withColumn("__src", F.lit(1))
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .where(F.col(partition_col).isin(touched))
+            .withColumn("__src", F.lit(0))
+        )
+        merged = existing.unionByName(upd)
+    except Exception:  # first load: store doesn't exist yet
+        merged = upd
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    winners = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # localCheckpoint: the plan reads the same path it overwrites — cut the
+    # lineage so the write doesn't scan files it is replacing
+    winners.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)

@@ -99,3 +99,36 @@ def test_jdbc_writer_config_reaches_jdbc_path(spark):
     assert ("driver" in msg.lower()) or ("jdbc" in msg.lower())
     with pytest.raises(Exception):
         write_jdbc(df, "jdbc:postgresql://nohost:5432/db", "layers")
+
+
+def test_upsert_partitioned_parquet_keep_latest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.sources.formats import (
+        upsert_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p0"), (2, "b", 10, "p0"), (3, "c", 10, "p1")],
+        ["k", "v", "ver", "part"],
+    )
+    upsert_partitioned_parquet(spark, base, path, ["k"], "part", "ver")
+    # update k=2 (newer), stale update k=3 (older loses), insert k=4;
+    # partition p2 is new, p0 rewritten, p1 untouched by key 3's stale row
+    upd = spark.createDataFrame(
+        [(2, "b2", 20, "p0"), (3, "stale", 5, "p1"), (4, "d", 10, "p2")],
+        ["k", "v", "ver", "part"],
+    )
+    upsert_partitioned_parquet(spark, upd, path, ["k"], "part", "ver")
+    got = {
+        r["k"]: (r["v"], r["ver"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 10)}
+    # idempotent re-run: same update twice → same store (update wins tie)
+    upsert_partitioned_parquet(spark, upd, path, ["k"], "part", "ver")
+    again = {
+        r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
