@@ -669,3 +669,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS lev_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND a.p_partkey < 100
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit-distance ≤ 4) for entity-resolution-style
+    dedup: brand-blocked equi-join (never N² — same blocking discipline as
+    every near-dup operator here), then the native levenshtein filter on
+    candidates only. Probe block p_partkey < 100 bounds the graded pair
+    count; both engines' levenshtein implement the same unit-cost edit
+    distance."""
+    p = _t(spark, sf_dir, "part")
+    a = p.where(F.col("p_partkey") < 100).alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("__d", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .where(F.col("__d") <= 4)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("__d").cast("long").alias("lev_dist"),
+        )
+    )
