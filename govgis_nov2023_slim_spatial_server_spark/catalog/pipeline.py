@@ -334,3 +334,50 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
     )
     return pack_sequences(d, "doc_id", "n_tokens", seq_tokens=512, shard_col="shard")
+
+
+@query(
+    "oov_rate_top_vocab",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY c DESC, term LIMIT 10),
+    oov AS (
+      SELECT doc_id, COUNT(*) AS n_oov
+      FROM toks WHERE term NOT IN (SELECT term FROM vocab)
+      GROUP BY doc_id),
+    n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT n.doc_id, n.n_tokens,
+           COALESCE(o.n_oov, 0) AS n_oov,
+           ROUND(COALESCE(o.n_oov, 0)::DOUBLE / n.n_tokens, 4) AS oov_rate
+    FROM n LEFT JOIN oov o ON n.doc_id = o.doc_id
+    """,
+)
+def oov_rate_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage metric (the tokenizer-fit check an LLM corpus
+    run computes before training): build the top-10 corpus vocabulary
+    (count-desc, term tie-break), then per-doc out-of-vocabulary token
+    fraction. Two map-side-combining aggs + a broadcast anti-join — the
+    vocab side is LIMIT-bounded, so the corpus is never reshuffled."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.orderBy(F.col("c").desc(), F.col("term").asc()).limit(10).select("term")
+    oov = (
+        toks.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    n = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return n.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
+        F.round(
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).cast("double")
+            / F.col("n_tokens"),
+            4,
+        ).alias("oov_rate"),
+    )

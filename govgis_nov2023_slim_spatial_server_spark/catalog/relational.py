@@ -990,3 +990,39 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice2_count").alias("o_totalprice_count"),
         F.round("o_totalprice_sum", 2).alias("price_sum"),
     )
+
+
+def _checksum_sql() -> str:
+    from ..functions.text import _FP_MOD
+
+    h = (
+        f"(o_orderkey * 1000003 + o_custkey * 9176"
+        f" + CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 31) % {_FP_MOD}"
+    )
+    return f"""
+    SELECT COUNT(*) AS n_rows, bit_xor({h}) AS checksum
+    FROM orders
+    """
+
+
+@query("table_checksum_orders", _checksum_sql())
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum for cross-cluster data validation
+    (did the 100 TB copy/migration/upsert preserve every row?): XOR-fold of
+    a deterministic per-row hash. XOR is commutative/associative and never
+    overflows, so the result is identical under ANY partitioning or row
+    order — and cheap: one map-side-combining agg, 8-byte partials. The
+    per-term products are provably < 2^63 (ANSI-safe)."""
+    from ..functions.text import _FP_MOD
+
+    o = _t(spark, sf_dir, "orders")
+    h = F.pmod(
+        F.col("o_orderkey") * F.lit(1000003)
+        + F.col("o_custkey") * F.lit(9176)
+        + F.floor(F.col("o_totalprice") * 100).cast("long") * F.lit(31),
+        F.lit(_FP_MOD),
+    )
+    return o.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("checksum"),
+    )
