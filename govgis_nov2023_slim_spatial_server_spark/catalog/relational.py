@@ -1026,3 +1026,31 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(__h)").alias("checksum"),
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _profile_oracle_sql() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS col, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_v, CAST(MAX({c}) AS VARCHAR) AS max_v
+    FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    return arms
+
+
+@query("column_profile_orders", _profile_oracle_sql())
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling (operators/profile.profile_columns):
+    null/distinct/min/max for five orders columns in ONE scan — a single
+    aggregate emits every statistic, then a 1-row explode unpivots to
+    row-per-column (the oracle's UNION form rescans per column; the engine
+    does not). Profiled columns are integer/string so min/max stringify
+    identically across engines."""
+    from ..operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(o, _PROFILE_COLS)

@@ -223,3 +223,19 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup_groups_from_pairs(edges, "a", "b").collect()
     }
     assert groups == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
+
+
+def test_profile_columns_single_scan(spark):
+    from govgis_nov2023_slim_spatial_server_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], ["k", "s"]
+    )
+    got = {r["col"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert (got["k"]["n_rows"], got["k"]["n_nonnull"], got["k"]["n_distinct"]) == (4, 4, 3)
+    assert (got["k"]["min_v"], got["k"]["max_v"]) == ("1", "3")
+    assert (got["s"]["n_nonnull"], got["s"]["n_distinct"]) == (3, 2)
+    assert (got["s"]["min_v"], got["s"]["max_v"]) == ("a", "b")
+    # one scan: exactly one aggregate over the source, no union of scans
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("union") == 0
