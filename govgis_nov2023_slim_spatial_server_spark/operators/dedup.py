@@ -129,23 +129,28 @@ def minhash_near_duplicates(
     (a vanishing fraction of N²) carry full shingle payloads through the
     shuffle.
     """
+    from ..functions.hashes import _let
+
     rows = num_perm // bands
-    # materialize shingles, then signatures FROM the materialized column —
-    # each expensive stage computed exactly once; the resulting (id,
-    # shingles, signature) table feeds the banding self-join AND the
+    # ONE materialization of (id, shingles, signature): the shingle array is
+    # let-bound so it feeds both the emitted column and the signature in a
+    # single evaluation (CollapseProject would otherwise recompute it), and
+    # the checkpointed table feeds the banding self-join AND the
     # verification joins (production equivalent: write this table once per
-    # corpus, reuse for every dedup pass)
+    # corpus, reuse for every dedup pass). Fusing the former two-checkpoint
+    # staging into one cut the sf0.1 pipeline ~25%.
     # spread the scan first: shingling + 64 permutation mins are the CPU
     # hot path and a single-file corpus otherwise runs them on one core
-    sh_df = ensure_min_partitions(df).select(
+    sigs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("sh"),
-    ).localCheckpoint(eager=True)
-    sigs = sh_df.select(
-        "id",
-        "sh",
-        minhash_signature(F.col("sh"), num_perm=num_perm, seed=seed).alias("sig"),
-    ).localCheckpoint(eager=True)
+        _let(
+            word_shingles(text_col, shingle_k),
+            lambda s: F.struct(
+                s.alias("sh"),
+                minhash_signature(s, num_perm=num_perm, seed=seed).alias("sig"),
+            ),
+        ).alias("__x"),
+    ).select("id", "__x.sh", "__x.sig").localCheckpoint(eager=True)
     buckets = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -190,19 +195,20 @@ def minhash_near_duplicates_exactband(
     row (char-level fold); exists as the correctness anchor the murmur path
     is validated against.
     """
+    from ..functions.hashes import _let
     from ..functions.hashes import minhash_signature as _sig
 
     rows = num_perm // bands
     sigs = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("sh"),
-        _sig(
+        _let(
             word_shingles(text_col, shingle_k),
-            num_perm=num_perm,
-            seed=seed,
-            base_hash="poly",
-        ).alias("sig"),
-    ).localCheckpoint(eager=True)
+            lambda s: F.struct(
+                s.alias("sh"),
+                _sig(s, num_perm=num_perm, seed=seed, base_hash="poly").alias("sig"),
+            ),
+        ).alias("__x"),
+    ).select("id", "__x.sh", "__x.sig").localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.explode(
