@@ -153,3 +153,46 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+@query(
+    "stream_sliding_event_counts",
+    """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value FROM events
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1h/30min sliding windows computed BY THE STREAMING
+    ENGINE (each event fans out to two windows), availableNow drain in
+    complete mode; the oracle is the batch double-assignment SQL — same
+    contract as the tumbling entry, proving the sliding state shape too."""
+    from ..streaming.facade import streaming_tumbling_counts
+
+    ev = _events_stream(spark, sf_dir)
+    agg = streaming_tumbling_counts(
+        ev, duration="1 hour", watermark="2 hours", keys=None, slide="30 minutes"
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_sliding_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )

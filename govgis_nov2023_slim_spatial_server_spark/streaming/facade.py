@@ -36,16 +36,24 @@ def streaming_tumbling_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Windowed counts with a watermark bounding state for late data.
 
     Watermark semantics: events later than ``watermark`` behind the max
     seen ts are dropped and their windows finalized — this is what makes
-    unbounded-stream state finite at scale.
+    unbounded-stream state finite at scale. ``slide`` < duration turns the
+    tumbling windows into overlapping sliding windows (each event lands in
+    duration/slide windows).
     """
+    win = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide
+        else F.window(F.col(ts_col), duration)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *(keys or []))
+        .groupBy(win.alias("w"), *(keys or []))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
