@@ -3,15 +3,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed once as a warm-up-free wall-clock action (count()
-drives the full plan; results are not collected to the driver beyond the
-aggregate). Total = sum of per-query seconds.
+Each query runs in ≥3 round-robin passes; per-query MEDIAN wall-clock
+seconds are reported (count() drives the full plan; results are not
+collected to the driver beyond the aggregate). Total = sum of medians;
+"queries_spread" carries [min, max] per query so noise is visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,14 +70,28 @@ def main() -> None:
         pass
     ingest_sec = round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    # ≥3 round-robin passes, report per-query MEDIAN + spread: single-run
+    # numbers drifted 15-30% uniformly between r1 and r2 on untouched
+    # queries, so one sample cannot separate noise from regression
+    # (VERDICT r2 "Next round" #5). Round-robin (pass 1 all queries, then
+    # pass 2, ...) spaces repeats apart so adjacent-run cache adjacency
+    # doesn't flatter the medians.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(reps):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"# pass {rep + 1}: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -89,6 +105,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "reps": reps,
                 "spatial_store_build_sec": ingest_sec,
                 "sf": sf_val,
             }

@@ -309,8 +309,8 @@ def stratified_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
                FROM documents),
-    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    c AS (SELECT *, (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
           FROM t)
     SELECT shard, doc_id, n_tokens,
            CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,

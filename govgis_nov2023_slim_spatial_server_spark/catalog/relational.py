@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.topk import top_k
-from ..operators.windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+from ..operators.windows import (
+    floor_round,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
 from ..schemas import load_table
 from ._registry import query
 
@@ -307,7 +312,7 @@ def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select(
             "o_custkey",
@@ -619,7 +624,7 @@ def dedup_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value,
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1
@@ -633,7 +638,7 @@ def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            floor_round(F.sum("value"), 4).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         ],
     )
@@ -655,7 +660,7 @@ def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
     FROM assigned
     GROUP BY 1
     """,
@@ -683,14 +688,14 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
            CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
            CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -771,8 +776,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_year",
     """
     SELECT EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1
     """,
@@ -853,7 +858,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
@@ -896,7 +901,7 @@ def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(month FROM ts)::BIGINT AS m,
            EXTRACT(day FROM ts)::BIGINT   AS d,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
     FROM events
     GROUP BY ROLLUP (EXTRACT(year FROM ts), EXTRACT(month FROM ts), EXTRACT(day FROM ts))
     """,
@@ -912,7 +917,7 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("y", "m", "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            floor_round(F.sum("value"), 4).alias("sum_value"),
         )
     )
 

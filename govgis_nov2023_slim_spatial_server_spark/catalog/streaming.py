@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.windows import floor_round
 from ..streaming.facade import streaming_tumbling_counts
 from ._registry import query
 
@@ -26,7 +27,7 @@ _SINK_SEQ = [0]
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -48,7 +49,7 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     ev = src.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = streaming_tumbling_counts(
         ev, duration="1 hour", watermark="2 hours", keys=["event_type"]
@@ -67,7 +68,7 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_start_s"),
         "event_type",
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+        floor_round(F.col("sum_value"), 4).alias("sum_value"),
     )
 
 
@@ -84,7 +85,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @query(
@@ -165,7 +166,7 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
     FROM assigned
     GROUP BY 1
     """,
@@ -194,5 +195,5 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window_start").cast("long").alias("window_start_s"),
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+        floor_round(F.col("sum_value"), 4).alias("sum_value"),
     )

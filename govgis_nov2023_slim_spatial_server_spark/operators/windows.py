@@ -15,8 +15,20 @@ as the backstop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def floor_round(col: Column, digits: int = 4) -> Column:
+    """Half-up rounding via floor arithmetic: floor(x*10^d + 0.5)/10^d.
+
+    ROUND() resolves exact decimal halves differently per engine (Spark
+    half-up on doubles vs DuckDB round-half-even in some paths); floor
+    arithmetic is bit-identical on both, so oracle hashes can't diverge
+    on tie values. Keep the DuckDB oracle on the same FLOOR form.
+    """
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
 
 
 def tumbling_window_agg(
@@ -29,7 +41,7 @@ def tumbling_window_agg(
     """Fixed windows via native ``F.window`` (epoch-aligned buckets)."""
     aggs = aggs or [
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        floor_round(F.sum("value"), 4).alias("sum_value"),
     ]
     gb = [F.window(F.col(ts_col), duration).alias("w"), *(keys or [])]
     return (
@@ -52,7 +64,7 @@ def sliding_window_agg(
     """Overlapping windows — each event lands in duration/slide buckets."""
     aggs = aggs or [
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        floor_round(F.sum("value"), 4).alias("sum_value"),
     ]
     gb = [F.window(F.col(ts_col), duration, slide).alias("w"), *(keys or [])]
     return (
@@ -104,5 +116,5 @@ def session_window_agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        floor_round(F.sum("value"), 4).alias("sum_value"),
     )

@@ -42,6 +42,63 @@ def rows_to_multiset(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+# DuckDB types Spark can never emit — an oracle outputting one of these WILL
+# hash-mismatch on the driver even when the stringified values agree (r2's
+# three red rows were all uncast integer SUMs typed HUGEINT/int128).
+_UNEMITTABLE = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+# Spark simpleString dtype -> acceptable DuckDB column_type spellings.
+# Signed int widths <=64 are interchangeable: the driver's typed hash
+# accepted spark int vs oracle BIGINT (window_ntile_quartiles green r2,
+# window_rank_orders_per_customer green r1) while int128 demonstrably
+# fails — so only the width jump past 64 bits is gated.
+_INTS = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+_TYPE_OK = {
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+}
+
+
+def type_mismatches(con, sql, spark_schema) -> list[str]:
+    """Typed-gate: DESCRIBE the oracle (plan only) and flag any column whose
+    DuckDB type Spark cannot emit, or that disagrees with the Spark result's
+    dtype. The driver hashes TYPED values, so int128-vs-int64 (etc.) fails
+    there while stringified comparison passes locally — this closes that gap."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    otypes = {r[0]: r[1] for r in desc}
+    stypes = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    problems = []
+    for col, otype in otypes.items():
+        base = otype.upper()
+        if any(u in base for u in _UNEMITTABLE):
+            problems.append(f"{col}: oracle type {otype} is un-emittable by Spark")
+            continue
+        stype = stypes.get(col)
+        if stype is None:
+            continue  # column-name mismatch reported separately
+        if stype.startswith("decimal"):
+            ok = base.startswith("DECIMAL")
+        elif stype.startswith("array"):
+            ok = base.endswith("[]") or base.startswith("LIST")
+        elif stype.startswith(("struct", "map")):
+            ok = True  # not hash-compared structurally here
+        else:
+            ok = base in _TYPE_OK.get(stype, {base})
+        if not ok:
+            problems.append(f"{col}: spark {stype} vs oracle {otype}")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -63,7 +120,7 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = [args.query] if args.query else sorted(qs)
+    names = args.query.split(",") if args.query else sorted(qs)
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name in names:
@@ -82,6 +139,7 @@ def main() -> int:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
+            tprobs = type_mismatches(con, oracles[name], sdf.schema)
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -92,6 +150,9 @@ def main() -> int:
             continue
         ok = True
         msg = []
+        if tprobs:
+            ok = False
+            msg.append(f"typed-gate: {'; '.join(tprobs)}")
         if sorted(scols) != sorted(ocols):
             ok = False
             msg.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
