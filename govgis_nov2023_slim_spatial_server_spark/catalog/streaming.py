@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.windows import floor_round
+from ..schemas import load_table as _t
 from ..streaming.facade import streaming_tumbling_counts
 from ._registry import query
 
@@ -154,6 +155,62 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+@query(
+    "stream_stateful_running_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))::BIGINT / 100.0 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state run BY THE STREAMING ENGINE:
+    ``applyInPandasWithState`` running (count, sum) totals per user, state
+    checkpointed across micro-batches (streaming/stateful.py). The events
+    table is re-written as four ts-ranged files streamed one per trigger,
+    so the final emission per key really is state carried across four
+    micro-batches — and equals the batch GROUP BY, which is the oracle.
+    Sums accumulate exact integer cents (events.value is 2-decimal data),
+    making the total independent of batching order; the oracle applies the
+    identical per-value floor."""
+    import tempfile
+
+    from ..streaming.facade import read_events_stream
+    from ..streaming.stateful import running_totals_per_user
+
+    ev_batch = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="sstate_src_")
+    ev_batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+
+    stream = read_events_stream(
+        spark, src_dir, ev_batch.schema, max_files_per_trigger=1
+    )
+    out = running_totals_per_user(stream)
+    _SINK_SEQ[0] += 1
+    name = f"__stream_state_{_SINK_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sstate_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a key's row each batch it changes; n_events is
+    # strictly increasing per key, so max_by picks the final state
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
 
 
 @query(
