@@ -60,8 +60,9 @@ _DRIVER_PRIORITY = [
     "min_cost_supplier_per_nation", "collection_funcs_lineitem",
     "knn_topk", "embedding_near_dup", "vector_stats_by_label",
     "vector_centroids_by_label", "ngram_jaccard_topk",
-    "fingerprint_dup_groups", "token_counts", "doc_quality",
-    "lang_id_stopwords",
+    "fingerprint_dup_groups",
+    # new in r3: lexical-retrieval + corpus-QC operators
+    "bm25_keyword_search", "inverted_index_postings", "doc_length_outliers",
 ]
 
 

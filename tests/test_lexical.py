@@ -1,0 +1,80 @@
+"""BM25 / inverted-index / length-outlier tests on crafted corpora."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import (
+    _BM25_B,
+    _BM25_K1,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "join join join filter small table"),
+        (2, "vector scan batch row column"),
+        (3, "filter filter join merge hash hash hash"),
+        (4, "the a of and or not none here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def _bm25_hand(tf, df, n, dl, avgdl):
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * (_BM25_K1 + 1) / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(spark, corpus, monkeypatch, tmp_path):
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import bm25_keyword_search
+
+    out = {r["doc_id"]: r["bm25"] for r in bm25_keyword_search(spark, str(tmp_path)).collect()}
+    # terms: join (df=2: docs 1,3), filter (df=2: docs 1,3), vector (df=1: doc 2)
+    dls = {1: 6, 2: 5, 3: 7, 4: 8}
+    avgdl = sum(dls.values()) / 4
+    exp1 = _bm25_hand(3, 2, 4, 6, avgdl) + _bm25_hand(1, 2, 4, 6, avgdl)
+    exp2 = _bm25_hand(1, 1, 4, 5, avgdl)
+    exp3 = _bm25_hand(1, 2, 4, 7, avgdl) + _bm25_hand(2, 2, 4, 7, avgdl)
+    assert out[1] == pytest.approx(exp1, abs=1e-4)
+    assert out[2] == pytest.approx(exp2, abs=1e-4)
+    assert out[3] == pytest.approx(exp3, abs=1e-4)
+    assert 4 not in out  # no query terms -> never scored
+
+
+def test_inverted_index_postings_sorted_and_complete(spark, corpus, tmp_path):
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from govgis_nov2023_slim_spatial_server_spark.operators import __name__ as _  # noqa: F401
+    from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import inverted_index_postings
+
+    # df threshold 395 excludes everything in a 4-doc corpus
+    assert inverted_index_postings(spark, str(tmp_path)).count() == 0
+    # rebuild without the threshold to check posting-list shape
+    from govgis_nov2023_slim_spatial_server_spark.functions.text import tokens
+
+    pairs = corpus.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")).distinct()
+    idx = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    got = {r["term"]: (r["df"], r["postings"]) for r in idx.collect()}
+    assert got["join"] == (2, [1, 3])
+    assert got["filter"] == (2, [1, 3])
+    assert got["vector"] == (1, [2])
+    for term, (df, postings) in got.items():
+        assert df == len(postings) == len(set(postings))
+        assert postings == sorted(postings)
+
+
+def test_doc_length_outliers_tails_only(spark, tmp_path):
+    # 20 docs of length 10, one of length 1, one of length 50
+    rows = [(i, " ".join(["w"] * 10)) for i in range(20)]
+    rows += [(100, "tiny"), (101, " ".join(["w"] * 50))]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import doc_length_outliers
+
+    out = {r["doc_id"]: (r["n_tokens"], r["side"]) for r in doc_length_outliers(spark, str(tmp_path)).collect()}
+    assert out == {100: (1, "short"), 101: (50, "long")}
