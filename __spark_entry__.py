@@ -60,9 +60,9 @@ _DRIVER_PRIORITY = [
     "min_cost_supplier_per_nation", "collection_funcs_lineitem",
     "knn_topk", "embedding_near_dup", "vector_stats_by_label",
     "vector_centroids_by_label", "ngram_jaccard_topk",
-    "fingerprint_dup_groups",
-    # new in r3: lexical-retrieval + corpus-QC operators
+    # new in r3: lexical retrieval, corpus QC, event-sequence analytics
     "bm25_keyword_search", "inverted_index_postings", "doc_length_outliers",
+    "funnel_view_click_purchase",
 ]
 
 

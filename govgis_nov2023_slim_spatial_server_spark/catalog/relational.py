@@ -967,6 +967,65 @@ def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT 1::BIGINT AS step, 'view' AS step_name, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2::BIGINT, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3::BIGINT, 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click —
+    per-step reached-user counts (the MATCH_RECOGNIZE-lite every event
+    analytics stack needs).
+
+    Scale shape: three conditional min-aggs chained by co-partitioned
+    user_id equi-joins — the SAME shuffle key throughout, so at 100 TB one
+    repartition(user_id) co-locates every stage; no window over the full
+    event stream, no per-user event collection."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _step(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return _step(v, 1, "view").unionAll(_step(c, 2, "click")).unionAll(
+        _step(p, 3, "purchase")
+    )
+
+
+@query(
     "skewed_agg_salted",
     """
     SELECT o_orderstatus,

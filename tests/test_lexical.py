@@ -78,3 +78,33 @@ def test_doc_length_outliers_tails_only(spark, tmp_path):
 
     out = {r["doc_id"]: (r["n_tokens"], r["side"]) for r in doc_length_outliers(spark, str(tmp_path)).collect()}
     assert out == {100: (1, "short"), 101: (50, "long")}
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, minute, uid, etype):
+        return (eid, base + datetime.timedelta(minutes=minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 9, 1, "purchase"),
+        # user 2: click BEFORE view -> stops at view step
+        ev(4, 5, 2, "view"), ev(5, 1, 2, "click"), ev(6, 9, 2, "purchase"),
+        # user 3: view+click ordered, purchase before click -> stops at click
+        ev(7, 0, 3, "view"), ev(8, 5, 3, "click"), ev(9, 2, 3, "purchase"),
+        # user 4: never viewed -> not in funnel at all
+        ev(10, 0, 4, "click"), ev(11, 5, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from govgis_nov2023_slim_spatial_server_spark.catalog.relational import funnel_view_click_purchase
+
+    got = {r["step_name"]: r["n_users"] for r in funnel_view_click_purchase(spark, str(tmp_path)).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
