@@ -59,10 +59,10 @@ _DRIVER_PRIORITY = [
     "distinct_multi_agg_orders", "argmax_order_per_status",
     "min_cost_supplier_per_nation", "collection_funcs_lineitem",
     "knn_topk", "embedding_near_dup", "vector_stats_by_label",
-    "vector_centroids_by_label", "ngram_jaccard_topk",
-    # new in r3: lexical retrieval, corpus QC, event-sequence analytics
+    "ngram_jaccard_topk",
+    # new in r3: lexical retrieval, corpus QC, event analytics, mix control
     "bm25_keyword_search", "inverted_index_postings", "doc_length_outliers",
-    "funnel_view_click_purchase",
+    "funnel_view_click_purchase", "domain_mixture_weights",
 ]
 
 

@@ -882,3 +882,45 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "domain_mixture_weights",
+    """
+    WITH c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label),
+    t AS (SELECT SUM(n_vecs)::DOUBLE AS total, COUNT(*)::DOUBLE AS k FROM c)
+    SELECT label, n_vecs,
+           FLOOR(n_vecs / total * 1000000.0 + 0.5) / 1000000.0 AS actual_share,
+           FLOOR((total / k) / n_vecs * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM c, t
+    ORDER BY label
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-domain (label) sampling weights
+    that rebalance the corpus to a uniform target mix — weight =
+    target_count / actual_count, the multiplier a data loader applies per
+    domain (DoReMi-style mixture control, uniform target).
+
+    Floor-rounded to 6 decimals on both engines (shares of a power-of-ten
+    corpus land on exact decimal ties, the class ROUND() resolves
+    differently per engine). Scale shape: one map-combining count per
+    domain — domains number in the hundreds however big the corpus — then
+    the totals broadcast back onto that tiny table. Nothing heavier than
+    the count shuffle ever runs."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    t = c.agg(
+        F.sum("n_vecs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            "n_vecs",
+            (F.floor(F.col("n_vecs") / F.col("total") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("actual_share"),
+            (F.floor(F.col("total") / F.col("k") / F.col("n_vecs") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("weight"),
+        )
+        .orderBy("label")
+    )

@@ -108,3 +108,17 @@ def test_funnel_strict_ordering(spark, tmp_path):
 
     got = {r["step_name"]: r["n_users"] for r in funnel_view_click_purchase(spark, str(tmp_path)).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_domain_mixture_weights_uniform_target(spark, tmp_path):
+    rows = [(i, [0.0] * 4, i % 4 if i < 80 else 4) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import domain_mixture_weights
+
+    got = {r["label"]: r for r in domain_mixture_weights(spark, str(tmp_path)).collect()}
+    # labels 0-3 have 20 docs each, label 4 has 20 -> uniform already
+    for label, r in got.items():
+        assert r["n_vecs"] == 20
+        assert r["actual_share"] == 0.2
+        assert r["weight"] == 1.0
