@@ -7,10 +7,12 @@ DataFrame, so the whole thing is ONE lazy plan until the final write:
   1. near-dup pair generation (label-blocked embedding cosine)
   2. connected components → canonical doc per dup group
   3. benchmark decontamination (8-gram broadcast semi-join)
-  4. quality + repetition filtering (Gopher rules, zero-shuffle)
-  5. PII redaction (map-only regexp scrub)
-  6. token-window chunking + keep-first chunk dedup (boilerplate removal)
-  7. sequence packing into fixed-token training rows (per-shard cumsum)
+  4. corpus-relative length gate (exact p05/p95 band, broadcast fences)
+  5. quality + repetition filtering (Gopher rules, zero-shuffle)
+  6. PII redaction (map-only regexp scrub)
+  7. token-window chunking + keep-first chunk dedup (boilerplate removal)
+  8. sequence packing into fixed-token training rows (per-shard cumsum)
+  9. domain-mixture weights for the loader (uniform target)
 
     python examples/demo_training_pipeline.py [sf_dir]
 """
@@ -73,7 +75,21 @@ def main() -> None:
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     corpus = decontaminate(corpus, bench, "doc_id", "text", ngram=8)
 
-    # 4. quality + repetition gates (all zero-shuffle scan expressions)
+    # 4. corpus-relative length gate: drop the p05/p95 token-count tails
+    lengths = corpus.withColumn(
+        "__n", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    )
+    fences = lengths.agg(
+        F.percentile("__n", F.lit(0.05)).alias("lo"),
+        F.percentile("__n", F.lit(0.95)).alias("hi"),
+    )
+    corpus = (
+        lengths.crossJoin(F.broadcast(fences))
+        .where((F.col("__n") >= F.col("lo")) & (F.col("__n") <= F.col("hi")))
+        .drop("__n", "lo", "hi")
+    )
+
+    # 5. quality + repetition gates (all zero-shuffle scan expressions)
     m = repetition_metrics(F.col("text"))
     corpus = corpus.where(
         (quality_score(F.col("text")) >= 0.3)
@@ -81,16 +97,16 @@ def main() -> None:
         & (m["distinct_ratio"] >= 0.4)
     )
 
-    # 5. PII redaction (map-only)
+    # 6. PII redaction (map-only)
     corpus = corpus.withColumn(
         "text", F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]")
     )
 
-    # 6. chunk + boilerplate dedup
+    # 7. chunk + boilerplate dedup
     chunks = chunk_by_tokens(corpus, "doc_id", "text", chunk_tokens=64, overlap=0)
     chunks = dedup_chunks(chunks)
 
-    # 7. pack into 512-token training sequences, 8 shards
+    # 8. pack into 512-token training sequences, 8 shards
     packed = pack_sequences(
         chunks.select(
             (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("unit_id"),
@@ -103,12 +119,27 @@ def main() -> None:
         shard_col="shard",
     )
 
+    # 9. loader-side mixture weights (uniform target across labels)
+    by_label = (
+        corpus.join(embs.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = by_label.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    weights = by_label.crossJoin(F.broadcast(tot)).select(
+        "label", "n", F.round(F.col("total") / F.col("k") / F.col("n"), 4).alias("weight")
+    )
+
     n_seq = packed.agg(F.countDistinct("shard", "seq_id")).first()[0]
     print(f"documents in          : {n0}")
     print(f"after near-dup groups : {docs.count()}")
     print(f"after decontamination : {corpus.count() + bench.count()} (incl. {bench.count()} benchmark)")
     print(f"chunks after dedup    : {chunks.count()}")
     print(f"packed sequences      : {n_seq} x 512 tokens over 8 shards")
+    print("mixture weights       :", {r["label"]: r["weight"] for r in weights.collect()})
     spark.stop()
 
 
