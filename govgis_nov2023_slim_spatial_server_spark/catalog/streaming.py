@@ -254,3 +254,62 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         floor_round(F.col("sum_value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "stream_session_user_totals",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows run BY THE STREAMING ENGINE
+    (``F.session_window`` + watermark, availableNow drain in complete
+    mode): per-(user, session) event counts and value sums. Session-window
+    boundary semantics MERGE an event landing exactly at the previous
+    window's end (a new session needs gap STRICTLY greater than the
+    timeout — proven in tests/test_streaming.py's boundary test), matching
+    the batch sessionizer's > comparison, so the oracle reuses the same
+    gap-and-islands form. Sessions are identified by their start time
+    rather than an ordinal so no cross-engine session-numbering is
+    needed."""
+    from ..streaming.facade import streaming_session_counts
+
+    ev = _events_stream(spark, sf_dir)
+    agg = streaming_session_counts(
+        ev, gap="30 minutes", watermark="48 hours"
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_sess_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_s"),
+        "n_events",
+        floor_round(F.col("sum_value"), 4).alias("sum_value"),
+    )

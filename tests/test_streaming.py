@@ -125,3 +125,29 @@ def test_streaming_dedup(spark, event_files, tmp_path):
     # exactly one surviving row per user key
     assert {r["user_id"] for r in rows} == {0, 1, 2, 3, 4}
     assert all(r["n"] == 1 for r in rows)
+
+
+def test_session_window_gap_boundary_merges(spark):
+    """An event exactly `gap` after the previous one MERGES into the same
+    session — a new session needs a gap STRICTLY greater than the timeout.
+    This pins the semantics the stream_session_user_totals oracle encodes
+    with the same > comparison as the batch sessionizer."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "t", 1.0),
+        (2, base + datetime.timedelta(seconds=1800), 1, "t", 1.0),  # == gap
+        (3, base + datetime.timedelta(seconds=1800 + 900), 1, "t", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in out) == [3]  # boundary event merges
