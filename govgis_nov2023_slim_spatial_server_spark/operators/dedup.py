@@ -133,24 +133,33 @@ def minhash_near_duplicates(
 
     rows = num_perm // bands
     # ONE materialization of (id, shingles, signature): the shingle array is
-    # let-bound so it feeds both the emitted column and the signature in a
+    # let-bound so it feeds both the emitted column and the base hashes in a
     # single evaluation (CollapseProject would otherwise recompute it), and
     # the checkpointed table feeds the banding self-join AND the
     # verification joins (production equivalent: write this table once per
-    # corpus, reuse for every dedup pass). Fusing the former two-checkpoint
-    # staging into one cut the sf0.1 pipeline ~25%.
-    # spread the scan first: shingling + 64 permutation mins are the CPU
-    # hot path and a single-file corpus otherwise runs them on one core
-    sigs = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"),
-        _let(
-            word_shingles(text_col, shingle_k),
-            lambda s: F.struct(
-                s.alias("sh"),
-                minhash_signature(s, num_perm=num_perm, seed=seed).alias("sig"),
-            ),
-        ).alias("__x"),
-    ).select("id", "__x.sh", "__x.sig").localCheckpoint(eager=True)
+    # corpus, reuse for every dedup pass). The 64 permutation mins run in
+    # the Arrow kernel (bit-identical to the native form, ~2x faster; see
+    # functions/hashes.minhash_signature_arrow).
+    # spread the scan first: shingling + base hashing + permutations are
+    # the CPU hot path and a single-file corpus otherwise runs them on one
+    # core
+    from ..functions.hashes import base_hash_array, minhash_signature_arrow
+
+    sig_udf = minhash_signature_arrow(num_perm=num_perm, seed=seed)
+    sigs = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _let(
+                word_shingles(text_col, shingle_k),
+                lambda s: F.struct(
+                    s.alias("sh"), base_hash_array(s).alias("bh")
+                ),
+            ).alias("__x"),
+        )
+        .select("id", "__x.sh", sig_udf(F.col("__x.bh")).alias("sig"))
+        .localCheckpoint(eager=True)
+    )
     buckets = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

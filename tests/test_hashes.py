@@ -155,3 +155,36 @@ def test_simhash_poly_matches_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), t
+
+
+def test_arrow_minhash_matches_native(spark):
+    """The Arrow-vectorized signature kernel must be BIT-identical to the
+    native HOF formulation — same universal-hash family, same draws."""
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import (
+        base_hash_array,
+        minhash_signature,
+        minhash_signature_arrow,
+        word_shingles,
+        _let,
+    )
+
+    rows = [(1, "a b c d e f g"), (2, "x y z"), (3, ""), (4, "a b c d e f g h i")]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    both = df.select(
+        "id",
+        _let(
+            word_shingles("text", 3),
+            lambda s: F.struct(
+                minhash_signature(s, num_perm=16, seed=7).alias("native"),
+                base_hash_array(s).alias("bh"),
+            ),
+        ).alias("x"),
+    ).select(
+        "id",
+        F.col("x.native").alias("native"),
+        minhash_signature_arrow(num_perm=16, seed=7)(F.col("x.bh")).alias("arrow"),
+    )
+    for r in both.collect():
+        assert r["native"] == r["arrow"], r["id"]
