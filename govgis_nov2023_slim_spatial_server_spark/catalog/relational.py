@@ -1118,3 +1118,34 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return profile_columns(o, _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------------
+# SQL-string surface (spark.sql over registered temp views)
+# --------------------------------------------------------------------------
+
+_SQL_SURFACE_Q = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_surface_pricing", _SQL_SURFACE_Q)
+def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string entry point: `schemas.register_temp_views`
+    exposes every driver table as a temp view and the IDENTICAL SQL text
+    runs on spark.sql and on the DuckDB oracle — one string, two engines,
+    same rows. Proves a reference user who writes SQL (the reference's
+    only query interface is a SQL string, reference backend/models.py:186)
+    can hand that string to this engine and get the same Catalyst plan
+    quality as the DataFrame API (same filter pushdown + partial aggs;
+    Catalyst compiles both to the same physical plan shape)."""
+    from ..schemas import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE_Q)

@@ -122,3 +122,32 @@ def test_domain_mixture_weights_uniform_target(spark, tmp_path):
         assert r["n_vecs"] == 20
         assert r["actual_share"] == 0.2
         assert r["weight"] == 1.0
+
+
+def test_sql_surface_matches_dataframe_api(spark):
+    """The same logical query via spark.sql and the DataFrame API returns
+    identical rows — one Catalyst, two front-ends."""
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog.relational import sql_surface_pricing
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_rows"], r["sum_qty"], r["sum_disc_price"])
+        for r in sql_surface_pricing(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exp = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_rows"], r["sum_qty"], r["sum_disc_price"])
+        for r in (
+            li.where(F.col("l_shipdate") >= F.lit("1995-07-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            )
+        ).collect()
+    }
+    assert got == exp
