@@ -924,3 +924,48 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "corpus_stats_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT term) AS vocab_size,
+           FLOOR(COUNT(*) / (SELECT COUNT(*)::DOUBLE FROM documents) * 10000.0 + 0.5)
+             / 10000.0 AS avg_doc_tokens,
+           FLOOR(COUNT(DISTINCT term) / COUNT(*)::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS type_token_ratio
+    FROM toks
+    """,
+)
+def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card: document count, token count, vocabulary size,
+    mean document length, type-token ratio — the summary a pipeline
+    publishes with every training-data snapshot.
+
+    Scale shape: one scan + one count-distinct shuffle on the term (the
+    only non-map-side piece; swap in approx_count_distinct at 100 TB and
+    drop the oracle); everything else reduces to single scalars."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    n_docs = d.count()  # scalar: one tiny count, reused in two ratios
+    return toks.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("vocab_size"),
+        (
+            F.floor(F.count(F.lit(1)) / F.lit(float(n_docs)) * 10000.0 + F.lit(0.5))
+            / 10000.0
+        ).alias("avg_doc_tokens"),
+        (
+            F.floor(
+                F.countDistinct("term") / F.count(F.lit(1)).cast("double") * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("type_token_ratio"),
+    )
