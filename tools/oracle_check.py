@@ -78,20 +78,32 @@ def type_mismatches(con, sql, spark_schema) -> list[str]:
     otypes = {r[0]: r[1] for r in desc}
     stypes = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     problems = []
+    for col, stype in stypes.items():
+        # The driver canonicalizes results through a pandas sort — a list/
+        # struct/map cell is unhashable there and crashes the comparator
+        # (r3's inverted_index_postings red row). Nested output columns must
+        # be serialized (concat_ws / to_json) before they leave the query.
+        if stype.startswith(("array", "struct", "map")):
+            problems.append(
+                f"{col}: spark output type {stype} is nested — the driver "
+                "comparator cannot sort/hash it; serialize to string"
+            )
     for col, otype in otypes.items():
         base = otype.upper()
         if any(u in base for u in _UNEMITTABLE):
             problems.append(f"{col}: oracle type {otype} is un-emittable by Spark")
+            continue
+        if base.endswith("[]") or base.startswith(("LIST", "STRUCT", "MAP")):
+            problems.append(
+                f"{col}: oracle type {otype} is nested — the driver "
+                "comparator cannot sort/hash it; serialize to string"
+            )
             continue
         stype = stypes.get(col)
         if stype is None:
             continue  # column-name mismatch reported separately
         if stype.startswith("decimal"):
             ok = base.startswith("DECIMAL")
-        elif stype.startswith("array"):
-            ok = base.endswith("[]") or base.startswith("LIST")
-        elif stype.startswith(("struct", "map")):
-            ok = True  # not hash-compared structurally here
         else:
             ok = base in _TYPE_OK.get(stype, {base})
         if not ok:
