@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import floor_round
 from ..schemas import load_table as _t
+from ..schemas import normalize_events_ts
 from ..streaming.facade import streaming_tumbling_counts
 from ._registry import query
 
@@ -39,19 +40,7 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against the plain batch SQL the oracle runs. Proves the
     streaming plan computes the same answer as batch on a bounded input —
     Structured Streaming's core contract."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events_stream(spark, sf_dir)
     agg = streaming_tumbling_counts(
         ev, duration="1 hour", watermark="2 hours", keys=["event_type"]
     )
@@ -74,19 +63,23 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (nanos ts → µs, same
-    conversion schemas.load_table applies on the batch side)."""
+    """File-source stream over the events table.
+
+    The stream schema is taken from a batch read of the SAME file — a
+    hardcoded schema silently misreads when the testdata's physical ts
+    type changes (long-ns vs µs TIMESTAMP_NTZ have both shipped), because
+    the parquet reader will happily surface an int64 µs column through a
+    ``ts long`` schema. Then the same batch-side ts normalization applies
+    (schemas.normalize_events_ts), so stream and batch see identical µs
+    timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(src)
 
 
 @query(

@@ -79,21 +79,40 @@ DRIVER_TABLES = [
 ]
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to a session-zone (UTC) µs timestamp.
+
+    The driver testdata has shipped two physical shapes for this column:
+    parquet TIMESTAMP(NANOS) — which Spark reads as a long of nanoseconds
+    under ``spark.sql.legacy.parquet.nanosAsLong`` — and plain µs
+    TIMESTAMP_NTZ. Both collapse here to one downstream shape so every
+    ``cast("long")`` (epoch seconds) and window expression keeps working.
+    ns → µs uses integer division (truncation), matching DuckDB's ns→µs
+    coercion; NTZ → LTZ is value-preserving because the session zone is
+    pinned to UTC (session.get_spark).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain parquet scan → Catalyst gets pushdown,
     pruning, and the vectorized reader for free.
 
-    `events.ts` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
-    nanoseconds and is converted here to a µs timestamp — the same
-    truncation DuckDB applies, so oracle comparisons see identical values.
+    `events.ts` arrives as long-ns or µs TIMESTAMP_NTZ depending on the
+    testdata generation; `normalize_events_ts` collapses both to a µs
+    timestamp — the same values DuckDB sees, so oracle comparisons agree.
     """
     if name == "events":
         # must be set on whatever session the driver hands us, not only ours
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 
