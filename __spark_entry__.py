@@ -23,46 +23,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01/r02), so insertion order
-# decides which queries get correctness rows. r3 prefix: the 7 entries
-# added after r2's prefix froze, this round's new stateful-streaming
-# entry, the 3 r2 hash-failures re-fixed (HUGEINT oracle casts), the 7
-# entries whose semantics changed this round (FLOOR-form rounding,
-# ns→µs integer division, int64 window casts), then a re-proof rotation
-# of r1-greens not re-proven since r1. Across r1∪r2∪r3 every oracle-
-# checked catalog entry has at least one driver row.
+# (verified key-by-key against CORRECTNESS_r01..r03), so insertion order
+# decides which queries get correctness rows. r4 prefix: the 3 entries
+# added after r3's prefix froze, the 9 entries new this round, the one
+# r3 failure re-fixed (inverted_index_postings — nested posting list now
+# string-serialized), then the re-proof rotation: every oracle-checked
+# entry last proven in r1, then the oldest r2 greens (events-reading
+# ones first — the events.ts physical type changed this round and the
+# loader was adapted). After r4 the r1..r4 union covers all entries and
+# no oracle-checked entry's latest proof is older than r2.
 _DRIVER_PRIORITY = [
-    # never driver-checked (added after the r2 prefix froze)
-    "fuzzy_match_levenshtein", "oov_rate_top_vocab",
-    "table_checksum_orders", "column_profile_orders",
-    "stream_interval_join_pairs", "stream_dedup_user_type",
-    "stream_sliding_event_counts",
-    # new in r3
-    "stream_stateful_running_totals",
-    # r2 hash-fails, oracle SUMs cast to BIGINT
-    "q12_priority_by_year", "session_windows_30m", "pack_sequences_512",
-    # touched this round: ROUND→FLOOR oracles, ts div conversion, casts
-    "tumbling_window_1h", "sliding_window_1h_30m",
-    "stream_tumbling_event_counts", "time_hierarchy_rollup",
-    "rolling_1h_user_stats", "window_ntile_quartiles",
-    "window_rank_orders_per_customer",
-    # re-proof rotation: r1-greens never re-proven since r1
-    "flagship_hybrid_search", "map_funcs_events",
-    "join_range_events_orders", "window_lag_lead_events",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
-    "agg_distinct_stats", "agg_rollup_region_nation",
-    "agg_cube_status_priority", "grouping_sets_status_priority",
-    "pivot_status_priority", "unpivot_lineitem_measures",
-    "join_semi_customers_with_orders", "join_anti_customers_no_orders",
-    "join_outer_order_counts", "full_outer_join_counts",
-    "window_running_total", "percentiles_by_status",
-    "distinct_multi_agg_orders", "argmax_order_per_status",
-    "min_cost_supplier_per_nation", "collection_funcs_lineitem",
-    "knn_topk", "embedding_near_dup", "vector_stats_by_label",
-    "ngram_jaccard_topk",
-    # new in r3: lexical retrieval, corpus QC, event analytics, mix control
-    "bm25_keyword_search", "inverted_index_postings", "doc_length_outliers",
-    "funnel_view_click_purchase", "domain_mixture_weights",
+    # never driver-checked (added after the r3 prefix froze)
+    "stream_session_user_totals", "sql_surface_pricing",
+    "corpus_stats_documents",
+    # new in r4: n-gram/corpus statistics, curriculum + dedup reporting,
+    # clustering step, robust stats, relative-standing windows, cohorts
+    "bigram_top_counts", "zipf_slope_unigrams", "quality_curriculum_buckets",
+    "dedup_retention_summary", "kmeans_assign_step",
+    "mad_totalprice_by_status", "window_percent_rank_prices",
+    "user_retention_cohorts", "token_length_histogram",
+    # r3 comparator crash re-fixed (postings serialized to string)
+    "inverted_index_postings",
+    # re-proof: oracle-checked entries last proven in r1
+    "token_counts", "doc_quality", "lang_id_stopwords",
+    "fingerprint_dup_groups", "vector_centroids_by_label",
+    "minhash_neardup_oracle", "char_ngram_counts", "stopword_ratio_en",
+    "collect_sorted_priorities", "case_when_discount_buckets",
+    "cross_join_region_nation", "having_populous_nations",
+    "exists_correlated_bigqty", "scalar_subquery_above_avg",
+    "knn_euclidean", "dot_product_ranking", "explode_embedding_dims",
+    # re-proof: oldest r2 greens, events-reading entries first
+    "asof_join_purchase_signup", "dedup_first_event_per_key",
+    "json_extract_events",
+    "q4_priority_with_late_items", "q6_revenue_forecast",
+    "q14_economy_revenue_share", "similarity_join_topk",
+    "embedding_near_dup_blocked", "embedding_quantize_int8",
+    "knn_int8_rerank", "dedup_components", "simhash_poly_signature",
+    "chunk_documents_tokens", "chunk_dedup_summary", "pii_redaction",
+    "decontaminate_benchmark", "tfidf_top_terms", "spatial_point_filter",
+    "multimodal_byte_stats", "html_to_markdown",
 ]
 
 

@@ -534,3 +534,93 @@ def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", key).alias("top_orderkey"),
         F.min_by("o_orderkey", key).alias("bottom_orderkey"),
     )
+
+
+@query(
+    "kmeans_assign_step",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cemb) AS dist
+      FROM embeddings e CROSS JOIN c),
+    a AS (
+      SELECT vec_id, cid, dist FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+    SELECT cid, COUNT(*) AS n_assigned, ROUND(AVG(dist), 4) AS avg_dist
+    FROM a GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd E-step: assign every embedding to its nearest of k=8
+    centroids (seeded deterministically as the vectors with vec_id 1..8 —
+    k-means|| at scale, but a data-derived seed keeps the oracle exact),
+    reporting per-cluster membership count and mean L2 distance. Combined
+    with vector_centroids_by_label (the M-step mean), this is the full
+    k-means iteration a clustering/topic-bucketing pipeline loops.
+
+    Scale shape: centroids BROADCAST (k·dim doubles — tiny at any corpus
+    size) against one scan of the vectors; the argmin is a per-row fold,
+    not a window (no shuffle before the k-row final agg). Distances use
+    the same sequential-fold arithmetic as knn_euclidean, so DuckDB's
+    list_distance matches bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = (
+        e.where(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    d = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", euclidean_distance("embedding", F.col("cemb")).alias("dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    a = d.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+@query(
+    "mad_totalprice_by_status",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderstatus,
+           ROUND(MAX(m.med), 4) AS median_price,
+           ROUND(quantile_cont(ABS(o.o_totalprice - m.med), 0.5), 4) AS mad_price
+    FROM orders o JOIN med m USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def mad_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median and median-absolute-deviation of
+    order totals — the outlier-resistant scale statistic quality gates use
+    where stddev would be dragged by the tail.
+
+    Two-pass shape: per-group exact median (same linear-interpolation
+    estimator both engines, the percentiles_by_status pairing), broadcast
+    back, then the median of absolute deviations. 2-decimal inputs make
+    every interpolated value at most 3-decimal, so ROUND(.,4) is exact
+    pass-through — no half-tie exposure. At 100 TB both passes become
+    approx_percentile (drop the oracle); the join stays broadcast (one row
+    per group)."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    j = o.join(F.broadcast(med), "o_orderstatus")
+    return j.groupBy("o_orderstatus").agg(
+        F.round(F.max("med"), 4).alias("median_price"),
+        F.round(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)), 4
+        ).alias("mad_price"),
+    )

@@ -381,3 +381,38 @@ def oov_rate_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "token_length_histogram",
+    """
+    WITH t AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents)
+    SELECT CAST(FLOOR(log2(n)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n)::BIGINT AS min_tokens,
+           MAX(n)::BIGINT AS max_tokens
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log2-bucket) histogram of document token lengths — the
+    sequence-length profile that sizes packing buffers and truncation
+    budgets before a training run.
+
+    floor(log2(n)) is boundary-safe: the only inputs where the floor could
+    flip on a last-ulp disagreement are exact powers of two, and IEEE log2
+    of a power of two is exact in every engine. Scale shape: map-side
+    length + one combinable hash-agg on ~30 buckets — no distributed sort,
+    no wide shuffle, the cheapest full-corpus profile there is."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(F.size(tokens(F.col("text"))).alias("n"))
+    return (
+        t.groupBy(F.floor(F.log2("n")).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -1149,3 +1149,81 @@ def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE_Q)
+
+
+@query(
+    "window_percent_rank_prices",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank and cume_dist of
+    each order's total within its priority class (the normalized-rank
+    shape percentile-based filtering and score calibration use).
+
+    The ORDER BY carries the unique o_orderkey tie-break, so ranks are a
+    total order; percent_rank/cume_dist are then exact integer ratios that
+    both engines compute identically — the floor-form rounding is a
+    bit-identical formality. One shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.floor(F.percent_rank().over(w) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "cume_d"
+        ),
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d FROM events e)
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.d)::BIGINT AS day_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    WHERE a.d >= f.cohort_day
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-purchase day, and
+    for each (cohort, day-offset) the count of cohort members active that
+    day — THE standard product-analytics retention query.
+
+    Scale shape: both the cohort table and the distinct (user, day)
+    activity table aggregate on user_id — one co-partitioned shuffle key
+    end-to-end, then the cohort side (1 row per user) joins back without
+    moving the bigger side. All outputs are dates and integer counts —
+    nothing to round."""
+    e = _t(spark, sf_dir, "events")
+    f = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        a.join(f, "user_id")
+        .where(F.col("d") >= F.col("cohort_day"))
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

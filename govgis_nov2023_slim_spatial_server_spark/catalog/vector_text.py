@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..fixtures.embedder import FakeEmbedder
 from ..functions.hashes import jaccard, word_shingles
 from ..functions.text import (
+    fingerprint_udf,
     lang_id,
     quality_metrics,
     quality_score,
@@ -452,16 +453,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fingerprint_oracle_sql() -> str:
+def _fp_fold_sql() -> str:
+    """DuckDB expression computing functions.text.fingerprint_str over the
+    `text` column — the identical rolling-hash fold (ASCII corpus ⇒ utf-8
+    bytes == codepoints on both sides), shared by every fingerprint oracle."""
     from ..functions.text import _FP_BASE, _FP_MOD
 
-    fold = (
+    return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split_regex("
         "array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '),"
         " ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(a, b) -> (a * {_FP_BASE} + b) % {_FP_MOD})"
     )
+
+
+def _fingerprint_oracle_sql() -> str:
+    fold = _fp_fold_sql()
     return f"""
     WITH all_docs AS (
       SELECT doc_id, text FROM documents
@@ -980,4 +988,219 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000.0
         ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "bigram_top_counts",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM big GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token bigrams — the n-gram language-model / collocation
+    primitive (and the unit of n-gram-overlap decontamination).
+
+    Scale shape: bigram formation is a pure map (two shifted slices zipped
+    per document — no self-join, no posexplode+window), then one combinable
+    hash-agg and a TakeOrdered top-k. At 100 TB the map-side combine absorbs
+    almost everything: bigram cardinality ≪ bigram count."""
+    d = _t(spark, sf_dir, "documents")
+    big = (
+        d.select(tokens(F.lower(F.col("text"))).alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(__t, 1, size(__t) - 1)"),
+                    F.expr("slice(__t, 2, size(__t) - 1)"),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "zipf_slope_unigrams",
+    """
+    WITH tf AS (
+      SELECT term, COUNT(*)::DOUBLE AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents) AS u
+      GROUP BY term),
+    ranked AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS lx,
+             ln(freq) AS ly
+      FROM tf
+      QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, term) <= 100)
+    SELECT COUNT(*)::BIGINT AS n_terms,
+           ROUND(regr_slope(ly, lx), 4) AS slope,
+           ROUND(regr_intercept(ly, lx), 4) AS intercept
+    FROM ranked
+    """,
+)
+def zipf_slope_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 unigrams: OLS slope/intercept of
+    log-frequency vs log-rank — the one-number naturalness check a corpus
+    card carries (natural language ≈ −1; word-soup or boilerplate-heavy
+    corpora drift off it).
+
+    Slope = covar_pop/var_pop, the same population estimator DuckDB's
+    regr_slope uses; engine-side summation orders differ only in the last
+    ulp, absorbed by ROUND(.,4). Scale shape: one combinable term count,
+    a 100-row ranked head, and a scalar aggregate — the ranking window
+    touches only the top-k, never the full vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = (
+        tf.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 100)
+        .select(
+            F.log(F.col("__r").cast("double")).alias("lx"),
+            F.log("freq").alias("ly"),
+        )
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.covar_pop("ly", "lx").alias("__cxy"),
+        F.var_pop("lx").alias("__vx"),
+        F.avg("ly").alias("__my"),
+        F.avg("lx").alias("__mx"),
+    )
+    slope = F.col("__cxy") / F.col("__vx")
+    return a.select(
+        "n_terms",
+        F.round(slope, 4).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 4).alias("intercept"),
+    )
+
+
+@query(
+    "quality_curriculum_buckets",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             LEAST(GREATEST(
+               0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
+               + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
+                                  BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
+               0.0), 1.0) AS quality
+      FROM documents),
+    b AS (
+      SELECT doc_id, quality,
+             NTILE(4) OVER (ORDER BY quality, doc_id) AS bucket
+      FROM q)
+    SELECT bucket::BIGINT AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           ROUND(MIN(quality), 4) AS min_quality,
+           ROUND(MAX(quality), 4) AS max_quality
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def quality_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: rank the corpus by the heuristic quality score
+    (same formula as doc_quality, unrounded so the ordering is exact) and
+    cut it into 4 equal-depth tiers — the bucketing a curriculum or
+    quality-ablation training run samples from.
+
+    NTILE over (quality, doc_id) is a total order, so tier membership is
+    deterministic and identical per engine. Scale shape: the global NTILE
+    is the test-scale form; at 100 TB replace it with bucketing by
+    approx-quantile fences (one pass + map-side bucket assignment) —
+    equal-depth within quantile error, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    b = q.withColumn("bucket", F.ntile(4).over(w).cast("long"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.min("quality"), 4).alias("min_quality"),
+            F.round(F.max("quality"), 4).alias("max_quality"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _retention_oracle_sql() -> str:
+    fold = _fp_fold_sql()
+    return f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5),
+    fp AS (SELECT {fold} AS fp FROM all_docs)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_retained,
+           (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dropped,
+           FLOOR((COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*)::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_rate
+    FROM fp
+    """
+
+
+@query("dedup_retention_summary", _retention_oracle_sql())
+def dedup_retention_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup scorecard: corpus size, surviving (canonical-kept) count,
+    dropped count, and duplicate rate after exact fingerprint dedup — the
+    one-row number a pipeline reports per snapshot ("x% of the crawl was
+    duplicate"). Docs 0..19 are re-injected once and 0..4 twice (shifted
+    ids) so group sizes 1, 2, AND 3 all occur.
+
+    Scale shape: fingerprints shuffle as 8-byte keys (never the text);
+    count-distinct is one extra shuffle, or approx_count_distinct at
+    100 TB. The dup_rate uses floor arithmetic — a ratio of two exact
+    integer counts is bit-identical per engine."""
+    d = _t(spark, sf_dir, "documents")
+    dup1 = d.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    dup2 = d.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    fp = corpus.select(fingerprint_udf()(F.col("text")).alias("fp"))
+    a = fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_retained"),
+    )
+    return a.select(
+        "n_docs",
+        "n_retained",
+        (F.col("n_docs") - F.col("n_retained")).alias("n_dropped"),
+        (
+            F.floor(
+                (F.col("n_docs") - F.col("n_retained"))
+                / F.col("n_docs").cast("double")
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("dup_rate"),
     )

@@ -1,0 +1,116 @@
+"""Semantic contracts for the r4 catalog entries (corpus statistics,
+curriculum/dedup reporting, clustering step, robust stats, relative-standing
+windows, retention cohorts) — properties the DuckDB oracle can't state as
+naturally (bucket invariants, partition-of-the-corpus checks, monotonicity).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+
+def _run(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_bigram_top_counts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bigram_top_counts").collect()
+    assert len(rows) == 20
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["bigram"].split(" ")) == 2 for r in rows)
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    r = _run(spark, sf_dir, "zipf_slope_unigrams").first()
+    assert 0 < r["n_terms"] <= 100
+    assert r["slope"] < 0  # frequency decreases with rank, always
+
+
+def test_curriculum_buckets_partition_corpus(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = sorted(
+        _run(spark, sf_dir, "quality_curriculum_buckets").collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # equal-depth cut of a sorted order: tiers don't overlap in score
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_quality"] <= hi["min_quality"] + 1e-9
+    # NTILE balance: sizes differ by at most one
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_retention_summary_counts_injected_dups(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    r = _run(spark, sf_dir, "dedup_retention_summary").first()
+    # 20 docs injected once + 5 twice; base corpus is dup-free
+    assert r["n_docs"] == n_docs + 25
+    assert r["n_retained"] == n_docs
+    assert r["n_dropped"] == 25
+    assert math.isclose(r["dup_rate"], round(25 / (n_docs + 25), 6), abs_tol=1e-6)
+
+
+def test_kmeans_assign_partitions_all_vectors(spark, sf_dir):
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = _run(spark, sf_dir, "kmeans_assign_step").collect()
+    assert [r["cid"] for r in rows] == list(range(1, 9))
+    assert sum(r["n_assigned"] for r in rows) == n_vecs
+    assert all(r["avg_dist"] >= 0 for r in rows)
+    # each seed vector is its own nearest centroid (distance 0 pulls the
+    # mean of its cluster below the global mean only weakly — just assert
+    # every cluster is non-empty)
+    assert all(r["n_assigned"] >= 1 for r in rows)
+
+
+def test_mad_is_robust_scale(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mad_totalprice_by_status").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["median_price"] > 0
+        # MAD can't exceed the largest absolute deviation, which for
+        # positive data is bounded by max(median, max - median) — loose
+        # sanity: strictly positive and below the median's magnitude × 10
+        assert 0 < r["mad_price"] < r["median_price"] * 10
+
+
+def test_percent_rank_bounds_and_cume_top(spark, sf_dir):
+    df = _run(spark, sf_dir, "window_percent_rank_prices")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert df.count() == n_orders
+    bounds = df.agg(
+        F.min("pct_rank"), F.max("pct_rank"), F.min("cume_d"), F.max("cume_d")
+    ).first()
+    assert bounds[0] == 0.0 and bounds[1] <= 1.0
+    assert bounds[2] > 0.0 and bounds[3] == 1.0
+    # the last row of every partition has cume_dist exactly 1
+    tops = (
+        df.groupBy("o_orderpriority").agg(F.max("cume_d").alias("m")).collect()
+    )
+    assert all(t["m"] == 1.0 for t in tops)
+
+
+def test_retention_cohort_day_zero_is_full_cohort(spark, sf_dir):
+    df = _run(spark, sf_dir, "user_retention_cohorts")
+    rows = df.collect()
+    assert all(r["day_offset"] >= 0 for r in rows)
+    # offset-0 count equals cohort size: every member purchased (hence was
+    # active) on the cohort day itself
+    day0 = {r["cohort_day"]: r["n_users"] for r in rows if r["day_offset"] == 0}
+    for r in rows:
+        assert r["n_users"] <= day0[r["cohort_day"]]
+
+
+def test_token_length_histogram_buckets(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = _run(spark, sf_dir, "token_length_histogram").collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 2 ** r["bucket"] <= r["min_tokens"] <= r["max_tokens"]
+        assert r["max_tokens"] < 2 ** (r["bucket"] + 1)
