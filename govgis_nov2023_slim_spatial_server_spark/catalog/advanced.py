@@ -561,23 +561,44 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     with vector_centroids_by_label (the M-step mean), this is the full
     k-means iteration a clustering/topic-bucketing pipeline loops.
 
-    Scale shape: centroids BROADCAST (k·dim doubles — tiny at any corpus
-    size) against one scan of the vectors; the argmin is a per-row fold,
-    not a window (no shuffle before the k-row final agg). Distances use
-    the same sequential-fold arithmetic as knn_euclidean, so DuckDB's
-    list_distance matches bit-for-bit."""
+    Scale shape: the k centroids are collected to the driver (bounded —
+    k rows, the IVF-seed pattern) and compiled into the row expression as
+    literals, so the argmin is a per-row LEAST over k (distance, cid)
+    structs: NO cross join, NO per-vector window or shuffle — the only
+    Exchange left is the map-combined k-row per-cluster aggregate. This
+    is exactly how IVF cell assignment scans 100 TB. Distances use the
+    same sequential-fold arithmetic as knn_euclidean, so DuckDB's
+    list_distance matches bit-for-bit; struct comparison is
+    lexicographic, giving the same (dist, cid) tie-break as the oracle's
+    window."""
     e = _t(spark, sf_dir, "embeddings")
-    c = (
+    cents = sorted(
         e.where(F.col("vec_id").between(1, 8))
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    d = e.crossJoin(F.broadcast(c)).select(
-        "vec_id", "cid", euclidean_distance("embedding", F.col("cemb")).alias("dist")
+    best = F.least(
+        *[
+            F.struct(
+                euclidean_distance(
+                    "embedding", [float(x) for x in r["embedding"]]
+                ).alias("dist"),
+                F.lit(r["vec_id"]).cast("long").alias("cid"),
+            )
+            for r in cents
+        ]
     )
-    from pyspark.sql import Window
+    from ..functions.hashes import _let
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    a = d.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    a = e.select(
+        _let(
+            best,
+            lambda b: F.struct(
+                b.getField("cid").alias("cid"), b.getField("dist").alias("dist")
+            ),
+        ).alias("__b")
+    ).select("__b.cid", "__b.dist")
     return (
         a.groupBy("cid")
         .agg(

@@ -1063,22 +1063,21 @@ def zipf_slope_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Slope = covar_pop/var_pop, the same population estimator DuckDB's
     regr_slope uses; engine-side summation orders differ only in the last
     ulp, absorbed by ROUND(.,4). Scale shape: one combinable term count,
-    a 100-row ranked head, and a scalar aggregate — the ranking window
-    touches only the top-k, never the full vocabulary."""
+    then the head is taken with orderBy().limit(100) — a per-partition
+    top-k heap (TakeOrderedAndProject), NOT a global sort — so the
+    row_number window ranks only those 100 rows; the full vocabulary is
+    never single-partitioned."""
     d = _t(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("freq"))
     )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    ranked = (
-        tf.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= 100)
-        .select(
-            F.log(F.col("__r").cast("double")).alias("lx"),
-            F.log("freq").alias("ly"),
-        )
+    ranked = top.withColumn("__r", F.row_number().over(w)).select(
+        F.log(F.col("__r").cast("double")).alias("lx"),
+        F.log("freq").alias("ly"),
     )
     a = ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
