@@ -114,3 +114,20 @@ def test_token_length_histogram_buckets(spark, sf_dir):
     for r in rows:
         assert 2 ** r["bucket"] <= r["min_tokens"] <= r["max_tokens"]
         assert r["max_tokens"] < 2 ** (r["bucket"] + 1)
+
+
+def test_approx_stats_within_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "approx_stats_events").collect()
+    assert len(rows) >= 1
+    # the flags ARE the assertion: HLL and GK landed inside tolerance
+    assert all(r["users_ok"] and r["p50_ok"] for r in rows)
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    df = _run(spark, sf_dir, "bucketed_join_revenue")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bucketed scans co-locate the join: no Exchange may repartition
+    # either join key (the only Exchange allowed is the groupBy's)
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in plan
