@@ -45,6 +45,17 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark — no extra jars): same columnar
+    pushdown/pruning class as parquet, the common interchange format in
+    Hive-lineage warehouses. Arrays, structs, and binary round-trip."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

@@ -10,7 +10,9 @@ from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
 from govgis_nov2023_slim_spatial_server_spark.sources.formats import (
     read_csv,
     read_json,
+    read_orc,
     write_csv,
+    write_orc,
     write_json,
     write_partitioned_parquet,
 )
@@ -35,6 +37,29 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     back = read_json(spark, path, schema="doc_id bigint, text string, lang string")
     assert back.count() == docs.count()
     assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in docs.collect()}
+
+
+def test_orc_roundtrip_nested_and_binary(spark, sf_dir, tmp_path):
+    """ORC must round-trip the engine's hard columns: float arrays
+    (embeddings) and predicate-pushdown-able scalars."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    write_orc(emb, path)
+    back = read_orc(spark, path)
+    assert back.schema == emb.schema
+    assert back.count() == emb.count()
+    # array payload intact, element-exact
+    a = emb.select("vec_id", F.element_at("embedding", 1).alias("e1"))
+    b = back.select("vec_id", F.element_at("embedding", 1).alias("e1"))
+    assert a.exceptAll(b).count() == 0
+    # filters push into the ORC scan
+    plan = (
+        back.where(F.col("label") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):

@@ -131,3 +131,43 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_events_ts_both_physical_shapes_load_identically(spark, tmp_path):
+    """The driver testdata has shipped events.ts as parquet TIMESTAMP(NANOS)
+    and as plain µs timestamps in different generations; the loader must
+    yield byte-identical µs timestamps for both (ns truncates, matching
+    DuckDB's coercion)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 7, 179575),
+        dt.datetime(2024, 3, 1, 23, 59, 59, 999999),
+    ]
+    base = pa.table(
+        {
+            "event_id": [1, 2],
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": [1, 2],
+            "event_type": ["a", "b"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    ns = base.set_column(1, "ts", base["ts"].cast(pa.timestamp("ns")))
+    for shape, tbl in (("us", base), ("ns", ns)):
+        (tmp_path / shape).mkdir()
+        pq.write_table(tbl, str(tmp_path / shape / "events.parquet"))
+
+    got_us = load_table(spark, str(tmp_path / "us"), "events")
+    got_ns = load_table(spark, str(tmp_path / "ns"), "events")
+    assert dict(got_us.dtypes)["ts"] == "timestamp"
+    assert dict(got_ns.dtypes)["ts"] == "timestamp"
+    a = [r["ts"] for r in got_us.orderBy("event_id").collect()]
+    b = [r["ts"] for r in got_ns.orderBy("event_id").collect()]
+    assert a == b == ts
