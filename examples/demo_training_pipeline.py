@@ -13,6 +13,8 @@ DataFrame, so the whole thing is ONE lazy plan until the final write:
   7. token-window chunking + keep-first chunk dedup (boilerplate removal)
   8. sequence packing into fixed-token training rows (per-shard cumsum)
   9. domain-mixture weights for the loader (uniform target)
+  10. corpus card: token-length histogram, Zipf slope, curriculum tiers —
+      the per-snapshot report a pipeline publishes alongside the data
 
     python examples/demo_training_pipeline.py [sf_dir]
 """
@@ -133,6 +135,39 @@ def main() -> None:
         "label", "n", F.round(F.col("total") / F.col("k") / F.col("n"), 4).alias("weight")
     )
 
+    # 10. corpus card published with the snapshot: length profile,
+    # Zipf naturalness fit, curriculum tier cut points
+    toks = corpus.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("__n")
+    )
+    hist = (
+        toks.groupBy(F.floor(F.log2("__n")).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+    tf = (
+        corpus.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("t").asc())
+        .limit(100)
+    )
+    from pyspark.sql import Window
+
+    ranked = tf.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("t").asc()))
+    ).select(F.log(F.col("__r").cast("double")).alias("lx"), F.log("freq").alias("ly"))
+    fit = ranked.agg(
+        (F.covar_pop("ly", "lx") / F.var_pop("lx")).alias("slope")
+    )
+    tiers = corpus.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+    ).withColumn(
+        "tier",
+        F.ntile(4).over(Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())),
+    ).groupBy("tier").agg(F.round(F.min("q"), 3).alias("tier_floor"))
+
     n_seq = packed.agg(F.countDistinct("shard", "seq_id")).first()[0]
     print(f"documents in          : {n0}")
     print(f"after near-dup groups : {docs.count()}")
@@ -140,6 +175,9 @@ def main() -> None:
     print(f"chunks after dedup    : {chunks.count()}")
     print(f"packed sequences      : {n_seq} x 512 tokens over 8 shards")
     print("mixture weights       :", {r["label"]: r["weight"] for r in weights.collect()})
+    print("length histogram      :", {r["bucket"]: r["n_docs"] for r in hist.collect()})
+    print(f"zipf slope            : {fit.first()['slope']:.3f}")
+    print("curriculum tier floors:", {r["tier"]: r["tier_floor"] for r in tiers.orderBy("tier").collect()})
     spark.stop()
 
 

@@ -1324,3 +1324,72 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "set_ops_all_variants",
+    """
+    SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'intersect_all', o_orderpriority, COUNT(*) FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY o_orderpriority
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the multiplicity-preserving set ops
+    (bag semantics: per value, max(0, m−n) and min(m, n) copies), which the
+    distinct-variant entries don't exercise. Summarized per key so the
+    output is small and stable.
+
+    Scale shape: Spark plans both as a single hash-partitioned count-
+    compare per key — same cost class as a grouped count, no pairwise
+    matching."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+
+    def _summ(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(tag).alias("op"), "o_orderpriority", "n")
+
+    return _summ(left.exceptAll(right), "except_all").unionAll(
+        _summ(left.intersectAll(right), "intersect_all")
+    )
+
+
+@query(
+    "null_safe_join_counts",
+    """
+    WITH l AS (SELECT NULLIF(c_custkey % 7, 0) AS k FROM customer),
+         r AS (SELECT NULLIF(o_custkey % 7, 0) AS k FROM orders)
+    SELECT l.k AS k, COUNT(*) AS n_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT FROM):
+    NULL keys match each other instead of vanishing — the semantics a
+    dimension join needs when 'unknown' is a real category. Keys are made
+    nullable via NULLIF so the NULL bucket actually exercises the path.
+
+    Scale shape: null-safe equality still hash-partitions both sides on
+    the key (NULL hashes like any value under `<=>`), so the plan is a
+    plain equi-join — no fallback to a nested-loop join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    left = c.select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
+    right = o.select(F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("lk"))
+    return (
+        left.join(right, left.k.eqNullSafe(right.lk))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
