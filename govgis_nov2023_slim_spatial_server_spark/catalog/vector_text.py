@@ -29,7 +29,13 @@ from ..operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
-from ..operators.knn import knn, lsh_bucketed_knn, similarity_join
+from ..operators.knn import (
+    knn,
+    lsh_bucketed_knn,
+    make_lsh_planes,
+    query_buckets,
+    similarity_join,
+)
 from ..schemas import load_table
 from ._registry import fmt_vec_sql, query, rnd_nz
 
@@ -108,6 +114,49 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     out = lsh_bucketed_knn(e, PROBE_VEC, k=10, n_planes=6, n_probes=2)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+_LSH_PLANES = make_lsh_planes(6, 64, seed=42)
+_LSH_CANDS = query_buckets(PROBE_VEC, _LSH_PLANES, n_probes=2)
+
+
+def _lsh_oracle_sql() -> str:
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{fmt_vec_sql(list(_LSH_PLANES[i]))}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_LSH_PLANES))
+    )
+    cands = ", ".join(str(c) for c in _LSH_CANDS)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+           {bucket} AS bucket
+      FROM embeddings)
+    SELECT vec_id,
+           ROUND(1 - list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), 4) + 0.0 AS dist
+    FROM b WHERE bucket IN ({cands})
+    ORDER BY 1 - list_dot_product(CAST(embedding AS DOUBLE[]), {PROBE_SQL}), vec_id
+    LIMIT 10
+    """
+
+
+@query("knn_lsh_oracle", _lsh_oracle_sql())
+def knn_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH ANN path made EXACTLY graded: the oracle recomputes the
+    identical random-hyperplane buckets (plane literals from the same seed,
+    sequential-fold projections — DuckDB's list_dot_product matches the
+    Spark fold bit-for-bit), the identical Hamming-1 multi-probe candidate
+    set, and the identical exact-distance top-k within it. Unlike the
+    rows-only knn_lsh_approx entry, a wrong bucket bit, probe set, or
+    tie-break here is a hash mismatch — the approximate operator's
+    MECHANISM is verified, not just its output size.
+
+    Scale shape unchanged: at 100 TB the bucket column is the partition
+    key of the vector store and this query prunes to ~(n_probes+1)/2^planes
+    of the data before any distance math."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_knn(e, PROBE_VEC, k=10, n_planes=6, n_probes=2)
+    return out.select("vec_id", rnd_nz(F.col("dist"), 4).alias("dist"))
 
 
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
