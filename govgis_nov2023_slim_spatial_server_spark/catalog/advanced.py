@@ -645,3 +645,53 @@ def mad_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)), 4
         ).alias("mad_price"),
     )
+
+
+@query(
+    "stats_corr_regression",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped statistical aggregates: Pearson correlation and OLS
+    slope/R² between quantity and price — the feature-relationship scan
+    an EDA/feature-selection pass runs per segment.
+
+    Both engines use the population covariance estimators; partition-order
+    summation differs only in the last ulp (ROUND 4 absorbs it; rnd_nz
+    guards the near-zero correlations from the ±0.0 split). Scale shape:
+    single map-combining agg, constant state per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd_nz(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        rnd_nz(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )
+
+
+@query(
+    "bitwise_aggs_orders",
+    """
+    SELECT o_orderstatus,
+           bit_or(o_orderkey) AS key_or,
+           bit_and(o_orderkey) AS key_and,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bitwise_aggs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND/XOR aggregates — exact-integer, order-independent
+    folds (XOR is the same primitive table_checksum_orders builds its
+    order-insensitive checksum from). Map-side combinable; nothing to
+    round, nothing engine-specific."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
