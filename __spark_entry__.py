@@ -44,7 +44,8 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts", "token_length_histogram",
     "approx_stats_events", "bucketed_join_revenue",
     "set_ops_all_variants", "null_safe_join_counts", "knn_lsh_oracle",
-    "stats_corr_regression", "bitwise_aggs_orders",
+    "stats_corr_regression", "bitwise_aggs_orders", "resample_ffill_15m",
+    "order_date_spine_counts", "rank_with_ties_topk",
     # r3 comparator crash re-fixed (postings serialized to string)
     "inverted_index_postings",
     # re-proof: oracle-checked entries last proven in r1
@@ -61,7 +62,6 @@ _DRIVER_PRIORITY = [
     "q4_priority_with_late_items", "q6_revenue_forecast",
     "q14_economy_revenue_share", "similarity_join_topk",
     "embedding_near_dup_blocked", "embedding_quantize_int8",
-    "knn_int8_rerank", "dedup_components", "simhash_poly_signature",
     "spatial_point_filter",
 ]
 

@@ -1393,3 +1393,136 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "resample_ffill_15m",
+    """
+    WITH bounds AS (
+      SELECT user_id, time_bucket(INTERVAL '15 minutes', MIN(ts)) AS t0,
+             time_bucket(INTERVAL '15 minutes', MAX(ts)) AS t1
+      FROM events WHERE user_id < 3 GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '15 minutes')) AS slot
+      FROM bounds),
+    obs AS (
+      SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS slot,
+             ROUND(SUM(value), 2) AS v
+      FROM events WHERE user_id < 3 GROUP BY user_id, 2),
+    j AS (
+      SELECT g.user_id, g.slot, o.v
+      FROM grid g LEFT JOIN obs o USING (user_id, slot))
+    SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
+           COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_ffill
+    FROM j
+    """,
+)
+def resample_ffill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream onto a
+    dense 15-minute grid and forward-fill gaps with the last observed
+    value — the resample/ffill every metrics store and feature pipeline
+    runs before joining series with different cadences. (Probe scope
+    user_id < 3 bounds the graded output; the plan is per-user generic.)
+
+    The grid starts at each user's first observed bucket, so no leading
+    NULLs survive the fill. Scale shape: the spine is a map-side
+    sequence-explode off a 1-row-per-user bounds agg; observations and
+    grid co-partition on user_id; the fill is one window over each user's
+    slots — never a cross-user sort. SUM→ROUND(2) of 2-decimal data is
+    tie-safe (the true sum has no third decimal)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 3)
+    slot = F.window("ts", "15 minutes").start
+    bounds = e.groupBy("user_id").agg(
+        F.min(slot).alias("t0"), F.max(slot).alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 15 minutes)")).alias("slot"),
+    )
+    obs = (
+        e.groupBy("user_id", slot.alias("slot"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            F.col("slot").cast("long").alias("slot_s"),
+            F.coalesce("v", F.last("v", ignorenulls=True).over(w)).alias("v_ffill"),
+        )
+    )
+
+
+@query(
+    "order_date_spine_counts",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS day FROM b),
+    c AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT s.day, COALESCE(c.n_orders, 0)::BIGINT AS n_orders
+    FROM spine s LEFT JOIN c USING (day)
+    """,
+)
+def order_date_spine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine: daily order counts with zero-filled gaps — the
+    date-dimension left join every reporting layer needs so missing days
+    read as 0 instead of vanishing.
+
+    Scale shape: the spine is a sequence-explode off a two-scalar bounds
+    agg (a few thousand rows for decades of days) and BROADCASTS onto the
+    counts; the fact side never reshuffles beyond its own count agg."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    b = o.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    spine = b.select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    c = o.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n_orders"))
+    return spine.join(c, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
+@query(
+    "rank_with_ties_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def rank_with_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group under RANK semantics: ties share a rank and are ALL
+    kept (the row_number entries deliberately break ties; this one proves
+    the tie-INCLUSIVE contract — the testdata's duplicate o_totalprice
+    makes the distinction observable). Identical gap-rank semantics per
+    engine, so no tie-break column is needed or wanted.
+
+    Scale shape: rank ≤ k is WindowGroupLimit-pushed in Spark — each
+    partition keeps only candidate rows before the window shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rnk",
+        )
+    )
