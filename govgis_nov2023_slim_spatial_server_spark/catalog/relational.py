@@ -1368,11 +1368,12 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "null_safe_join_counts",
     """
-    WITH l AS (SELECT NULLIF(c_custkey % 7, 0) AS k FROM customer),
-         r AS (SELECT NULLIF(o_custkey % 7, 0) AS k FROM orders)
-    SELECT l.k AS k, COUNT(*) AS n_pairs
+    WITH l AS (SELECT NULLIF(c_custkey % 7, 0) AS k, COUNT(*) AS nl
+               FROM customer GROUP BY 1),
+         r AS (SELECT NULLIF(o_custkey % 7, 0) AS k, COUNT(*) AS nr
+               FROM orders GROUP BY 1)
+    SELECT l.k AS k, (l.nl * r.nr)::BIGINT AS n_pairs
     FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
-    GROUP BY l.k
     """,
 )
 def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,15 +1384,24 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: null-safe equality still hash-partitions both sides on
     the key (NULL hashes like any value under `<=>`), so the plan is a
-    plain equi-join — no fallback to a nested-loop join."""
+    plain equi-join. Both sides aggregate to per-key counts BEFORE the
+    join (pair count = nl·nr) — joining raw rows on a 7-value key would
+    materialize the full pair explosion, which is exactly the mistake
+    this shape exists to avoid at 100 TB."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    left = c.select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
-    right = o.select(F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("lk"))
-    return (
-        left.join(right, left.k.eqNullSafe(right.lk))
+    left = (
+        c.select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    right = (
+        o.select(F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("rk"))
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    return left.join(right, left.k.eqNullSafe(right.rk)).select(
+        "k", (F.col("nl") * F.col("nr")).alias("n_pairs")
     )
 
 

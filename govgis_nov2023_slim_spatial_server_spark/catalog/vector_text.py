@@ -1061,8 +1061,13 @@ def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram formation is a pure map (two shifted slices zipped
     per document — no self-join, no posexplode+window), then one combinable
     hash-agg and a TakeOrdered top-k. At 100 TB the map-side combine absorbs
-    almost everything: bigram cardinality ≪ bigram count."""
-    d = _t(spark, sf_dir, "documents")
+    almost everything: bigram cardinality ≪ bigram count. The slice/zip
+    HOFs are interpreted per element, so the single-file test scan is
+    spread across cores first (ensure_min_partitions) — at real scale the
+    many-file scan parallelizes itself."""
+    from ..session import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     big = (
         d.select(tokens(F.lower(F.col("text"))).alias("__t"))
         .where(F.size("__t") >= 2)

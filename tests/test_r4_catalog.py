@@ -171,3 +171,24 @@ def test_events_ts_both_physical_shapes_load_identically(spark, tmp_path):
     a = [r["ts"] for r in got_us.orderBy("event_id").collect()]
     b = [r["ts"] for r in got_ns.orderBy("event_id").collect()]
     assert a == b == ts
+
+
+def test_kmeans_plan_is_join_free(spark, sf_dir):
+    """The assignment argmin is a per-row expression over centroid
+    literals — any Join/Window in the plan means the scale shape regressed."""
+    plan = (
+        _run(spark, sf_dir, "kmeans_assign_step")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_zipf_ranks_only_a_topk_head(spark, sf_dir):
+    """The vocabulary must reach the ranking window only through a
+    per-partition top-k heap, never a global sort of all terms."""
+    plan = (
+        _run(spark, sf_dir, "zipf_slope_unigrams")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
