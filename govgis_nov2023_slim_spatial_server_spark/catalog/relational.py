@@ -1536,3 +1536,63 @@ def rank_with_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "data_quality_checks_orders",
+    """
+    SELECT 'null_custkey' AS rule,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price', COUNT(*) FILTER (WHERE o_totalprice <= 0)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'duplicate_orderkey', (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey', COUNT(*)::BIGINT
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'unknown_status', COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))::BIGINT
+    FROM orders
+    """,
+)
+def data_quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation (the Great-Expectations/dbt-test shape):
+    one row per data-contract rule with its violation count — completeness
+    (null keys), range (non-positive totals), uniqueness (duplicate keys),
+    referential integrity (orphan foreign keys), and domain membership
+    (unknown status codes). The gate a pipeline runs on every snapshot
+    BEFORE the data reaches dedup/training; with checksum and profiling it
+    completes the ops-tooling trio.
+
+    Scale shape: four rules are conditional aggregates in ONE map-combined
+    scan pass each; referential integrity is a left-anti count whose dim
+    side broadcasts. Nothing shuffles more than the group-less agg state."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def _rule(name: str, col) -> DataFrame:
+        return o.agg(F.sum(F.when(col, 1).otherwise(0)).cast("long").alias("violations")).select(
+            F.lit(name).alias("rule"), "violations"
+        )
+
+    dup = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
+    ).select(F.lit("duplicate_orderkey").alias("rule"), "violations")
+    orphan = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_custkey").alias("rule"), "violations")
+    )
+    return (
+        _rule("null_custkey", F.col("o_custkey").isNull())
+        .unionAll(_rule("nonpositive_price", F.col("o_totalprice") <= 0))
+        .unionAll(dup)
+        .unionAll(orphan)
+        .unionAll(
+            _rule("unknown_status", ~F.col("o_orderstatus").isin("O", "F", "P"))
+        )
+    )
