@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     "set_ops_all_variants", "null_safe_join_counts", "knn_lsh_oracle",
     "stats_corr_regression", "bitwise_aggs_orders", "resample_ffill_15m",
     "order_date_spine_counts", "rank_with_ties_topk",
-    "data_quality_checks_orders",
+    "data_quality_checks_orders", "spatial_knn_rect_centroids",
     # r3 comparator crash re-fixed (postings serialized to string)
     "inverted_index_postings",
     # re-proof: oracle-checked entries last proven in r1
@@ -61,7 +61,7 @@ _DRIVER_PRIORITY = [
     "asof_join_purchase_signup", "dedup_first_event_per_key",
     "json_extract_events",
     "q6_revenue_forecast",
-    "q14_economy_revenue_share", "similarity_join_topk",
+    "similarity_join_topk",
     "embedding_near_dup_blocked", "embedding_quantize_int8",
     "spatial_point_filter",
 ]

@@ -10,7 +10,7 @@ full geometry stack against an exactly-computable answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.spatial import (
@@ -304,3 +304,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d), every_n_bytes=100, max_frames=8)
+
+
+@query(
+    "spatial_knn_rect_centroids",
+    f"""
+    WITH cr AS ({_CUST_RECT_SQL}),
+    cent AS (
+      SELECT c_custkey, (xmin + xmax) / 2.0 AS cx, (ymin + ymax) / 2.0 AS cy
+      FROM cr),
+    probes AS (
+      SELECT * FROM (VALUES (1, -100.0, 30.0), (2, -90.5, 38.2),
+                            (3, -110.25, 42.0), (4, -80.0, 26.5),
+                            (5, -120.0, 45.0)) AS p(probe_id, px, py))
+    SELECT probe_id, c_custkey,
+           ROUND(sqrt((cx - px) * (cx - px) + (cy - py) * (cy - py)), 4) AS dist
+    FROM probes, cent
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY probe_id
+        ORDER BY sqrt((cx - px) * (cx - px) + (cy - py) * (cy - py)), c_custkey) <= 3
+    """,
+)
+def spatial_knn_rect_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial KNN — nearest-3 geometries per probe point by centroid
+    distance. The reference pairs semantic KNN WITH a spatial filter; this
+    entry completes the matrix with distance-ordered spatial retrieval
+    itself (the 'near me' query). Centroids derive from the deterministic
+    key→rect arithmetic and IEEE sqrt is correctly rounded, so the oracle
+    is exact.
+
+    Scale shape: probes broadcast against one scan of the geometry store;
+    per-probe top-k resolves via WindowGroupLimit (per-partition rank
+    pruning before the probe_id shuffle). At 100 TB the store is Z-order
+    sorted (sources/ingest), so a distance-bounded pre-filter on bbox
+    min/max stats prunes most row groups before any distance math."""
+    rects = _customer_rects(spark, sf_dir)
+    cent = rects.select(
+        "c_custkey",
+        ((F.col("xmin") + F.col("xmax")) / 2.0).alias("cx"),
+        ((F.col("ymin") + F.col("ymax")) / 2.0).alias("cy"),
+    )
+    probes = spark.createDataFrame(
+        [(1, -100.0, 30.0), (2, -90.5, 38.2), (3, -110.25, 42.0),
+         (4, -80.0, 26.5), (5, -120.0, 45.0)],
+        "probe_id: long, px: double, py: double",
+    )
+    d = cent.crossJoin(F.broadcast(probes)).withColumn(
+        "dist",
+        F.sqrt(
+            (F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px"))
+            + (F.col("cy") - F.col("py")) * (F.col("cy") - F.col("py"))
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("probe_id", "c_custkey", F.round("dist", 4).alias("dist"))
+    )
