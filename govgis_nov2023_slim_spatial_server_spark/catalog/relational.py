@@ -1234,9 +1234,9 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users_exact,
-           TRUE AS users_ok,
+           1::BIGINT AS users_ok,
            ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
-           TRUE AS p50_ok
+           1::BIGINT AS p50_ok
     FROM events GROUP BY event_type
     """,
 )
@@ -1244,10 +1244,11 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms of distinct-count and percentile — HyperLogLog++
     (approx_count_distinct) and Greenwald-Khanna (approx_percentile) —
     graded INSIDE the gate: the entry emits the exact statistics plus
-    flags asserting the sketch landed within tolerance (2% relative for
-    HLL at rsd=0.01; 5% for the p50 at rank-accuracy 1e-4). The flags are
-    deterministic — both sketches carry order-independent error
-    guarantees — so the oracle states them as TRUE literals.
+    0/1 flags asserting the sketch landed within tolerance (2% relative
+    for HLL at rsd=0.01; 5% for the p50 at rank-accuracy 1e-4). The flags
+    are deterministic — both sketches carry order-independent error
+    guarantees — so the oracle states them as 1 literals (emitted as
+    BIGINT, a driver-proven output type, rather than BOOLEAN).
 
     Scale shape: both sketches are constant-size mergeable partials
     (map-side combine, one k-row shuffle); this is the drop-in the exact
@@ -1265,12 +1266,12 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("__u_approx") - F.col("n_users_exact"))
             <= 0.02 * F.col("n_users_exact")
-        ).alias("users_ok"),
+        ).cast("long").alias("users_ok"),
         F.round("__p50", 4).alias("p50_exact"),
         (
             F.abs(F.col("__p50_approx") - F.col("__p50"))
             <= 0.05 * F.abs(F.col("__p50"))
-        ).alias("p50_ok"),
+        ).cast("long").alias("p50_ok"),
     )
 
 
