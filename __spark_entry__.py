@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "stats_corr_regression", "bitwise_aggs_orders", "resample_ffill_15m",
     "order_date_spine_counts", "rank_with_ties_topk",
     "data_quality_checks_orders", "spatial_knn_rect_centroids",
+    "weighted_sample_by_quality", "revenue_share_window",
     # r3 comparator crash re-fixed (postings serialized to string)
     "inverted_index_postings",
     # re-proof: oracle-checked entries last proven in r1
@@ -60,9 +61,8 @@ _DRIVER_PRIORITY = [
     # re-proof: oldest r2 greens, events-reading entries first
     "asof_join_purchase_signup", "dedup_first_event_per_key",
     "json_extract_events",
-    "q6_revenue_forecast",
     "similarity_join_topk",
-    "embedding_near_dup_blocked", "embedding_quantize_int8",
+    "embedding_near_dup_blocked",
     "spatial_point_filter",
 ]
 

@@ -20,6 +20,7 @@ from ..operators.chunking import chunk_by_tokens, chunk_sql, dedup_chunks
 from ..operators.decontaminate import contamination_counts
 from ..operators.sampling import (
     deterministic_sample,
+    hash_bucket,
     hash_split,
     hash_split_case_sql,
     hash_bucket_sql,
@@ -415,4 +416,47 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("max_tokens"),
         )
         .orderBy("bucket")
+    )
+
+
+_QUALITY_SQL = """LEAST(GREATEST(
+      0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
+      + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
+      0.0), 1.0)"""
+
+
+@query(
+    "weighted_sample_by_quality",
+    f"""
+    WITH q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents)
+    SELECT doc_id, ROUND(quality, 4) AS quality
+    FROM q
+    WHERE {hash_bucket_sql('doc_id')} < CAST(FLOOR(quality * 10000.0) AS BIGINT)
+    """,
+)
+def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept with
+    probability equal to its quality score, decided by comparing its key
+    hash bucket against floor(quality·10000) — the importance-sampling
+    step a quality-curriculum corpus build applies, with the same
+    reproducibility contract as the uniform hash sample (same row → same
+    decision on any partitioning, any engine, forever; seeded-RNG
+    weighted sampling has none of these properties).
+
+    The score is computed identically on both engines (deterministic
+    scalar expressions) and the cut is exact integer arithmetic, so
+    membership is bit-reproducible — the oracle proves the SAMPLE SET,
+    not just its size. Map-only; the predicate pushes into the scan."""
+    from ..functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        d.where(
+            hash_bucket(F.col("doc_id"))
+            < F.floor(q * F.lit(10000.0)).cast("long")
+        )
+        .select("doc_id", F.round(q, 4).alias("quality"))
     )

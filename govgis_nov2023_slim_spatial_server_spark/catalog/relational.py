@@ -1597,3 +1597,32 @@ def data_quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rule("unknown_status", ~F.col("o_orderstatus").isin("O", "F", "P"))
         )
     )
+
+
+@query(
+    "revenue_share_window",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                 * 1000000.0, 4) AS share_ppm
+    FROM orders
+    """,
+)
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its priority class's total
+    revenue (emitted in parts-per-million for resolution) — the
+    share-of-total window every BI layer and mixture-weighting step runs.
+
+    The whole-partition SUM aggregates in engine-specific order, so the
+    two engines agree only to the last ulp — ROUND(.,4) on the ppm scale
+    absorbs that (the convention's ratios→4, shifted six orders so small
+    shares keep significant digits). One shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w) * 1000000.0, 4
+        ).alias("share_ppm"),
+    )
