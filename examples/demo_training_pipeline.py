@@ -99,6 +99,15 @@ def main() -> None:
         & (m["distinct_ratio"] >= 0.4)
     )
 
+    # 5b. quality-weighted importance sampling (deterministic: key-hash
+    # threshold vs the score — same member set on any partitioning)
+    from govgis_nov2023_slim_spatial_server_spark.operators.sampling import hash_bucket
+
+    corpus = corpus.where(
+        hash_bucket(F.col("doc_id"))
+        < F.floor(quality_score(F.col("text")) * 10000.0).cast("long")
+    )
+
     # 6. PII redaction (map-only)
     corpus = corpus.withColumn(
         "text", F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]")
