@@ -55,3 +55,17 @@ def rnd_nz(col, n: int):
     from pyspark.sql import functions as F
 
     return F.round(col, n) + F.lit(0.0)
+
+
+# DuckDB expression computing functions.text.quality_score over `text` —
+# THE shared copy: quality-derived membership (weighted_sample_by_quality)
+# and tier boundaries (quality_curriculum_buckets) require bit-identical
+# doubles between engines, so every oracle must splice THIS string (the
+# pre-r4 doc_quality oracle inlines the same formula ROUND-wrapped; any
+# change to functions.text.quality_score must update both).
+QUALITY_EXPR_SQL = """LEAST(GREATEST(
+      0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
+      + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
+      0.0), 1.0)"""

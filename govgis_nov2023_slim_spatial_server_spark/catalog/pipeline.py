@@ -26,7 +26,7 @@ from ..operators.sampling import (
     hash_bucket_sql,
 )
 from ..schemas import load_table
-from ._registry import query
+from ._registry import QUALITY_EXPR_SQL, query
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -419,12 +419,7 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """LEAST(GREATEST(
-      0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
-      + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
-                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
-      0.0), 1.0)"""
+_QUALITY_SQL = QUALITY_EXPR_SQL
 
 
 @query(
@@ -453,6 +448,11 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     q = quality_score(F.col("text"))
+    # q appears in both the predicate and the projection; Catalyst inlines
+    # it into each (CollapseProject), so the regexp trio evaluates twice
+    # per row here. At corpus scale the score is computed ONCE at ingest
+    # as a stored column — this entry recomputes inline only because the
+    # driver tables are read-only fixtures.
     return (
         d.where(
             hash_bucket(F.col("doc_id"))

@@ -1244,8 +1244,10 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms of distinct-count and percentile — HyperLogLog++
     (approx_count_distinct) and Greenwald-Khanna (approx_percentile) —
     graded INSIDE the gate: the entry emits the exact statistics plus
-    0/1 flags asserting the sketch landed within tolerance (2% relative
-    for HLL at rsd=0.01; 5% for the p50 at rank-accuracy 1e-4). The flags
+    0/1 flags asserting the sketch landed within tolerance (5% relative
+    for HLL at rsd=0.01 — a ≥5-sigma margin, so the flag survives any
+    testdata regeneration, not just this draw; 5% for the p50 at
+    rank-accuracy 1e-4). The flags
     are deterministic — both sketches carry order-independent error
     guarantees — so the oracle states them as 1 literals (emitted as
     BIGINT, a driver-proven output type, rather than BOOLEAN).
@@ -1265,7 +1267,7 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         (
             F.abs(F.col("__u_approx") - F.col("n_users_exact"))
-            <= 0.02 * F.col("n_users_exact")
+            <= 0.05 * F.col("n_users_exact")
         ).cast("long").alias("users_ok"),
         F.round("__p50", 4).alias("p50_exact"),
         (
@@ -1299,11 +1301,15 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _bucketed(df: DataFrame, name: str, key: str) -> DataFrame:
         # the in-memory catalog forgets managed tables between sessions but
-        # their warehouse locations persist — drop both before rewriting
+        # their warehouse locations persist — drop both before rewriting.
+        # The name carries the pid so two processes sharing a warehouse
+        # (a gate run next to a bench run) can never rmtree each other's
+        # live bucket files.
         import os
         import shutil
         from urllib.parse import urlparse
 
+        name = f"{name}_{os.getpid()}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
@@ -1569,34 +1575,41 @@ def data_quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the data reaches dedup/training; with checksum and profiling it
     completes the ops-tooling trio.
 
-    Scale shape: four rules are conditional aggregates in ONE map-combined
-    scan pass each; referential integrity is a left-anti count whose dim
-    side broadcasts. Nothing shuffles more than the group-less agg state."""
+    Scale shape: the four scan rules are conditional aggregates in ONE
+    map-combined pass (stack-unpivoted to rows afterward); referential
+    integrity is a left-anti count whose dim side broadcasts — two scans
+    of the fact table total. Nothing shuffles more than agg state."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
 
-    def _rule(name: str, col) -> DataFrame:
-        return o.agg(F.sum(F.when(col, 1).otherwise(0)).cast("long").alias("violations")).select(
-            F.lit(name).alias("rule"), "violations"
-        )
+    def _viol(col):
+        return F.sum(F.when(col, 1).otherwise(0)).cast("long")
 
-    dup = o.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations")
-    ).select(F.lit("duplicate_orderkey").alias("rule"), "violations")
+    # four rules = ONE scan pass (a single conditional aggregate), then a
+    # 1-row stack-unpivot to the per-rule layout
+    onepass = o.agg(
+        _viol(F.col("o_custkey").isNull()).alias("null_custkey"),
+        _viol(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "duplicate_orderkey"
+        ),
+        _viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "unknown_status"
+        ),
+    ).select(
+        F.expr(
+            "stack(4, 'null_custkey', null_custkey,"
+            " 'nonpositive_price', nonpositive_price,"
+            " 'duplicate_orderkey', duplicate_orderkey,"
+            " 'unknown_status', unknown_status) AS (rule, violations)"
+        )
+    )
     orphan = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
         .select(F.lit("orphan_custkey").alias("rule"), "violations")
     )
-    return (
-        _rule("null_custkey", F.col("o_custkey").isNull())
-        .unionAll(_rule("nonpositive_price", F.col("o_totalprice") <= 0))
-        .unionAll(dup)
-        .unionAll(orphan)
-        .unionAll(
-            _rule("unknown_status", ~F.col("o_orderstatus").isin("O", "F", "P"))
-        )
-    )
+    return onepass.unionAll(orphan)
 
 
 @query(

@@ -37,7 +37,7 @@ from ..operators.knn import (
     similarity_join,
 )
 from ..schemas import load_table
-from ._registry import fmt_vec_sql, query, rnd_nz
+from ._registry import QUALITY_EXPR_SQL, fmt_vec_sql, query, rnd_nz
 
 # Deterministic unit probe vector (FakeEmbedder is the test-scale stand-in
 # for the reference's BGE model, reference backend/app.py:28-33).
@@ -589,7 +589,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document-quality metrics and composite score (all codegen-native)."""
+    """Heuristic document-quality metrics and composite score (all
+    codegen-native). The quality formula inlined above is the ROUND-wrapped
+    form of _registry.QUALITY_EXPR_SQL — keep the three in lockstep with
+    functions.text.quality_score."""
     d = _t(spark, sf_dir, "documents")
     m = quality_metrics(F.col("text"))
     return d.select(
@@ -1150,15 +1153,9 @@ def zipf_slope_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_curriculum_buckets",
-    """
+    f"""
     WITH q AS (
-      SELECT doc_id,
-             LEAST(GREATEST(
-               0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / LENGTH(text))
-               + 0.3 * (CASE WHEN LENGTH(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))
-                                  BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
-               + 0.2 * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / LENGTH(text)),
-               0.0), 1.0) AS quality
+      SELECT doc_id, {QUALITY_EXPR_SQL} AS quality
       FROM documents),
     b AS (
       SELECT doc_id, quality,

@@ -110,6 +110,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # must be set on whatever session the driver hands us, not only ours
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ→LTZ cast in normalize_events_ts (and any to_date/epoch
+        # math downstream) reads the SESSION timezone: on a non-UTC
+        # session every events-derived epoch second would shift by the
+        # zone offset while DuckDB stays UTC — pin it here, session-
+        # agnostic, just like nanosAsLong (verified: an America/
+        # Los_Angeles session shifts epochs by 28800 s without this)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
