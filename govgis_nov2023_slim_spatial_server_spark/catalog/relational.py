@@ -1244,13 +1244,15 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms of distinct-count and percentile — HyperLogLog++
     (approx_count_distinct) and Greenwald-Khanna (approx_percentile) —
     graded INSIDE the gate: the entry emits the exact statistics plus
-    0/1 flags asserting the sketch landed within tolerance (5% relative
-    for HLL at rsd=0.01 — a ≥5-sigma margin, so the flag survives any
-    testdata regeneration, not just this draw; 5% for the p50 at
-    rank-accuracy 1e-4). The flags
-    are deterministic — both sketches carry order-independent error
-    guarantees — so the oracle states them as 1 literals (emitted as
-    BIGINT, a driver-proven output type, rather than BOOLEAN).
+    0/1 flags asserting the sketch landed within tolerance (10% relative
+    for HLL at rsd=0.01 — a ~10-sigma margin; the rsd is a standard
+    deviation, not a worst-case bound, so the margin is chosen wide
+    enough that a tail draw on regenerated testdata is beyond-astronomical
+    rather than merely unlikely; 5% for the p50, whose rank-accuracy
+    1e-4 IS a deterministic guarantee). The flags
+    are order-independent, so the oracle states them as 1 literals
+    (emitted as BIGINT, a driver-proven output type, rather than BOOLEAN);
+    the tight-tolerance assertions live in pytest, not the hash gate.
 
     Scale shape: both sketches are constant-size mergeable partials
     (map-side combine, one k-row shuffle); this is the drop-in the exact
@@ -1267,7 +1269,7 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         (
             F.abs(F.col("__u_approx") - F.col("n_users_exact"))
-            <= 0.05 * F.col("n_users_exact")
+            <= 0.10 * F.col("n_users_exact")
         ).cast("long").alias("users_ok"),
         F.round("__p50", 4).alias("p50_exact"),
         (
@@ -1298,6 +1300,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The result is identical to the plain join the oracle runs — bucketing
     changes the physical plan, never the answer."""
+    _sweep_stale_bucketed(spark)
 
     def _bucketed(df: DataFrame, name: str, key: str) -> DataFrame:
         # the in-memory catalog forgets managed tables between sessions but
@@ -1305,22 +1308,17 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The name carries the pid so two processes sharing a warehouse
         # (a gate run next to a bench run) can never rmtree each other's
         # live bucket files.
-        import os
-        import shutil
-        from urllib.parse import urlparse
-
-        name = f"{name}_{os.getpid()}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            loc = os.path.join(wh.path, name)
-            if os.path.exists(loc):
-                shutil.rmtree(loc)
+        _rm_warehouse_dir(spark, name)
         df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
         return spark.table(name)
 
-    bo = _bucketed(_t(spark, sf_dir, "orders"), "bkt_orders", "o_orderkey")
-    bl = _bucketed(_t(spark, sf_dir, "lineitem"), "bkt_lineitem", "l_orderkey")
+    import os
+
+    names = [f"bkt_orders_{os.getpid()}", f"bkt_lineitem_{os.getpid()}"]
+    _atexit_rm_bucketed(spark, names)
+    bo = _bucketed(_t(spark, sf_dir, "orders"), names[0], "o_orderkey")
+    bl = _bucketed(_t(spark, sf_dir, "lineitem"), names[1], "l_orderkey")
     return (
         bo.join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_orderpriority")
@@ -1331,6 +1329,79 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def _warehouse_root(spark: SparkSession) -> str | None:
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return wh.path if wh.scheme in ("", "file") else None
+
+
+def _rm_warehouse_dir(spark: SparkSession, table_name: str) -> None:
+    import os
+    import shutil
+
+    root = _warehouse_root(spark)
+    if root is not None:
+        loc = os.path.join(root, table_name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
+_ATEXIT_REGISTERED: set[str] = set()
+
+
+def _atexit_rm_bucketed(spark: SparkSession, names: list[str]) -> None:
+    """Remove this pid's bucketed warehouse dirs at interpreter exit.
+
+    The returned DataFrame reads the bucketed files LAZILY (callers collect
+    after this function returns, and plan-inspection tests never collect at
+    all), so the files must outlive the call — cleanup happens at process
+    exit, pure filesystem (the in-memory catalog dies with the process
+    anyway). A killed process skips atexit; the dead-pid sweep at the next
+    entry covers that case."""
+    import atexit
+    import shutil
+
+    root = _warehouse_root(spark)
+    if root is None:
+        return
+    for n in names:
+        if n in _ATEXIT_REGISTERED:
+            continue
+        _ATEXIT_REGISTERED.add(n)
+        import os
+
+        atexit.register(
+            lambda loc=os.path.join(root, n): shutil.rmtree(loc, ignore_errors=True)
+        )
+
+
+def _sweep_stale_bucketed(spark: SparkSession) -> None:
+    """Remove ``bkt_*_<pid>`` warehouse directories left by DEAD processes.
+
+    A killed gate/bench run can leak its pid-suffixed bucketed tables (the
+    pid never recurs, so the by-name drop never fires again). Live pids are
+    skipped, so concurrent runs sharing a warehouse stay untouched."""
+    import os
+    import shutil
+
+    root = _warehouse_root(spark)
+    if root is None or not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if not d.startswith("bkt_"):
+            continue
+        pid_s = d.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid — leave it
 
 
 @query(

