@@ -6,7 +6,7 @@ reference user gets the full general-analytics surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import char_shingles
@@ -694,4 +694,57 @@ def bitwise_aggs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_and("o_orderkey").alias("key_and"),
         F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@query(
+    "event_type_change_log",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+      FROM o)
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS run_start_s,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, run_id, event_type
+    """,
+)
+def event_type_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands change detection: collapse each user's event
+    stream into RUNS of consecutive identical event_type (the SCD-style
+    change log a behavioral pipeline derives from raw events — "user
+    switched from browsing to buying at t"). The classic two-window
+    decomposition: a null-safe LAG marks change points, a running SUM
+    numbers the runs, one group-by collapses them.
+
+    Scale shape: both windows and the final aggregate share ONE
+    hash-partitioning on user_id — a single shuffle end-to-end (AQE
+    reuses the exchange); per-user state is a sort within partitions.
+    run_start_s truncates to epoch seconds on both engines (Spark
+    cast-long, DuckDB FLOOR(epoch)) per the oracle conventions."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    runs = marked.withColumn("run_id", F.sum("chg").over(wr).cast("long"))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").cast("long").alias("run_start_s"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -26,7 +26,7 @@ from ..operators.sampling import (
     hash_bucket_sql,
 )
 from ..schemas import load_table
-from ._registry import QUALITY_EXPR_SQL, query
+from ._registry import QUALITY_EXPR_SQL, query, rnd_nz
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -459,4 +459,98 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.floor(q * F.lit(10000.0)).cast("long")
         )
         .select("doc_id", F.round(q, 4).alias("quality"))
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    p AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i
+            FROM w WHERE length(w) >= 2))
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step: count adjacent symbol pairs
+    inside words across the corpus and surface the top candidates — the
+    exact statistic the first iteration of byte-pair encoding merges on
+    (subsequent iterations re-run this after replacing the winning pair).
+
+    Scale shape: pure map-side fan-out (split → explode pairs) into one
+    map-combined count aggregate and a 20-row TakeOrderedAndProject —
+    the same shape at 100 TB, no skew (pair cardinality is small and the
+    partial aggregation absorbs hot pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    # sequence(1, len-1) must be guarded: Spark generates DESCENDING
+    # sequences when start > stop (a 1-char word would yield [1, 0])
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "char_entropy_quality",
+    """
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents),
+    k AS (
+      SELECT doc_id, ch, COUNT(*) AS n_c
+      FROM c GROUP BY doc_id, ch),
+    e AS (
+      SELECT doc_id, SUM(n_c) AS n_chars,
+             log2(CAST(SUM(n_c) AS DOUBLE))
+               - SUM(n_c * log2(CAST(n_c AS DOUBLE))) / SUM(n_c) AS h
+      FROM k GROUP BY doc_id)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(h, 4) + 0.0 AS entropy
+    FROM e
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    repetitiveness/quality signal (near-zero entropy = degenerate repeated
+    text; natural prose sits ~4-4.5 bits/char) a corpus filter thresholds
+    on before any model-based scoring.
+
+    Computed as H = log2(n) − Σ n_c·log2(n_c)/n over per-(doc, char)
+    counts: two map-combined aggregations, no window, no Python. The
+    identical algebraic form runs on both engines so the libm log2 calls
+    see the same arguments (integers), keeping the rounded hash stable."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    n = F.sum("n_c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_chars"),
+            (
+                F.log2(n.cast("double"))
+                - F.sum(F.col("n_c") * F.log2(F.col("n_c").cast("double"))) / n
+            ).alias("__h"),
+        )
+        .select("doc_id", "n_chars", rnd_nz("__h", 4).alias("entropy"))
     )

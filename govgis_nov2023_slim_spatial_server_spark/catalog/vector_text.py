@@ -159,6 +159,62 @@ def knn_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", rnd_nz(F.col("dist"), 4).alias("dist"))
 
 
+def _sim_join_lsh_oracle_sql() -> str:
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{fmt_vec_sql(list(_LSH_PLANES[i]))}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_LSH_PLANES))
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT vec_id AS probe_id, emb AS pemb, pnrm,
+             unnest([bucket, xor(bucket, 1)]) AS bucket
+      FROM (SELECT vec_id, emb, nrm AS pnrm, bucket FROM b WHERE vec_id < 5)),
+    j AS (
+      SELECT p.probe_id, b.vec_id,
+             1 - list_dot_product(b.emb, p.pemb) / (b.nrm * p.pnrm) AS d
+      FROM p JOIN b USING (bucket))
+    SELECT probe_id, vec_id, ROUND(d, 4) + 0.0 AS dist
+    FROM j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 3
+    """
+
+
+@query("similarity_join_lsh_oracle", _sim_join_lsh_oracle_sql())
+def similarity_join_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH similarity JOIN made exactly graded — the bucket-meet join
+    that replaces broadcast-probes once the probe side outgrows the
+    broadcast limit (operators/knn.similarity_join_lsh). The oracle
+    recomputes BOTH sides' sign-LSH buckets from the same plane literals,
+    the probe side's multi-probe explode (own bucket + bit-0 flip, exactly
+    the operator's n_probes=2 candidate array), the bucket equi-join, and
+    the exact per-probe cosine top-3 within the joined candidates. A wrong
+    bucket bit on either side, a wrong probe set, or a tie-break slip is a
+    hash mismatch — this was the one 100 TB scale mechanism without a
+    catalog entry (VERDICT r4 #2).
+
+    Scale shape: shuffle carries |probes|·n_buckets_probed + |corpus| rows
+    (never a cross product), and local_topk_prune cuts the window input to
+    ≤ k rows per (partition, probe)."""
+    from ..operators.knn import similarity_join_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    out = similarity_join_lsh(
+        probes, e, k=3, probe_id="probe_id", probe_emb="probe_emb",
+        corpus_id="vec_id", corpus_emb="embedding",
+        n_planes=6, n_probes=2, seed=42, dim=64,
+    )
+    return out.select("probe_id", "vec_id", rnd_nz("dist", 4).alias("dist"))
+
+
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN via IVF cluster probing (sampled k-means + partition-prunable inverted file)."""
@@ -167,6 +223,59 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     out = ivf_knn(e, PROBE_VEC, k=10, n_centroids=8, n_probe=2)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid
+      FROM embeddings e CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cemb), c.cid) = 1),
+    p AS (
+      SELECT cid FROM c
+      ORDER BY list_distance(c.cemb, {PROBE_SQL}), cid LIMIT 2)
+    SELECT vec_id, ROUND({_DIST_SQL}, 4) + 0.0 AS dist
+    FROM a WHERE cid IN (SELECT cid FROM p)
+    ORDER BY {_DIST_SQL}, vec_id
+    LIMIT 10
+    """
+
+
+@query("knn_ivf_oracle", _ivf_oracle_sql())
+def knn_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe-and-rank COMPOSITION made exactly graded (VERDICT r4
+    #4): kmeans_assign_step already grades the E-step alone; this entry
+    runs the real IVF operators end-to-end — assign_clusters (one BLAS
+    matmul per Arrow batch) then ivf_search (rank cells against the query,
+    scan only the n_probe=2 nearest, exact cosine top-10 inside them) —
+    with the centroids data-derived (the vectors with vec_id 1..8, the
+    bounded k-row collect of operators/ivf.py) so the oracle can replay
+    the identical pipeline in SQL: assign → prune cells → exact top-k.
+    A wrong cell assignment, probe-cell ranking, or in-cell tie-break is
+    a hash mismatch.
+
+    Scale shape unchanged: assignment is a broadcast-argmin map (no
+    shuffle), and at 100 TB the cluster id is the store's partition key —
+    the n_probe filter is directory pruning (write_ivf)."""
+    import numpy as np
+
+    from ..operators.ivf import assign_clusters, ivf_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents_rows = sorted(
+        e.where(F.col("vec_id").between(1, 8)).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in cents_rows], dtype=np.float64
+    )
+    assigned = assign_clusters(e, cents)
+    out = ivf_search(assigned, cents, PROBE_VEC, k=10, n_probe=2)
+    return out.select("vec_id", rnd_nz("dist", 4).alias("dist"))
 
 
 @query(

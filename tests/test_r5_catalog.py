@@ -1,0 +1,86 @@
+"""Semantic contracts for the r5 catalog entries: the two approximate-path
+mechanism twins (LSH similarity join, IVF probe-and-rank) and the new
+text/behavioral-pipeline operators (BPE pair counts, char entropy,
+gaps-and-islands change log) — properties the DuckDB hash comparison can't
+state as naturally (recall vs the exact operator, partition-of-the-corpus
+invariants, run alternation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+
+def _run(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_similarity_join_lsh_oracle_self_match(spark, sf_dir):
+    rows = _run(spark, sf_dir, "similarity_join_lsh_oracle").collect()
+    assert len(rows) == 15  # 5 probes × k=3
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, nbrs in by_probe.items():
+        # a probe's own bucket is always probed, so it must find itself
+        assert any(r["vec_id"] == pid and abs(r["dist"]) < 1e-9 for r in nbrs)
+
+
+def test_similarity_join_lsh_recall_vs_exact(spark, sf_dir):
+    lsh = {
+        (r["probe_id"], r["vec_id"])
+        for r in _run(spark, sf_dir, "similarity_join_lsh_oracle").collect()
+    }
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in _run(spark, sf_dir, "similarity_join_topk").collect()
+    }
+    # approximate: recall against the exact join is the contract, not 100%
+    assert len(lsh & exact) / len(exact) >= 0.3
+
+
+def test_knn_ivf_oracle_sorted_and_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "knn_ivf_oracle").collect()
+    assert len(rows) == 10
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(0.0 <= d <= 2.0 for d in dists)
+
+
+def test_bpe_pair_counts_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bpe_pair_counts").collect()
+    assert len(rows) == 20
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_char_entropy_covers_corpus_exactly(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = _run(spark, sf_dir, "char_entropy_quality").collect()
+    assert len(rows) == d.count()
+    # Σ n_chars == Σ length(text): the char explode dropped/invented nothing
+    total = d.select(F.sum(F.length("text"))).first()[0]
+    assert sum(r["n_chars"] for r in rows) == total
+    # 0 ≤ H ≤ log2(alphabet); single-space ASCII word soup sits well under 6
+    assert all(0.0 <= r["entropy"] <= 6.0 for r in rows)
+
+
+def test_event_type_change_log_partitions_events(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _run(spark, sf_dir, "event_type_change_log").collect()
+    # runs partition the event stream
+    assert sum(r["n_events"] for r in rows) == e.count()
+    # within a user, consecutive runs must change type (else they'd be one
+    # run) and run ids start at 1
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r["run_id"])
+        assert runs[0]["run_id"] == 1
+        assert [r["run_id"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["event_type"] != b["event_type"]
