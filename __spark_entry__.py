@@ -23,48 +23,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r03), so insertion order
-# decides which queries get correctness rows. r4 prefix: the 3 entries
-# added after r3's prefix froze, the 23 entries new this round, the one
-# r3 failure re-fixed (inverted_index_postings — nested posting list now
-# string-serialized), then the re-proof rotation: all 17 oracle-checked
-# entries last proven in r1, then 6 of the oldest r2 greens
-# (events-reading ones first — the events.ts physical type changed this
-# round and the loader was adapted). 3+23+1+17+6 = 50. After r4 the
-# r1..r4 union covers all entries and no oracle-checked entry's latest
-# proof is older than r2.
+# (verified key-by-key against CORRECTNESS_r01..r04), so insertion order
+# decides which queries get correctness rows. r5 prefix: the 5 entries
+# new this round (the two approximate-path mechanism twins + three
+# pipeline operators), then the full re-proof rotation CLAUDE.md staged:
+# all 35 oracle-checked entries whose latest driver proof is r2 (none of
+# them reads events — the events-reading r2 entries were re-proven in r4
+# after the ts physical-type change), the 4 rows-only entries untouched
+# since r1, and 6 events-reading r3 greens (the events table is the one
+# whose physical shape has changed between rounds — re-prove those
+# first from the r3 pool). 5+35+4+6 = 50. After a green r5 every
+# oracle-checked entry's latest proof is r3 or newer.
 _DRIVER_PRIORITY = [
-    # never driver-checked (added after the r3 prefix froze)
-    "stream_session_user_totals", "sql_surface_pricing",
-    "corpus_stats_documents",
-    # new in r4: n-gram/corpus statistics, curriculum + dedup reporting,
-    # clustering step, robust stats, relative-standing windows, cohorts
-    "bigram_top_counts", "zipf_slope_unigrams", "quality_curriculum_buckets",
-    "dedup_retention_summary", "kmeans_assign_step",
-    "mad_totalprice_by_status", "window_percent_rank_prices",
-    "user_retention_cohorts", "token_length_histogram",
-    "approx_stats_events", "bucketed_join_revenue",
-    "set_ops_all_variants", "null_safe_join_counts", "knn_lsh_oracle",
-    "stats_corr_regression", "bitwise_aggs_orders", "resample_ffill_15m",
-    "order_date_spine_counts", "rank_with_ties_topk",
-    "data_quality_checks_orders", "spatial_knn_rect_centroids",
-    "weighted_sample_by_quality", "revenue_share_window",
-    # r3 comparator crash re-fixed (postings serialized to string)
-    "inverted_index_postings",
-    # re-proof: oracle-checked entries last proven in r1
-    "token_counts", "doc_quality", "lang_id_stopwords",
-    "fingerprint_dup_groups", "vector_centroids_by_label",
-    "minhash_neardup_oracle", "char_ngram_counts", "stopword_ratio_en",
-    "collect_sorted_priorities", "case_when_discount_buckets",
-    "cross_join_region_nation", "having_populous_nations",
-    "exists_correlated_bigqty", "scalar_subquery_above_avg",
-    "knn_euclidean", "dot_product_ranking", "explode_embedding_dims",
-    # re-proof: oldest r2 greens, events-reading entries first
-    "asof_join_purchase_signup", "dedup_first_event_per_key",
-    "json_extract_events",
-    "similarity_join_topk",
-    "embedding_near_dup_blocked",
-    "spatial_point_filter",
+    # new in r5: mechanism twins for the approximate scale paths, BPE
+    # pair counting, char-entropy quality, gaps-and-islands change log
+    "similarity_join_lsh_oracle", "knn_ivf_oracle", "bpe_pair_counts",
+    "char_entropy_quality", "event_type_change_log",
+    # re-proof: the 35 oracle-checked entries last proven in r2
+    "chunk_dedup_summary", "chunk_documents_tokens", "date_funcs_orders",
+    "decontaminate_benchmark", "dedup_components", "dedup_distinct_pairs",
+    "embedding_quantize_int8", "filter_caseins_topk", "html_to_markdown",
+    "knn_int8_rerank", "math_funcs_lineitem", "multimodal_byte_stats",
+    "multimodal_frame_sample", "multimodal_resize", "pii_redaction",
+    "q14_economy_revenue_share", "q4_priority_with_late_items",
+    "q6_revenue_forecast", "repetition_filter", "reproject_mercator",
+    "sample_deterministic_orders", "set_except_keys",
+    "set_intersect_nations", "set_union_keys", "simhash_poly_signature",
+    "sketch_bloom_join_counts", "sketch_cms_priority_counts",
+    "skewed_agg_salted", "spatial_join_blocked", "spatial_join_overlap",
+    "split_train_val_test", "stratified_sample_embeddings",
+    "string_funcs_part", "tfidf_top_terms", "topk_offset_orders",
+    # re-proof: rows-only entries untouched since r1 (each has a green
+    # exact twin; the rows-only record itself is refreshed here)
+    "minhash_lsh_neardup", "simhash_neardup", "knn_lsh_approx",
+    "knn_ivf_approx",
+    # re-proof: events-reading r3 greens (events is the table whose
+    # physical shape changes between testdata generations)
+    "rolling_1h_user_stats", "session_windows_30m",
+    "stream_stateful_running_totals", "funnel_view_click_purchase",
+    "join_range_events_orders", "window_lag_lead_events",
 ]
 
 

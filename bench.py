@@ -7,6 +7,15 @@ Each query runs in ≥3 round-robin passes; per-query MEDIAN wall-clock
 seconds are reported (count() drives the full plan; results are not
 collected to the driver beyond the aggregate). Total = sum of medians;
 "queries_spread" carries [min, max] per query so noise is visible.
+
+Self-calibration: a fixed-cost in-memory canary (range → sum, pure
+whole-stage codegen, no I/O, no data dependence) runs before and after
+the suite. "load_factor" = min(before, after) / recorded idle reference;
+a factor > 1.2 sets "load_degraded" and means the HOST was busy during
+grading — compare "value_load_normalized" (value / load_factor) across
+rounds in that case. Added after BENCH_r04 recorded a uniform 1.2-2.0x
+inflation across all 17 queries (including ones untouched since r1) that
+an idle same-commit re-run fully reversed.
 """
 
 from __future__ import annotations
@@ -38,6 +47,31 @@ HEADLINE = [
     "vector_centroids_by_label",
     "grouping_sets_status_priority",
 ]
+
+
+# Canary: 4G-row range-sum on 32 partitions — large enough that runtime
+# scales with available CPU (smaller ranges are scheduling-overhead-bound
+# and blind to load), small enough to cost ~1.5 s per bench run total.
+CANARY_ROWS = 4_000_000_000
+# median canary seconds measured on an IDLE local[32] sandbox (r5). If
+# the hardware profile changes, re-record: run bench.py on a quiet
+# machine and copy the reported canary median here.
+CANARY_REF_SEC = 0.50
+
+
+def _canary_sec(spark) -> float:
+    """Median of 3 fixed-cost runs (first run after warm-up, so JIT is
+    already paid by the suite warm-up that precedes any call)."""
+    import statistics as _st
+
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(CANARY_ROWS, numPartitions=32).selectExpr(
+            "sum(id % 7) AS s"
+        ).collect()
+        ts.append(time.perf_counter() - t0)
+    return round(_st.median(ts), 3)
 
 
 def _scan_partition_bytes(sf_dir: str) -> str:
@@ -95,6 +129,8 @@ def main() -> None:
         pass
     ingest_sec = round(time.perf_counter() - t0, 3)
 
+    canary_before = _canary_sec(spark)
+
     # ≥3 round-robin passes, report per-query MEDIAN + spread: single-run
     # numbers drifted 15-30% uniformly between r1 and r2 on untouched
     # queries, so one sample cannot separate noise from regression
@@ -113,10 +149,17 @@ def main() -> None:
             samples[name].append(dt)
             print(f"# pass {rep + 1}: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    canary_after = _canary_sec(spark)
+
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
+
+    # min of before/after: the least-loaded moment. If even that is slow,
+    # the host was busy for the whole suite and the raw total is inflated.
+    load_factor = round(min(canary_before, canary_after) / CANARY_REF_SEC, 3)
+    total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -127,12 +170,20 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_spread": spread,
                 "reps": reps,
                 "spatial_store_build_sec": ingest_sec,
+                "canary_sec": {
+                    "before": canary_before,
+                    "after": canary_after,
+                    "ref_idle": CANARY_REF_SEC,
+                },
+                "load_factor": load_factor,
+                "load_degraded": load_factor > 1.2,
+                "value_load_normalized": round(total / max(1.0, load_factor), 3),
                 "sf": sf_val,
             }
         )

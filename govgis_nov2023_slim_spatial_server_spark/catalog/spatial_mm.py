@@ -320,6 +320,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_id, c_custkey,
            ROUND(sqrt((cx - px) * (cx - px) + (cy - py) * (cy - py)), 4) AS dist
     FROM probes, cent
+    WHERE sqrt((cx - px) * (cx - px) + (cy - py) * (cy - py)) <= 10.0
     QUALIFY ROW_NUMBER() OVER (
         PARTITION BY probe_id
         ORDER BY sqrt((cx - px) * (cx - px) + (cy - py) * (cy - py)), c_custkey) <= 3
@@ -327,17 +328,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def spatial_knn_rect_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial KNN — nearest-3 geometries per probe point by centroid
-    distance. The reference pairs semantic KNN WITH a spatial filter; this
-    entry completes the matrix with distance-ordered spatial retrieval
-    itself (the 'near me' query). Centroids derive from the deterministic
-    key→rect arithmetic and IEEE sqrt is correctly rounded, so the oracle
-    is exact.
+    distance, RADIUS-BOUNDED: candidates beyond 10° are filtered before
+    the per-probe window (the 'near me within R' query). The guard is in
+    BOTH engines' queries, so the hash contract holds by construction;
+    the radius is sized so every probe keeps far more than k candidates
+    (the centroid lattice spans every ~1° cell of the extent), making the
+    result identical to unbounded KNN here. Centroids derive from the
+    deterministic key→rect arithmetic and IEEE sqrt is correctly rounded,
+    so the oracle is exact.
 
-    Scale shape: probes broadcast against one scan of the geometry store;
-    per-probe top-k resolves via WindowGroupLimit (per-partition rank
-    pruning before the probe_id shuffle). At 100 TB the store is Z-order
-    sorted (sources/ingest), so a distance-bounded pre-filter on bbox
-    min/max stats prunes most row groups before any distance math."""
+    Scale shape: probes broadcast against one scan of the geometry store,
+    and the radius guard — a plain Filter BEFORE the Window, asserted in
+    tests — is the predicate that maps onto bbox min/max row-group
+    pruning on the Z-order-sorted store (sources/ingest) at 100 TB: most
+    row groups never reach the distance math, and the window's shuffle
+    carries only in-radius rows."""
     rects = _customer_rects(spark, sf_dir)
     cent = rects.select(
         "c_custkey",
@@ -349,12 +354,16 @@ def spatial_knn_rect_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
          (4, -80.0, 26.5), (5, -120.0, 45.0)],
         "probe_id: long, px: double, py: double",
     )
-    d = cent.crossJoin(F.broadcast(probes)).withColumn(
-        "dist",
-        F.sqrt(
-            (F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px"))
-            + (F.col("cy") - F.col("py")) * (F.col("cy") - F.col("py"))
-        ),
+    d = (
+        cent.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                (F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px"))
+                + (F.col("cy") - F.col("py")) * (F.col("cy") - F.col("py"))
+            ),
+        )
+        .where(F.col("dist") <= 10.0)
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("dist").asc(), F.col("c_custkey").asc()

@@ -68,6 +68,19 @@ def test_char_entropy_covers_corpus_exactly(spark, sf_dir):
     assert all(0.0 <= r["entropy"] <= 6.0 for r in rows)
 
 
+def test_spatial_knn_radius_filter_precedes_window(spark, sf_dir):
+    """The 10-degree radius guard must be a Filter BELOW the per-probe
+    Window (executed plans print top-down: Window above Filter), so the
+    window's shuffle carries only in-radius rows — the plan shape that
+    maps onto bbox row-group pruning at scale."""
+    df = QUERIES["spatial_knn_rect_centroids"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fi, wi = plan.find("10.0"), plan.find("Window")
+    assert fi != -1 and wi != -1 and wi < fi
+    # the guard keeps >= k candidates per probe: result is full 5x3
+    assert df.count() == 15
+
+
 def test_event_type_change_log_partitions_events(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     rows = _run(spark, sf_dir, "event_type_change_log").collect()
