@@ -1,0 +1,163 @@
+"""Scale rehearsal: measure how the headline scale mechanisms grow from a
+1x to an Nx corpus (default 20x documents/embeddings, 8x orders/lineitem),
+and print per-query scaling exponents alpha = log(t_N/t_1) / log(N).
+
+The Nx corpora are DETERMINISTIC replications of /root/testdata/sf0.1 with
+per-replica perturbation chosen so workload characteristics stay realistic:
+
+- documents: every word gets a per-replica suffix, so replicas are NOT
+  near-duplicates of each other — the near-dup rate per document stays the
+  corpus's own rate instead of exploding 20x (a naive copy would make every
+  doc a member of a 20-way duplicate cluster and quadratically inflate the
+  LSH candidate set, measuring a different problem).
+- embeddings: one dimension's sign flips per replica (norm-preserving), so
+  cross-replica vectors are distinct but the distance distribution is
+  unchanged.
+- orders/lineitem: key-shifted copies (o_orderkey + r*1e8), preserving the
+  1:n join fan-out exactly.
+
+Both scales are written through the same writer to /tmp so file layout,
+compression, and row-group structure are identical — the measured delta is
+the algorithm, not the storage format. Usage:
+
+    python tools/scale_rehearsal.py [--docs-reps 20] [--fact-reps 8]
+
+Writes nothing into the repo; paste the table into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/govgis-scale-rehearsal"
+
+# query name -> (tables it needs, replica kind)
+QUERIES_UNDER_TEST = {
+    "minhash_lsh_neardup": (["documents"], "docs"),
+    "ngram_jaccard_topk": (["documents"], "docs"),
+    "knn_topk": (["embeddings"], "docs"),
+    "similarity_join_topk": (["embeddings"], "docs"),
+    "bucketed_join_revenue": (["orders", "lineitem"], "fact"),
+    "q1_pricing_summary": (["lineitem"], "fact"),
+}
+
+
+def _replicate(spark, table: str, out_dir: str, reps: int) -> None:
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    df = load_table(spark, BASE, table)
+    parts = []
+    for r in range(reps):
+        p = df
+        if table == "documents":
+            if r > 0:
+                p = p.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(f"_{r}")),
+                        ),
+                        " ",
+                    ),
+                )
+            p = p.withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000))
+        elif table == "embeddings":
+            if r > 0:
+                flip = r % 64
+                p = p.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, i) -> "
+                        f"CASE WHEN i = {flip} THEN -x ELSE x END)"
+                    ),
+                )
+            p = p.withColumn("vec_id", F.col("vec_id") + F.lit(r * 1_000_000))
+        elif table == "orders":
+            p = p.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(r * 100_000_000)
+            )
+        elif table == "lineitem":
+            p = p.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000)
+            )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+
+
+def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+    t0 = time.perf_counter()
+    n = QUERIES[name](spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs-reps", type=int, default=20)
+    ap.add_argument("--fact-reps", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    from govgis_nov2023_slim_spatial_server_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tables = ["documents", "embeddings", "orders", "lineitem"]
+    dirs = {1: os.path.join(WORK, "x1")}
+    for t in tables:
+        _replicate(spark, t, dirs[1], 1)
+    for t in tables:
+        reps = args.docs_reps if t in ("documents", "embeddings") else args.fact_reps
+        key = ("docs", args.docs_reps) if t in ("documents", "embeddings") else (
+            "fact",
+            args.fact_reps,
+        )
+        d = os.path.join(WORK, f"{key[0]}_x{key[1]}")
+        dirs[key] = d
+        _replicate(spark, t, d, reps)
+
+    print(f"# corpora under {WORK}")
+    results = []
+    for name, (tabs, kind) in QUERIES_UNDER_TEST.items():
+        reps = args.docs_reps if kind == "docs" else args.fact_reps
+        d_big = dirs[(kind, reps)]
+        t1 = min(
+            _time_query(spark, name, dirs[1])[0] for _ in range(args.repeats)
+        )
+        tn, rows = math.inf, 0
+        for _ in range(args.repeats):
+            t, rows = _time_query(spark, name, d_big)
+            tn = min(tn, t)
+        alpha = math.log(tn / t1) / math.log(reps)
+        results.append((name, reps, t1, tn, alpha, rows))
+        print(
+            f"{name}: x1={t1:.2f}s x{reps}={tn:.2f}s "
+            f"alpha={alpha:.2f} rows_at_xN={rows}"
+        )
+
+    print("\n| query | N | t(1x) s | t(Nx) s | alpha |")
+    print("|---|---|---|---|---|")
+    for name, reps, t1, tn, alpha, _ in results:
+        print(f"| {name} | {reps} | {t1:.2f} | {tn:.2f} | {alpha:.2f} |")
+
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
