@@ -842,6 +842,88 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best_doc",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (a.nrm * b.nrm) >= 0.15),
+    e AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib AS s, ia AS d FROM p),
+    n AS (SELECT DISTINCT s AS id FROM e),
+    reach(id, comp) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT e.s, r.comp FROM e JOIN reach r ON e.d = r.id),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    m AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component,
+             {QUALITY_EXPR_SQL} AS quality
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+    SELECT component, doc_id AS kept_doc_id,
+           ROUND(quality, 4) + 0.0 AS kept_quality,
+           n_members
+    FROM (SELECT *,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM m)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-canonical step between dedup clustering and the surviving-
+    corpus write: for every near-dup component (embedding-cosine pairs →
+    hash-min connected components, docs outside any pair are their own
+    singleton component), keep the HIGHEST-QUALITY member (quality ties
+    break to the lowest doc_id). This is the policy step dedup_components
+    stops short of — production pipelines keep the best page of a
+    duplicate cluster, not an arbitrary one.
+
+    The quality expression is the engine-shared QUALITY_EXPR_SQL copy
+    (bit-identical doubles both sides, same contract as
+    weighted_sample_by_quality), so ordering by it is deterministic; the
+    oracle states the same pick as a per-component window.
+
+    Scale shape: pair generation is block-bounded (never all-pairs),
+    components converge in O(log diameter) hash-min rounds, and the final
+    pick is ONE window over (component) — all shuffles on 8-byte keys,
+    text never moves."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    pairs = embedding_near_duplicates(
+        e, id_col="vec_id", emb_col="embedding", threshold=0.15, block_col="label"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = d.select("doc_id", quality_score(F.col("text")).alias("__q"))
+    m = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component"), "__q"
+    )
+    wc = Window.partitionBy("component")
+    wo = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        m.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(wo))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            rnd_nz("__q", 4).alias("kept_quality"),
+            "n_members",
+        )
+    )
+
+
+@query(
     "fuzzy_match_levenshtein",
     """
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

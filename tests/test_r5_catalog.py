@@ -68,6 +68,21 @@ def test_char_entropy_covers_corpus_exactly(spark, sf_dir):
     assert all(0.0 <= r["entropy"] <= 6.0 for r in rows)
 
 
+def test_dedup_keep_best_doc_covers_corpus(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = _run(spark, sf_dir, "dedup_keep_best_doc").collect()
+    # components partition the corpus: member counts sum to |docs|
+    assert sum(r["n_members"] for r in rows) == d.count()
+    # the kept doc is a member of its own component (component = min id
+    # reachable, so kept_doc_id >= component) and quality is a valid score
+    for r in rows:
+        assert r["kept_doc_id"] >= r["component"]
+        assert 0.0 <= r["kept_quality"] <= 1.0
+    # one row per component
+    comps = [r["component"] for r in rows]
+    assert len(comps) == len(set(comps))
+
+
 def test_spatial_knn_radius_filter_precedes_window(spark, sf_dir):
     """The 10-degree radius guard must be a Filter BELOW the per-probe
     Window (executed plans print top-down: Window above Filter), so the
