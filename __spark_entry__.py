@@ -24,15 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
 # (verified key-by-key against CORRECTNESS_r01..r04), so insertion order
-# decides which queries get correctness rows. r5 prefix: the 6 entries
-# new this round (the two approximate-path mechanism twins + four
-# pipeline operators), then the full re-proof rotation CLAUDE.md staged:
+# decides which queries get correctness rows. r5 prefix: the 8 entries
+# new this round (the two approximate-path mechanism twins + six
+# pipeline/behavioral operators), then the full re-proof rotation CLAUDE.md staged:
 # all 35 oracle-checked entries whose latest driver proof is r2 (none of
 # them reads events — the events-reading r2 entries were re-proven in r4
 # after the ts physical-type change), the 4 rows-only entries untouched
-# since r1, and 5 events-reading r3 greens (the events table is the one
+# since r1, and 3 events-reading r3 greens (the events table is the one
 # whose physical shape has changed between rounds — re-prove those
-# first from the r3 pool). 6+35+4+5 = 50. After a green r5 every
+# first from the r3 pool). 8+35+4+3 = 50. After a green r5 every
 # oracle-checked entry's latest proof is r3 or newer.
 _DRIVER_PRIORITY = [
     # new in r5: mechanism twins for the approximate scale paths, BPE
@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     # keep-best-canonical dedup policy
     "similarity_join_lsh_oracle", "knn_ivf_oracle", "bpe_pair_counts",
     "char_entropy_quality", "event_type_change_log", "dedup_keep_best_doc",
+    "cumulative_distinct_users", "bigram_lm_cross_entropy",
     # re-proof: the 35 oracle-checked entries last proven in r2
     "chunk_dedup_summary", "chunk_documents_tokens", "date_funcs_orders",
     "decontaminate_benchmark", "dedup_components", "dedup_distinct_pairs",
@@ -61,8 +62,7 @@ _DRIVER_PRIORITY = [
     # re-proof: events-reading r3 greens (events is the table whose
     # physical shape changes between testdata generations)
     "rolling_1h_user_stats", "session_windows_30m",
-    "stream_stateful_running_totals", "funnel_view_click_purchase",
-    "join_range_events_orders",
+    "stream_stateful_running_totals",
 ]
 
 

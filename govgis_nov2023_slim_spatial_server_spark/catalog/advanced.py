@@ -748,3 +748,34 @@ def event_type_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("long").alias("run_start_s"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "cumulative_distinct_users",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id),
+    d AS (SELECT day, COUNT(*) AS n_new_users FROM f GROUP BY day)
+    SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over time (the audience/corpus growth curve)
+    via the first-seen conversion: a windowed COUNT(DISTINCT) needs
+    per-window distinct state and Spark refuses it outright — but
+    "distinct users through day d" ≡ "users whose FIRST event is ≤ d", so
+    one groupBy(user) MIN(date) + a daily count + a running sum over the
+    ~|days| spine computes it exactly. The window runs over the aggregated
+    spine (days), never the raw events — state is O(days), not O(users),
+    at any corpus size; that conversion IS the scale mechanism here.
+
+    Date truncation uses the UTC session pin (schemas.load_table), so
+    Spark's to_date and DuckDB's CAST(ts AS DATE) agree."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.withColumn("cum_users", F.sum("n_new_users").over(w))

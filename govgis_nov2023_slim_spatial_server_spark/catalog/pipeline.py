@@ -554,3 +554,69 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", rnd_nz("__h", 4).alias("entropy"))
     )
+
+
+@query(
+    "bigram_lm_cross_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    b AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY w1, w2),
+    s AS (
+      SELECT b.doc_id,
+             log2(CAST(c12.n12 AS DOUBLE) / c1.n1) AS lp
+      FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+             JOIN c1 ON b.w1 = c1.w1)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(lp), 4) + 0.0 AS cross_entropy
+    FROM s GROUP BY doc_id
+    """,
+)
+def bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet-style filter): train a
+    bigram LM on the corpus itself (MLE: P(w2|w1) = c(w1,w2)/c(w1)) and
+    score every document by its per-bigram cross-entropy under that model.
+    Low = repetitive/templated text, high = unusual token transitions —
+    the standard model-based axis next to the heuristic quality_score.
+
+    Scale shape: bigram formation is a map-only fan-out; the two count
+    tables shuffle on token keys with map-side combine (Zipf skew is
+    absorbed by partial aggregation — the hot 'the' key pre-aggregates
+    per partition); scoring joins the exploded bigrams against the count
+    tables on the same token keys; the per-doc reduce is one combined
+    agg. At 100 TB the count tables are computed once and reused across
+    scoring runs (write once, broadcast if the vocab head is truncated).
+    DuckDB's 1-based list indexing pairs ws[i], ws[i+1] over i ∈
+    [1, len-1], matching Spark's slice-zip bigram formation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.log2(F.col("n12").cast("double") / F.col("n1")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd_nz(-F.avg("lp"), 4).alias("cross_entropy"),
+    )

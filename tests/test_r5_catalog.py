@@ -96,6 +96,30 @@ def test_spatial_knn_radius_filter_precedes_window(spark, sf_dir):
     assert df.count() == 15
 
 
+def test_cumulative_distinct_users_monotone_and_totals(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sorted(
+        _run(spark, sf_dir, "cumulative_distinct_users").collect(),
+        key=lambda r: r["day"],
+    )
+    # running sum is strictly increasing and ends at |distinct users|
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == e.select("user_id").distinct().count()
+    assert sum(r["n_new_users"] for r in rows) == cums[-1]
+
+
+def test_bigram_lm_cross_entropy_properties(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bigram_lm_cross_entropy").collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == d.count()
+    for r in rows:
+        # -log2 of probabilities in (0,1]: cross-entropy >= 0, and a
+        # bigram LM over a finite corpus is bounded by log2(n_bigrams)
+        assert r["cross_entropy"] >= 0.0
+        assert r["n_bigrams"] >= 1
+
+
 def test_event_type_change_log_partitions_events(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     rows = _run(spark, sf_dir, "event_type_change_log").collect()
