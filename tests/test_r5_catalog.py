@@ -96,6 +96,27 @@ def test_spatial_knn_radius_filter_precedes_window(spark, sf_dir):
     assert df.count() == 15
 
 
+def test_streaming_entry_pins_utc_on_foreign_timezone_session(spark, sf_dir):
+    """The r4 ADVICE failure mode: on a session whose zone is NOT UTC, the
+    NTZ→LTZ cast inside normalize_events_ts would shift every streaming
+    window epoch by the zone offset (28800 s for America/Los_Angeles)
+    against the UTC DuckDB oracle. _events_stream pins UTC itself, so the
+    result must be identical no matter what zone the driver session had."""
+    baseline = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in _run(spark, sf_dir, "stream_tumbling_event_counts").collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        shifted_session = {
+            (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in _run(spark, sf_dir, "stream_tumbling_event_counts").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted_session == baseline
+
+
 def test_cumulative_distinct_users_monotone_and_totals(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     rows = sorted(
