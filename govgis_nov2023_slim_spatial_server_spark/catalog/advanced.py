@@ -779,3 +779,116 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.withColumn("cum_users", F.sum("n_new_users").over(w))
+
+
+@query(
+    "zscore_norms_by_label",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    s AS (
+      SELECT label, AVG(nrm) AS mu, stddev_samp(nrm) AS sd
+      FROM v GROUP BY label)
+    SELECT v.vec_id, v.label,
+           ROUND((v.nrm - s.mu) / s.sd, 4) + 0.0 AS z
+    FROM v JOIN s USING (label)
+    """,
+)
+def zscore_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization through the GROUPED-MAP Arrow path — the
+    one pandas-UDF shape the catalog didn't yet grade (scalar pandas UDFs,
+    mapInPandas, and applyInPandasWithState all have entries):
+    ``groupBy(label).applyInPandas`` receives each label's rows as ONE
+    pandas frame and z-scores the embedding norms within it. The norm is
+    computed NATIVELY before the grouped map (sequential fold = DuckDB's
+    list_dot_product bit-for-bit); inside the group, pandas mean/std(ddof=1)
+    match AVG/stddev_samp to ~1e-15 relative, dissolved by the 4-decimal
+    round.
+
+    Scale shape: one hash shuffle on the group key; each group streams
+    through Arrow once. This is the normalization step feature pipelines
+    run per category/shard — and the template for any custom per-group
+    kernel Spark lacks natively."""
+    import pandas as pd
+
+    from ..functions.vector import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", l2_norm("embedding").alias("nrm"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["nrm"].mean()
+        sd = pdf["nrm"].std(ddof=1)
+        out = pdf[["vec_id", "label"]].copy()
+        out["z"] = (pdf["nrm"] - mu) / sd
+        return out
+
+    zs = v.groupBy("label").applyInPandas(zscore, "vec_id long, label long, z double")
+    return zs.select("vec_id", "label", rnd_nz(F.col("z"), 4).alias("z"))
+
+
+@query(
+    "pagerank_one_iter",
+    """
+    WITH c AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (a.nrm * b.nrm) >= 0.15),
+    e AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib AS s, ia AS d FROM p),
+    deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    pr AS (
+      SELECT e.d AS id, MAX(n.nn) AS nn,
+             SUM(1.0 / (n.nn * deg.outdeg)) AS inflow
+      FROM e JOIN deg ON e.s = deg.s CROSS JOIN n
+      GROUP BY e.d)
+    SELECT id AS vec_id,
+           ROUND(0.15 / nn + 0.85 * inflow, 8) + 0.0 AS pagerank
+    FROM pr
+    """,
+)
+def pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step (d = 0.85, uniform start) over the
+    near-dup graph — the normalize-and-propagate message-passing pattern
+    that complements hash-min components (dedup_components): instead of a
+    min fold, each node DIVIDES its mass by out-degree and the reducer
+    SUMS incoming messages. Together they cover the two aggregation
+    shapes every distributed graph algorithm is built from.
+
+    Exactness: the start vector 1/N and each message 1/(N·outdeg) are the
+    same doubles in both engines (pure integer ratios); only summation
+    order differs (~1e-17), dissolved by the 8-decimal round. N (node
+    count) is a bounded driver scalar — the same k-row collect pattern as
+    the IVF seeds.
+
+    Scale shape: edges shuffle twice on 8-byte node ids (degree, then
+    inflow), both map-combinable; iterating is a loop of this step with
+    the converged vector checkpointed per round."""
+    from ..operators.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        e, id_col="vec_id", emb_col="embedding", threshold=0.15, block_col="label"
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    nn = float(deg.count())
+    inflow = (
+        edges.join(deg, "s")
+        .groupBy("d")
+        .agg(F.sum(F.lit(1.0) / (F.lit(nn) * F.col("outdeg"))).alias("inflow"))
+    )
+    return inflow.select(
+        F.col("d").alias("vec_id"),
+        rnd_nz(F.lit(0.15 / nn) + F.lit(0.85) * F.col("inflow"), 8).alias("pagerank"),
+    )

@@ -157,3 +157,28 @@ def test_event_type_change_log_partitions_events(spark, sf_dir):
         assert [r["run_id"] for r in runs] == list(range(1, len(runs) + 1))
         for a, b in zip(runs, runs[1:]):
             assert a["event_type"] != b["event_type"]
+
+
+def test_zscore_norms_by_label_group_properties(spark, sf_dir):
+    import math
+
+    rows = _run(spark, sf_dir, "zscore_norms_by_label").collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert len(rows) == e.count()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["z"])
+    for zs in by_label.values():
+        # standardized within group: mean ~0 (rounding-limited), |z| sane
+        assert abs(sum(zs) / len(zs)) < 1e-3
+        assert all(abs(z) < 10 for z in zs)
+
+
+def test_pagerank_one_iter_mass_conservation(spark, sf_dir):
+    rows = _run(spark, sf_dir, "pagerank_one_iter").collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pagerank"] for r in rows)
+    # one damped iteration preserves total mass: sum = 0.15 + 0.85 = 1
+    # (every edge-connected node both sends and receives; rounding noise)
+    assert abs(total - 1.0) < 1e-4 * n
