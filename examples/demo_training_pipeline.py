@@ -5,10 +5,13 @@ Composes the engine's corpus-preparation operators in the order a real
 DataFrame, so the whole thing is ONE lazy plan until the final write:
 
   1. near-dup pair generation (label-blocked embedding cosine)
-  2. connected components → canonical doc per dup group
+  2. connected components → keep the HIGHEST-QUALITY doc per dup group
+     (the keep-best policy, not an arbitrary canonical)
   3. benchmark decontamination (8-gram broadcast semi-join)
   4. corpus-relative length gate (exact p05/p95 band, broadcast fences)
-  5. quality + repetition filtering (Gopher rules, zero-shuffle)
+  5. quality + repetition filtering (Gopher rules, zero-shuffle), then a
+     corpus-trained bigram-LM cross-entropy gate (CCNet-style: drop the
+     most unnatural tail) and quality-weighted importance sampling
   6. PII redaction (map-only regexp scrub)
   7. token-window chunking + keep-first chunk dedup (boilerplate removal)
   8. sequence packing into fixed-token training rows (per-shard cumsum)
@@ -37,9 +40,6 @@ from govgis_nov2023_slim_spatial_server_spark.operators.chunking import (
     dedup_chunks,
     pack_sequences,
 )
-from govgis_nov2023_slim_spatial_server_spark.operators.components import (
-    dedup_groups_from_pairs,
-)
 from govgis_nov2023_slim_spatial_server_spark.operators.decontaminate import decontaminate
 from govgis_nov2023_slim_spatial_server_spark.operators.dedup import (
     embedding_near_duplicates,
@@ -59,17 +59,32 @@ def main() -> None:
     embs = load_table(spark, sf_dir, "embeddings")
     n0 = docs.count()
 
-    # 1-2. near-dup pairs → components → drop every non-canonical member
+    # 1-2. near-dup pairs → components → keep the BEST member per group
+    # (highest quality_score, ties to lowest id — the policy step; an
+    # arbitrary canonical would keep whatever page the hash favored)
+    from pyspark.sql import Window
+
+    from govgis_nov2023_slim_spatial_server_spark.operators.components import (
+        connected_components,
+    )
+
     pairs = embedding_near_duplicates(
         embs, id_col="vec_id", emb_col="embedding", threshold=0.3, block_col="label"
     )
-    groups = dedup_groups_from_pairs(pairs, "id_a", "id_b")
-    # members of each group except the canonical id
-    comp = pairs.select(F.col("id_a").alias("doc_id")).union(
-        pairs.select(F.col("id_b").alias("doc_id"))
-    ).distinct()
-    keep_ids = groups.select(F.col("canonical_id").alias("doc_id"))
-    drop_ids = comp.join(keep_ids, "doc_id", "left_anti")
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    members = docs.join(comp, "doc_id").withColumn(
+        "__q", quality_score(F.col("text"))
+    )
+    w_best = Window.partitionBy("comp").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    drop_ids = (
+        members.withColumn("__rn", F.row_number().over(w_best))
+        .where(F.col("__rn") > 1)
+        .select("doc_id")
+    )
     docs = docs.join(F.broadcast(drop_ids), "doc_id", "left_anti")
 
     # 3. decontamination against a held-out benchmark slice
@@ -99,7 +114,40 @@ def main() -> None:
         & (m["distinct_ratio"] >= 0.4)
     )
 
-    # 5b. quality-weighted importance sampling (deterministic: key-hash
+    # 5b. corpus-trained bigram-LM cross-entropy gate (CCNet-style): score
+    # every doc under the corpus's own bigram MLE and drop the most
+    # unnatural tail (top 5% cross-entropy). Count tables shuffle on token
+    # keys with map-side combine; the fence broadcasts back.
+    toks_lm = corpus.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
+    )
+    bi = toks_lm.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    xent = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log2(F.col("n12").cast("double") / F.col("n1")))).alias("__xent"))
+    )
+    xfence = xent.agg(F.percentile("__xent", F.lit(0.95)).alias("xhi"))
+    keep_lm = (
+        xent.crossJoin(F.broadcast(xfence))
+        .where(F.col("__xent") <= F.col("xhi"))
+        .select("doc_id")
+    )
+    corpus = corpus.join(keep_lm, "doc_id", "left_semi")
+
+    # 5c. quality-weighted importance sampling (deterministic: key-hash
     # threshold vs the score — same member set on any partitioning)
     from govgis_nov2023_slim_spatial_server_spark.operators.sampling import hash_bucket
 
