@@ -9,13 +9,15 @@ collected to the driver beyond the aggregate). Total = sum of medians;
 "queries_spread" carries [min, max] per query so noise is visible.
 
 Self-calibration: a fixed-cost in-memory canary (range → sum, pure
-whole-stage codegen, no I/O, no data dependence) runs before and after
-the suite. "load_factor" = min(before, after) / recorded idle reference;
-a factor > 1.2 sets "load_degraded" and means the HOST was busy during
-grading — compare "value_load_normalized" (value / load_factor) across
-rounds in that case. Added after BENCH_r04 recorded a uniform 1.2-2.0x
-inflation across all 17 queries (including ones untouched since r1) that
-an idle same-commit re-run fully reversed.
+whole-stage codegen, no I/O, no data dependence) runs before the suite,
+between every round-robin pass, and after — load that comes and goes
+mid-run is visible, not just endpoint load. "load_factor" =
+median(canaries) / recorded idle reference; a factor > 1.2 sets
+"load_degraded" and means the HOST was busy during grading — compare
+"value_load_normalized" (value / load_factor) across rounds in that
+case. Added after BENCH_r04 recorded a uniform 1.2-2.0x inflation across
+all 17 queries (including ones untouched since r1) that an idle
+same-commit re-run fully reversed.
 """
 
 from __future__ import annotations
@@ -59,13 +61,13 @@ CANARY_ROWS = 4_000_000_000
 CANARY_REF_SEC = 0.50
 
 
-def _canary_sec(spark) -> float:
-    """Median of 3 fixed-cost runs (first run after warm-up, so JIT is
+def _canary_sec(spark, n: int = 3) -> float:
+    """Median of n fixed-cost runs (first run after warm-up, so JIT is
     already paid by the suite warm-up that precedes any call)."""
     import statistics as _st
 
     ts = []
-    for _ in range(3):
+    for _ in range(n):
         t0 = time.perf_counter()
         spark.range(CANARY_ROWS, numPartitions=32).selectExpr(
             "sum(id % 7) AS s"
@@ -129,7 +131,7 @@ def main() -> None:
         pass
     ingest_sec = round(time.perf_counter() - t0, 3)
 
-    canary_before = _canary_sec(spark)
+    canaries = [_canary_sec(spark)]
 
     # ≥3 round-robin passes, report per-query MEDIAN + spread: single-run
     # numbers drifted 15-30% uniformly between r1 and r2 on untouched
@@ -148,17 +150,18 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples[name].append(dt)
             print(f"# pass {rep + 1}: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-
-    canary_after = _canary_sec(spark)
+        # one canary sample per pass boundary: load that comes and goes
+        # mid-suite shows up here, not just at the endpoints
+        canaries.append(_canary_sec(spark, n=1 if rep < reps - 1 else 3))
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
 
-    # min of before/after: the least-loaded moment. If even that is slow,
-    # the host was busy for the whole suite and the raw total is inflated.
-    load_factor = round(min(canary_before, canary_after) / CANARY_REF_SEC, 3)
+    # median over (before, per-pass, after) samples: robust to a single
+    # quiet or busy moment in either direction.
+    load_factor = round(statistics.median(canaries) / CANARY_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -177,8 +180,7 @@ def main() -> None:
                 "reps": reps,
                 "spatial_store_build_sec": ingest_sec,
                 "canary_sec": {
-                    "before": canary_before,
-                    "after": canary_after,
+                    "samples": canaries,
                     "ref_idle": CANARY_REF_SEC,
                 },
                 "load_factor": load_factor,
