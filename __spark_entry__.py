@@ -26,14 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (verified key-by-key against CORRECTNESS_r01..r04), so insertion order
 # decides which queries get correctness rows. r5 prefix: the 8 entries
 # new this round (the two approximate-path mechanism twins + six
-# pipeline/behavioral operators), then the full re-proof rotation CLAUDE.md staged:
-# all 35 oracle-checked entries whose latest driver proof is r2 (none of
-# them reads events — the events-reading r2 entries were re-proven in r4
-# after the ts physical-type change), the 4 rows-only entries untouched
-# since r1, and 3 events-reading r3 greens (the events table is the one
-# whose physical shape has changed between rounds — re-prove those
-# first from the r3 pool). 8+35+4+3 = 50. After a green r5 every
-# oracle-checked entry's latest proof is r3 or newer.
+# pipeline/behavioral operators), then the 5 entries whose CODE changed
+# this round (changed code outranks unchanged re-proofs: the q5 join
+# reorder, the bucketed-table lifecycle rework, the widened sketch flag,
+# and two streaming entries through the UTC-pinned _events_stream), then
+# the re-proof rotation CLAUDE.md staged: all 35 oracle-checked entries
+# whose latest driver proof is r2 (none reads events), one r3 events
+# streaming re-proof, one rows-only refresh. 8+5+35+1+1 = 50. After a
+# green r5 every oracle-checked entry's latest proof is r3 or newer.
 _DRIVER_PRIORITY = [
     # new in r5: mechanism twins for the approximate scale paths, BPE
     # pair counting, char-entropy quality, gaps-and-islands change log,
@@ -41,6 +41,9 @@ _DRIVER_PRIORITY = [
     "similarity_join_lsh_oracle", "knn_ivf_oracle", "bpe_pair_counts",
     "char_entropy_quality", "event_type_change_log", "dedup_keep_best_doc",
     "cumulative_distinct_users", "bigram_lm_cross_entropy",
+    # code changed in r5 → driver re-proof before anything unchanged
+    "q5_nation_revenue", "bucketed_join_revenue", "approx_stats_events",
+    "stream_tumbling_event_counts", "stream_session_user_totals",
     # re-proof: the 35 oracle-checked entries last proven in r2
     "chunk_dedup_summary", "chunk_documents_tokens", "date_funcs_orders",
     "decontaminate_benchmark", "dedup_components", "dedup_distinct_pairs",
@@ -55,14 +58,11 @@ _DRIVER_PRIORITY = [
     "skewed_agg_salted", "spatial_join_blocked", "spatial_join_overlap",
     "split_train_val_test", "stratified_sample_embeddings",
     "string_funcs_part", "tfidf_top_terms", "topk_offset_orders",
-    # re-proof: rows-only entries untouched since r1 (each has a green
-    # exact twin; the rows-only record itself is refreshed here)
-    "minhash_lsh_neardup", "simhash_neardup", "knn_lsh_approx",
-    "knn_ivf_approx",
-    # re-proof: events-reading r3 greens (events is the table whose
-    # physical shape changes between testdata generations)
-    "rolling_1h_user_stats", "session_windows_30m",
+    # re-proof: the stateful-streaming r3 green (reads events through its
+    # own facade path) and the highest-value rows-only refresh (its exact
+    # twin minhash_neardup_oracle stays green)
     "stream_stateful_running_totals",
+    "minhash_lsh_neardup",
 ]
 
 
