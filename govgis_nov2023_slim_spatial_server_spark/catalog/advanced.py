@@ -793,7 +793,8 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, AVG(nrm) AS mu, stddev_samp(nrm) AS sd
       FROM v GROUP BY label)
     SELECT v.vec_id, v.label,
-           ROUND((v.nrm - s.mu) / s.sd, 4) + 0.0 AS z
+           ROUND(CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+                      ELSE (v.nrm - s.mu) / s.sd END, 4) + 0.0 AS z
     FROM v JOIN s USING (label)
     """,
 )
@@ -823,7 +824,12 @@ def zscore_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = pdf["nrm"].mean()
         sd = pdf["nrm"].std(ddof=1)
         out = pdf[["vec_id", "label"]].copy()
-        out["z"] = (pdf["nrm"] - mu) / sd
+        # singleton group → sd NaN; constant group → sd 0: emit 0 (the
+        # oracle's CASE does the same) instead of NaN-vs-NULL hash drift
+        if not (sd and sd > 0):
+            out["z"] = 0.0
+        else:
+            out["z"] = (pdf["nrm"] - mu) / sd
         return out
 
     zs = v.groupBy("label").applyInPandas(zscore, "vec_id long, label long, z double")
@@ -882,7 +888,9 @@ def pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    nn = float(deg.count())
+    # an empty pair set (degenerate regen) must yield 0 rows, not a
+    # division by zero in the literals below — inflow is empty either way
+    nn = float(deg.count()) or 1.0
     inflow = (
         edges.join(deg, "s")
         .groupBy("d")
