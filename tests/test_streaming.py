@@ -151,3 +151,50 @@ def test_session_window_gap_boundary_merges(spark):
         .collect()
     )
     assert sorted(r["n"] for r in out) == [3]  # boundary event merges
+
+
+def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """The restart contract: a second availableNow run over the SAME
+    checkpoint must process only files added since the first run — rows
+    from the first batch appear exactly once in the sink, never twice.
+    This is the file-source offset tracking a production ingest relies on
+    to resume after a crash/deploy without reprocessing the corpus."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1)
+
+    def write_batch(ids):
+        df = spark.createDataFrame(
+            [(i, base + datetime.timedelta(minutes=i), i % 3) for i in ids],
+            "event_id: long, ts: timestamp, user_id: long",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(range(0, 50))
+    drain()
+    first = spark.read.parquet(sink).count()
+    assert first == 50
+
+    write_batch(range(50, 80))
+    drain()  # same checkpoint → only the new file is processed
+    out = spark.read.parquet(sink)
+    assert out.count() == 80  # 50 would mean no resume; 130 would mean replay
+    # exactly-once: every id appears once
+    assert out.select("event_id").distinct().count() == 80
