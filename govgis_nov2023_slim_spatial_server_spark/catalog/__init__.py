@@ -3,11 +3,13 @@ __spark_entry__.py exposes to the driver."""
 
 from . import (  # noqa: F401
     advanced,
+    ml_prep,
     pipeline,
     relational,
     sketches,
     spatial_mm,
     streaming,
+    temporal,
     vector_text,
 )
 from ._registry import ORACLES, QUERIES

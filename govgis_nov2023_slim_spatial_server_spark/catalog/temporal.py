@@ -1,0 +1,304 @@
+"""Temporal/behavioral analytics wave (r5 continuation): EWMA smoothing,
+marketing-style last-touch attribution via the union-trick (the scale
+replacement for per-pair as-of joins), SCD-2 interval construction from a
+change log, and Wilson-bound conversion ranking.
+
+All four run over `events` on ONE hash-partitioning of user_id — each is a
+single-shuffle plan whose windows and final aggregates reuse the same
+exchange (the property that makes them linear at 100 TB: no joins, no
+driver state, per-user memory bounded by the frame).
+
+The reference has no temporal surface at all (SURVEY.md §2.3 — it is a
+stateless search API, reference backend/models.py:186-191); these are part
+of the general-analytics engine the task spec requires on top of parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import floor_round
+from ..schemas import load_table
+from ._registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing (bounded exact window)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ewma_value_by_user",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cl
+      FROM events)
+    SELECT event_id, user_id, CAST(len(cl) AS BIGINT) AS n_window,
+           FLOOR(list_reduce(cl, (acc, x) -> acc * 0.75 + x)
+                 / ((1.0 - pow(0.75, len(cl))) / 0.25) * 10000.0 + 0.5) / 10000.0
+             AS ewma_8
+    FROM t
+    """,
+)
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.25) of each user's event
+    value over their trailing 8 events — the smoothed engagement signal a
+    feature store materializes per entity.
+
+    EWMA is a sequential recurrence (acc = (1-α)·acc + x), which SQL
+    windows can't express directly — but over a BOUNDED frame it is a
+    left fold of the frame's value list: collect the 8-row frame in
+    window order and fold acc*0.75 + x. Spark's `F.aggregate` with a 0.0
+    init and DuckDB's `list_reduce` (init = first element) execute the
+    IDENTICAL multiply-add sequence (0.0*0.75 + x₀ = x₀ exactly), so the
+    doubles agree bit-for-bit before the shared round. The normalizer is
+    the closed-form geometric sum (1-0.75^L)/0.25 on both sides (powers
+    of 3/4 are exact binary fractions). Rounding is the floor convention:
+    cent-valued inputs over small power-of-two-ish denominators CAN land
+    on exact x.xxxx5 decimals, where Spark's BigDecimal HALF_UP and
+    DuckDB's binary round diverge (CLAUDE.md, the rolling_1h lesson) —
+    floor(x·10⁴+0.5) is bit-identical on both engines.
+
+    Scale shape: one user_id shuffle; per-row state is the ≤8-element
+    frame list — O(1) memory per row regardless of corpus size, and the
+    fold stays JVM-side (interpreted HOF over 8 elements, not a UDF)."""
+    e = _t(spark, sf_dir, "events")
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    alpha_c = F.lit(0.75)
+    t = e.select(
+        "event_id",
+        "user_id",
+        F.collect_list("value").over(w8).alias("cl"),
+    )
+    num = F.aggregate(
+        F.col("cl"), F.lit(0.0), lambda acc, x: acc * alpha_c + x
+    )
+    den = (F.lit(1.0) - F.pow(alpha_c, F.size("cl"))) / F.lit(0.25)
+    return t.select(
+        "event_id",
+        "user_id",
+        F.size("cl").cast("long").alias("n_window"),
+        floor_round(num / den, 4).alias("ewma_8"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (union trick — no as-of join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(last_click_ts)) AS BIGINT) <= 3600
+                THEN last_click_id END AS click_id,
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(last_click_ts)) AS BIGINT) <= 3600
+                THEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(last_click_ts)) AS BIGINT)
+           END AS gap_s
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent click at most 1 hour earlier (NULL if none) — the
+    canonical conversion-credit query.
+
+    The naive formulation is a per-purchase as-of join against the click
+    stream; at scale that join re-shuffles both event subsets and skews on
+    hot users. The union trick replaces it with ONE window over the
+    already-unified stream: `last(click_id, ignorenulls)` over
+    (unbounded, -1 row) carries the latest prior click forward to every
+    row, then a filter keeps purchases. One shuffle on user_id, zero
+    joins, state = one (id, ts) pair per user — the asof-join twin
+    (`asof_join_purchase_signup`, catalog/relational.py) covers the join
+    formulation; this entry is its linear-scan replacement at 100 TB.
+
+    Gap seconds use the epoch-truncation convention (Spark cast-long,
+    DuckDB FLOOR(epoch)); a purchase with no prior click within the hour
+    emits NULL click_id and NULL gap_s on both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    t = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    gap = F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+    in_window = gap <= 3600
+    return t.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias("click_id"),
+        F.when(in_window, gap).alias("gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 dimension build from a change log
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_intervals_user_type",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+      FROM o),
+    runs AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+             CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS valid_from_s
+      FROM g GROUP BY user_id, run_id, event_type)
+    SELECT user_id, run_id, event_type, valid_from_s,
+           LEAD(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to_s,
+           CASE WHEN LEAD(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    """,
+)
+def scd2_intervals_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn each user's event_type
+    change log into validity intervals [valid_from, valid_to) with an
+    is_current flag — the standard dimension-table materialization a
+    warehouse derives from CDC/event streams.
+
+    Composition on top of the gaps-and-islands runs (the same decomposition
+    `event_type_change_log` grades): change-point LAG → running-SUM run
+    ids → per-run MIN(ts), then one LEAD turns consecutive run starts
+    into half-open intervals; the last run per user gets NULL valid_to
+    and is_current=1. Every window and the aggregate partition by
+    user_id — one exchange end-to-end, reused by AQE."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    runs = (
+        marked.withColumn("run_id", F.sum("chg").over(wr).cast("long"))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.min("ts").cast("long").alias("valid_from_s"))
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_s").over(wl)
+    return runs.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from_s",
+        nxt.alias("valid_to_s"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilson-bound conversion ranking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wilson_ctr_bound",
+    """
+    WITH c AS (
+      SELECT user_id,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS s,
+             CAST(COUNT(CASE WHEN event_type IN ('click', 'purchase') THEN 1 END) AS DOUBLE) AS n
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_trials, CAST(s AS BIGINT) AS n_success,
+           ROUND(
+             ((s / n) + (1.96 * 1.96) / (2.0 * n)
+              - 1.96 * sqrt((((s / n) * (1.0 - (s / n))) + (1.96 * 1.96) / (4.0 * n)) / n))
+             / (1.0 + (1.96 * 1.96) / n), 4) AS wilson_lb
+    FROM c WHERE n > 0
+    """,
+)
+def wilson_ctr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound (z=1.96) on each user's click→purchase
+    conversion rate — the shrinkage ranking that makes small samples
+    comparable to large ones (the same statistic quality filters use to
+    rank sources by "fraction of good documents" without being fooled by
+    tiny sources).
+
+    The formula is written with IDENTICAL parenthesization on both
+    engines so every intermediate double matches bit-for-bit (sqrt's
+    argument is ≥ 0 by construction: p(1-p) ≥ 0 and z²/4n > 0). Single
+    map-combined aggregate; constant state per user."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("s"),
+        F.count(F.when(F.col("event_type").isin("click", "purchase"), 1))
+        .cast("double")
+        .alias("n"),
+    )
+    s, n = F.col("s"), F.col("n")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    p = s / n
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(1.96)
+        * F.sqrt(((p * (F.lit(1.0) - p)) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return c.where(n > 0).select(
+        "user_id",
+        n.cast("long").alias("n_trials"),
+        s.cast("long").alias("n_success"),
+        F.round(lb, 4).alias("wilson_lb"),
+    )
