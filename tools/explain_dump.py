@@ -39,6 +39,12 @@ NOTES = {
     "weighted_sample_by_quality": "membership is a pure scan-side filter (hash bucket vs quality cut) — map-only, no Exchange anywhere.",
     "spatial_knn_rect_centroids": "probes broadcast (BroadcastNestedLoopJoin over 5 rows); WindowGroupLimit prunes to rank<=3 per partition before the probe_id Exchange.",
     "null_safe_join_counts": "both sides reduce to 7-key count tables BEFORE the null-safe join — the pair explosion never materializes.",
+    "attribution_last_touch": "union trick: NO join node anywhere; one Exchange on user_id feeds the last-ignoreNulls window, then a purchase filter.",
+    "ewma_value_by_user": "one Exchange on user_id; the bounded 8-row frame fold is a codegen-side aggregate over the collected frame list.",
+    "cooccurrence_pmi_topk": "pair formation is two LEADs over ONE doc-partitioned window (no position self-join); unigram marginals + scalars broadcast onto pair counts.",
+    "phrase_merge_apply": "winning pair is a 1-row BroadcastExchange; the corpus rewrite is a map-only project over the documents scan.",
+    "pca_power_iteration": "no per-vector shuffle: dot fold + posexplode feed a 64-group map-combined HashAggregate; normalizer is a 1-row broadcast.",
+    "ngram_containment_topk": "inverted-index formulation: shingle explode + SortMergeJoin on the shingle key (no CartesianProduct); sizes ride the explode so no recovery join.",
 }
 
 
