@@ -330,3 +330,330 @@ def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_round(cont, 4).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval funnel
+# --------------------------------------------------------------------------
+
+
+def _both_norm_dist_sql(emb_expr: str, probe_sql: str) -> str:
+    """Cosine distance with BOTH norms explicit (the truncated probe is
+    not unit-norm, unlike the full-dim catalog convention)."""
+    return (
+        f"1 - list_dot_product({emb_expr}, {probe_sql})"
+        f" / (sqrt(list_dot_product({emb_expr}, {emb_expr}))"
+        f" * sqrt(list_dot_product({probe_sql}, {probe_sql})))"
+    )
+
+
+def _matryoshka_oracle() -> str:
+    from .vector_text import PROBE_SQL, PROBE_VEC
+
+    p16 = fmt_vec_sql(PROBE_VEC[:16])
+    d16 = _both_norm_dist_sql("CAST(embedding[1:16] AS DOUBLE[])", p16)
+    dfull = _both_norm_dist_sql("CAST(embedding AS DOUBLE[])", PROBE_SQL)
+    return f"""
+    WITH cand AS (
+      SELECT vec_id, label, {d16} AS d16, {dfull} AS d_full
+      FROM embeddings
+      ORDER BY {d16}, vec_id
+      LIMIT 30)
+    SELECT vec_id, label, ROUND(d16, 4) + 0.0 AS d16,
+           ROUND(d_full, 4) + 0.0 AS d_full
+    FROM cand
+    ORDER BY d_full, vec_id
+    LIMIT 10
+    """
+
+
+@query("matryoshka_rerank_16", _matryoshka_oracle())
+def matryoshka_rerank_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval funnel: rank on the FIRST 16
+    dimensions (4× cheaper scan arithmetic, the MRL property that prefixes
+    of the embedding are themselves usable embeddings), keep 30
+    candidates, then rerank the survivors with full 64-dim cosine — the
+    coarse-to-fine pattern production vector search uses to trade a tiny
+    recall loss for a large bandwidth/compute cut.
+
+    Both stages are TakeOrderedAndProject (per-partition top-k heaps — no
+    global sort at any scale); the rerank runs on 30 rows. Distances use
+    the both-norms cosine on both engines (the truncated probe is not
+    unit) computed as the same sequential folds; candidate and final cuts
+    carry vec_id tie-breaks so the sets match exactly."""
+    from ..functions.vector import dot, l2_norm
+    from .vector_text import PROBE_VEC
+
+    e = _t(spark, sf_dir, "embeddings")
+    p16 = PROBE_VEC[:16]
+    sl = F.slice("embedding", 1, 16)
+    d16 = F.lit(1.0) - dot(sl, p16) / (
+        l2_norm(sl) * l2_norm(F.array(*[F.lit(float(x)) for x in p16]))
+    )
+    dfull = F.lit(1.0) - dot("embedding", PROBE_VEC) / (
+        l2_norm("embedding")
+        * l2_norm(F.array(*[F.lit(float(x)) for x in PROBE_VEC]))
+    )
+    cand = (
+        ensure_min_partitions(e)
+        .select("vec_id", "label", d16.alias("d16"), dfull.alias("d_full"))
+        .orderBy("d16", "vec_id")
+        .limit(30)
+    )
+    return (
+        cand.orderBy("d_full", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            rnd_nz("d16", 4).alias("d16"),
+            rnd_nz("d_full", 4).alias("d_full"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data)
+# --------------------------------------------------------------------------
+
+
+def _hardneg_oracle() -> str:
+    d = _both_norm_dist_sql("CAST(b.embedding AS DOUBLE[])", "CAST(a.embedding AS DOUBLE[])")
+    return f"""
+    SELECT a.vec_id AS probe_id, b.vec_id AS neg_id, b.label,
+           ROUND({d}, 4) + 0.0 AS dist
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+      AND {d} >= 0.3 AND {d} < 0.7
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {d}, b.vec_id) <= 5
+    """
+
+
+@query("hard_negative_mining", _hardneg_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the 5
+    CLOSEST candidates inside the annulus 0.3 ≤ dist < 0.7 — near enough
+    to be informative negatives, far enough to exclude positives/dups
+    (the in-batch-negatives upgrade every embedding-model pipeline runs).
+
+    Same physical shape as the similarity join (anchors broadcast, band
+    filter BEFORE the per-anchor top-k window so the ranked set is already
+    annulus-pruned); the band cut is engine-consistent because the
+    distance folds are bit-identical. At 100 TB the anchor block rides the
+    LSH bucket join instead of broadcast (`similarity_join_lsh_oracle`)."""
+    from ..functions.vector import dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pemb")
+    )
+    dist = F.lit(1.0) - dot("embedding", "pemb") / (
+        l2_norm("embedding") * l2_norm("pemb")
+    )
+    cand = (
+        F.broadcast(probes)
+        .crossJoin(ensure_min_partitions(e))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("__d", dist)
+        .where((F.col("__d") >= 0.3) & (F.col("__d") < 0.7))
+    )
+    w = Window.partitionBy("probe_id").orderBy("__d", "vec_id")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neg_id"),
+            "label",
+            rnd_nz("__d", 4).alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sweep (yield curve)
+# --------------------------------------------------------------------------
+
+_SIM_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {_SIM_SQL} AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id),
+    thr AS (SELECT unnest([20, 30, 40, 50, 75]) AS thr_pct),
+    m AS (
+      SELECT thr_pct, ia, ib FROM pairs CROSS JOIN thr
+      WHERE sim >= CAST(thr_pct AS DOUBLE) / 100.0),
+    np AS (SELECT thr_pct, COUNT(*) AS n_pairs FROM m GROUP BY thr_pct),
+    nd AS (
+      SELECT thr_pct, COUNT(DISTINCT id) AS n_docs_flagged
+      FROM (SELECT thr_pct, unnest([ia, ib]) AS id FROM m) GROUP BY thr_pct)
+    SELECT np.thr_pct, np.n_pairs, nd.n_docs_flagged
+    FROM np JOIN nd ON np.thr_pct = nd.thr_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup yield curve: for each candidate similarity threshold, how
+    many pairs would be flagged and how many documents touched — the
+    report that picks the dedup operating point BEFORE committing to a
+    full-corpus run (threshold too low deletes the corpus, too high ships
+    duplicates; every serious pipeline sweeps this first).
+
+    One pass computes each pair's cosine once; the 5-row threshold table
+    cross-joins onto pairs (map-side — thresholds are a broadcast
+    literal), then two tiny aggregates (pair count, distinct-doc count)
+    join on the threshold key. The pair set here is the bounded exact
+    block (ids < 200); at 100 TB the identical sweep runs over the LSH
+    candidate pairs instead — the curve is a property of candidates, not
+    of how candidates were found. Threshold cuts are engine-consistent:
+    sim is a bit-identical fold, thresholds are exact double literals."""
+    from ..functions.vector import dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    blk = ensure_min_partitions(e.where(F.col("vec_id") < 200)).select(
+        "vec_id", "embedding"
+    )
+    a = blk.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = blk.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sim = dot("ea", "eb") / (l2_norm("ea") * l2_norm("eb"))
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", sim.alias("sim"))
+    )
+    thr = spark.range(0).sparkSession.createDataFrame(
+        [(t,) for t in (20, 30, 40, 50, 75)], "thr_pct int"
+    )
+    m = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("sim") >= F.col("thr_pct").cast("double") / 100.0
+    )
+    np_ = m.groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        m.select("thr_pct", F.explode(F.array("ia", "ib")).alias("id"))
+        .groupBy("thr_pct")
+        .agg(F.countDistinct("id").alias("n_docs_flagged"))
+    )
+    return np_.join(nd, "thr_pct")
+
+
+# --------------------------------------------------------------------------
+# Two-level (merge-tree) moment aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parallel_moments_merge",
+    """
+    WITH sh AS (
+      SELECT l_returnflag, l_orderkey % 8 AS shard,
+             COUNT(*) AS n, SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2
+      FROM lineitem GROUP BY l_returnflag, l_orderkey % 8)
+    SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS n_rows,
+           FLOOR(SUM(s1) / SUM(n) * 10000.0 + 0.5) / 10000.0 AS mean_qty,
+           FLOOR((SUM(s2) / SUM(n) - (SUM(s1) / SUM(n)) * (SUM(s1) / SUM(n)))
+                 * 10000.0 + 0.5) / 10000.0 AS var_qty
+    FROM sh GROUP BY l_returnflag
+    """,
+)
+def parallel_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level moment merge: per-shard partial statistics (n, Σx, Σx²)
+    combined into exact global mean/variance — the merge-tree algebra
+    every distributed aggregation stands on, stated explicitly (this is
+    what Spark's partial HashAggregate does internally; materializing the
+    shard level is how incremental/streaming pipelines keep per-partition
+    stats mergeable across files and days).
+
+    l_quantity is integer-valued, so Σx and Σx² are EXACT in doubles
+    (< 2^53) — the merge is bit-reproducible in any combine order on both
+    engines; only the final divisions produce inexact doubles, floor-
+    rounded per the catalog convention (means of exact sums land on
+    decimal ties). Scale shape: two map-combined aggregations, the second
+    over |flags|×8 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    sh = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+    )
+    mean = F.sum("s1") / F.sum("n")
+    return sh.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        floor_round(F.sum("s1") / F.sum("n"), 4).alias("mean_qty"),
+        floor_round(F.sum("s2") / F.sum("n") - mean * mean, 4).alias("var_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture schedule
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mixture_temperature_schedule",
+    """
+    WITH c AS (
+      SELECT source,
+             SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM c),
+    r AS (
+      SELECT source, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE) / t.total, 0.7) AS w_raw
+      FROM c CROSS JOIN t),
+    z AS (SELECT SUM(w_raw) AS z FROM r)
+    SELECT r.source, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(r.w_raw / z.z, 6) AS weight,
+           ROUND(10000000.0 * (r.w_raw / z.z) / CAST(r.n_tokens AS DOUBLE), 4)
+             AS epochs_10m
+    FROM r CROSS JOIN z
+    """,
+)
+def mixture_temperature_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling schedule (τ=0.7): per-source mixture
+    weights p_i ∝ (share_i)^τ — the standard multilingual/multi-domain
+    rebalancing (up-samples small sources without flattening to uniform) —
+    plus the implied epochs-per-source for a 10M-token budget (epochs > 1
+    flags sources the schedule would repeat; the overfitting check).
+
+    Complements `domain_mixture_weights` (uniform target): same tiny
+    per-domain count table, different target distribution. Token counts
+    are one map-combined agg; the normalizer is a sum over |sources| rows
+    broadcast back. pow/division are identical expressions both engines;
+    the only order-dependent sum spans a handful of domains (last-ulp,
+    absorbed by ROUND 6/4 — values are irrational, never decimal ties)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens")
+    )
+    t = c.agg(F.sum("n_tokens").cast("double").alias("total"))
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens").cast("double") / F.col("total"), 0.7).alias(
+            "w_raw"
+        ),
+    )
+    z = r.agg(F.sum("w_raw").alias("z"))
+    return r.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        F.round(
+            F.lit(10000000.0)
+            * (F.col("w_raw") / F.col("z"))
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("epochs_10m"),
+    )

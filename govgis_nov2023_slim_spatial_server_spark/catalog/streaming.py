@@ -312,3 +312,60 @@ def stream_session_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         floor_round(F.col("sum_value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "stream_topk_types_per_window",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s, event_type, n_events,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY ws ORDER BY n_events DESC, event_type) AS rk
+          FROM c)
+    WHERE rk <= 2
+    """,
+)
+def stream_topk_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: top-2 event types per 1-hour window. Ranking
+    needs the window's FINAL counts, which streaming can't know before the
+    watermark closes the window — so this is the standard two-phase
+    pipeline: the STREAMING ENGINE maintains the watermarked windowed
+    counts (state bounded by watermark horizon × type cardinality), and
+    the rank runs as a batch window function over the drained aggregate
+    (in production: over the sink table, per closed window). The oracle
+    states the end-to-end contract; the rank input is the tiny aggregate
+    (windows × types), never the raw stream."""
+    ev = _events_stream(spark, sf_dir)
+    agg = streaming_tumbling_counts(
+        ev, duration="1 hour", watermark="2 hours", keys=["event_type"]
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_topk_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    res = spark.table(name)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        res.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 2)
+        .select(
+            F.col("window_start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )

@@ -194,3 +194,109 @@ def test_containment_uses_equi_join_not_cross_product(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_containment_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- matryoshka_rerank_16 --------------------------------------------------
+
+
+def test_matryoshka_recall_vs_exact(spark, sf_dir):
+    got = [r["vec_id"] for r in _run(spark, sf_dir, "matryoshka_rerank_16").collect()]
+    assert len(got) == 10
+    exact = {r["vec_id"] for r in _run(spark, sf_dir, "knn_topk").collect()}
+    # recall against exact: weak by design on RANDOM test embeddings (real
+    # MRL models concentrate information in the early dims; random vectors
+    # don't), so the contract is "clearly better than chance", not high
+    # recall — chance overlap of two 10-sets in 500 is ~0.2 members
+    assert len(set(got) & exact) >= 2
+    rows = _run(spark, sf_dir, "matryoshka_rerank_16").collect()
+    dists = [r["d_full"] for r in rows]
+    assert dists == sorted(dists)
+
+
+# -- hard_negative_mining --------------------------------------------------
+
+
+def test_hard_negatives_live_in_annulus(spark, sf_dir):
+    rows = _run(spark, sf_dir, "hard_negative_mining").collect()
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert 0.3 - 1e-9 <= r["dist"] < 0.7 + 1e-9
+        assert r["neg_id"] != r["probe_id"]
+        by_probe.setdefault(r["probe_id"], []).append(r["dist"])
+    for dists in by_probe.values():
+        assert len(dists) <= 5
+        assert dists == sorted(dists)
+
+
+# -- dedup_threshold_sweep -------------------------------------------------
+
+
+def test_threshold_sweep_is_monotone(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "dedup_threshold_sweep").collect(),
+        key=lambda r: r["thr_pct"],
+    )
+    assert rows
+    for lo, hi in zip(rows, rows[1:]):
+        # raising the threshold can only shrink the flagged set
+        assert hi["n_pairs"] <= lo["n_pairs"]
+        assert hi["n_docs_flagged"] <= lo["n_docs_flagged"]
+    for r in rows:
+        # a pair touches 2 docs; flagged docs can't exceed 2×pairs
+        assert r["n_docs_flagged"] <= 2 * r["n_pairs"]
+
+
+# -- parallel_moments_merge ------------------------------------------------
+
+
+def test_moments_merge_equals_direct_variance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["n"], r["m"], r["v"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_quantity").alias("m"),
+            F.var_pop("l_quantity").alias("v"),
+        )
+        .collect()
+    }
+    for r in _run(spark, sf_dir, "parallel_moments_merge").collect():
+        n, m, v = direct[r["l_returnflag"]]
+        assert r["n_rows"] == n
+        assert abs(r["mean_qty"] - m) < 1e-3
+        assert abs(r["var_qty"] - v) < 1e-2
+
+
+# -- mixture_temperature_schedule ------------------------------------------
+
+
+def test_temperature_weights_flatten_shares(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mixture_temperature_schedule").collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        share = r["n_tokens"] / total
+        # τ<1 up-weights small sources, down-weights large ones
+        if share < 1.0 / len(rows):
+            assert r["weight"] >= share - 1e-9
+        else:
+            assert r["weight"] <= share + 1e-9
+
+
+# -- stream_topk_types_per_window ------------------------------------------
+
+
+def test_stream_topk_matches_batch_rank(spark, sf_dir):
+    rows = _run(spark, sf_dir, "stream_topk_types_per_window").collect()
+    assert rows
+    by_win: dict[int, list] = {}
+    for r in rows:
+        by_win.setdefault(r["window_start_s"], []).append(r)
+    for grp in by_win.values():
+        grp.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in grp] == list(range(1, len(grp) + 1))
+        counts = [r["n_events"] for r in grp]
+        assert counts == sorted(counts, reverse=True)
