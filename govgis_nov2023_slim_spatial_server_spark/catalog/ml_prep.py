@@ -657,3 +657,68 @@ def mixture_temperature_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("epochs_10m"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface (lateral table function)
+# --------------------------------------------------------------------------
+
+
+def _trigram_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class TrigramUDTF:
+        """Yield every (overlapping, non-distinct) word 3-gram of a text —
+        tokenization identical to the catalog convention (whitespace
+        split of trimmed text)."""
+
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    return TrigramUDTF
+
+
+@query(
+    "udtf_trigram_counts",
+    r"""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               range(1, CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents))
+    SELECT gram, COUNT(*) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram
+    LIMIT 20
+    """,
+)
+def udtf_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function surface (the UDTF row of SURVEY §2.3's
+    UDF/UDAF/UDTF checklist): a Python UDTF exploding each document into
+    its overlapping word trigrams via a SQL LATERAL join, aggregated to
+    the top-20 corpus trigrams.
+
+    The UDTF runs one Python worker pass per partition with rows streamed
+    through the generator — a real per-row fan-out operator a DataFrame
+    expression can't express when the expansion logic is imperative.
+    Graded against the same counts computed set-wise in DuckDB. Policy
+    note: for THIS expansion a native slice-zip is faster
+    (`bigram_top_counts` is the built-in-only sibling); the entry grades
+    the extension seam, which is why the fan-out body stays trivial."""
+    d = _t(spark, sf_dir, "documents")
+    spark.udtf.register("trigrams_udtf", _trigram_udtf())
+    view = f"__docs_udtf_{abs(hash(sf_dir)) % 10_000}"
+    ensure_min_partitions(d).select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT g.gram, COUNT(*) AS cnt
+        FROM {view}, LATERAL trigrams_udtf(text) g
+        GROUP BY g.gram
+        ORDER BY cnt DESC, g.gram
+        LIMIT 20
+        """
+    )

@@ -15,6 +15,7 @@ of the general-analytics engine the task spec requires on top of parity.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -301,4 +302,106 @@ def wilson_ctr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_trials"),
         s.cast("long").alias("n_success"),
         F.round(lb, 4).alias("wilson_lb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavior-sequence corpus building
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 'sentences': each user's full event-type stream in time
+    order as one space-joined string — the sequence-model training corpus
+    (session2vec / next-event prediction) a behavioral pipeline emits.
+
+    Spark has no ordered string_agg; the deterministic equivalent is
+    array_sort over (ts, event_id, type) structs inside one groupBy —
+    struct comparison orders by field position, so the unique event_id
+    breaks timestamp ties exactly like the oracle's ORDER BY. One shuffle
+    on user_id; per-group memory is the user's own sequence (the same
+    bound the downstream trainer needs anyway; cap with slice() when
+    power users exceed the sequence length budget)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# True UDAF surface (pandas GROUPED_AGG)
+# --------------------------------------------------------------------------
+
+
+def _cents_total_udaf():
+    """Arrow-batched GROUPED_AGG pandas UDF summing exact integer cents.
+
+    Exactness is the whole design: floor(v·100 + 0.5) per element is the
+    identical double operation on both engines, and the integer sum is
+    order-independent — so a Python UDAF can be hash-compared against a
+    SQL oracle at all (a float-summing UDAF could not: numpy's pairwise
+    summation and DuckDB's sequential fold round differently)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_total(v: _pd.Series) -> int:
+        import numpy as np
+
+        return int(np.floor(v.to_numpy() * 100.0 + 0.5).astype(np.int64).sum())
+
+    @pandas_udf("long")
+    def n_rows(v: _pd.Series) -> int:
+        # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg(), so the count is a pandas UDAF too
+        return len(v)
+
+    return cents_total, n_rows
+
+
+@query(
+    "udaf_cents_total_by_type",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_cents_total_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE surface (the UDAF row of SURVEY §2.3's UDF/
+    UDAF/UDTF checklist): a pandas GROUPED_AGG UDF aggregating event value
+    into exact integer cents per event type, checked value-for-value
+    against the SQL oracle.
+
+    Spark executes it as ArrowAggregatePython (plan-asserted): groups are
+    shuffled RAW and aggregated in the Python worker — unlike a built-in
+    SUM there is NO map-side combine, so shuffle volume is the full input
+    and hot keys concentrate on single workers. That asymmetry is exactly
+    why the engine's UDF policy keeps aggregation built-in on hot paths
+    (pre-aggregate to cents with native SUM, or salt) and reserves pandas
+    UDAFs for logic SQL can't express; this entry grades the seam."""
+    e = _t(spark, sf_dir, "events")
+    cents_total, n_rows = _cents_total_udaf()
+    return e.groupBy("event_type").agg(
+        cents_total(F.col("value")).alias("total_cents"),
+        n_rows(F.col("value")).alias("n_events"),
     )

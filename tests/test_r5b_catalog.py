@@ -300,3 +300,73 @@ def test_stream_topk_matches_batch_rank(spark, sf_dir):
         assert [r["rk"] for r in grp] == list(range(1, len(grp) + 1))
         counts = [r["n_events"] for r in grp]
         assert counts == sorted(counts, reverse=True)
+
+
+# -- user_event_sequences --------------------------------------------------
+
+
+def test_event_sequences_cover_users_and_lengths(spark, sf_dir):
+    rows = _run(spark, sf_dir, "user_event_sequences").collect()
+    ev = load_table(spark, sf_dir, "events")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["user_id"] for r in rows} == set(per_user)
+    for r in rows:
+        assert len(r["seq"].split(" ")) == r["n_events"] == per_user[r["user_id"]]
+
+
+# -- udaf_cents_total_by_type ----------------------------------------------
+
+
+def test_udaf_matches_builtin_cents_sum(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["total_cents"], r["n_events"])
+        for r in _run(spark, sf_dir, "udaf_cents_total_by_type").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    ref = {
+        r["event_type"]: (r["c"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_udaf_runs_as_arrow_python_aggregate(spark, sf_dir):
+    # GROUPED_AGG pandas UDFs execute as ArrowAggregatePython: raw rows
+    # shuffle to Python workers, NO map-side combine — the documented
+    # reason hot-path aggregation stays built-in
+    plan = _plan(spark, sf_dir, "udaf_cents_total_by_type")
+    assert "ArrowAggregatePython" in plan
+    assert "cents_total" in plan
+
+
+# -- udtf_trigram_counts ---------------------------------------------------
+
+
+def test_udtf_matches_native_trigrams(spark, sf_dir):
+    got = [(r["gram"], r["cnt"]) for r in _run(spark, sf_dir, "udtf_trigram_counts").collect()]
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    native = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])) ELSE array() END"
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(20)
+        .collect()
+    )
+    assert got == [(r["gram"], r["cnt"]) for r in native]
