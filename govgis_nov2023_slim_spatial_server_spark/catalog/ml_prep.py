@@ -722,3 +722,197 @@ def udtf_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Two Lloyd iterations (iterative algorithm with an exact oracle)
+# --------------------------------------------------------------------------
+
+
+def _assign_best(e: DataFrame, cents: list[tuple[int, list[float]]]):
+    """Per-row argmin over centroid literals as a LEAST of (dist, cid)
+    structs — the no-join, no-window assignment kmeans_assign_step
+    grades; reused here for both iterations."""
+    from ..functions.hashes import _let
+    from ..functions.vector import euclidean_distance
+
+    best = F.least(
+        *[
+            F.struct(
+                euclidean_distance("embedding", vec).alias("dist"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    return e.select(
+        "vec_id",
+        "embedding",
+        _let(
+            best,
+            lambda b: F.struct(
+                b.getField("cid").alias("cid"), b.getField("dist").alias("dist")
+            ),
+        ).alias("__b"),
+    ).select("vec_id", "embedding", "__b.cid", "__b.dist")
+
+
+@query(
+    "kmeans_two_iterations",
+    """
+    WITH c0 AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    a1 AS (
+      SELECT e.vec_id, c0.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c0.cemb) AS dist,
+             CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM embeddings e CROSS JOIN c0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, cid) = 1),
+    mstep AS (
+      SELECT cid, dim,
+             FLOOR(AVG(x) * 1024.0 + 0.5) / 1024.0 AS cx
+      FROM (SELECT cid, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim
+            FROM a1)
+      GROUP BY cid, dim),
+    c1 AS (
+      SELECT cid, list(cx ORDER BY dim) AS cemb FROM mstep GROUP BY cid),
+    a2 AS (
+      SELECT e.vec_id, c1.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c1.cemb) AS dist
+      FROM embeddings e CROSS JOIN c1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY dist, cid) = 1)
+    SELECT a2.cid,
+           (SELECT COUNT(*) FROM a1 WHERE a1.cid = a2.cid) AS n_iter1,
+           COUNT(*) AS n_iter2,
+           ROUND(AVG(a2.dist), 4) AS avg_dist2
+    FROM a2 GROUP BY a2.cid ORDER BY a2.cid
+    """,
+)
+def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations (assign → recompute centroids → assign),
+    exactly oracle-checked — the iterative-algorithm pattern (driver loop
+    over bounded state, corpus never leaves the cluster) that
+    `kmeans_assign_step` grades one step of.
+
+    The cross-engine trick making iteration 2 hash-comparable: the M-step
+    mean is ORDER-DEPENDENT in its last ulp (Spark partial-merge vs DuckDB
+    sequential), and iteration 2's argmin would amplify a one-ulp centroid
+    difference into a different assignment on a near-tie. Quantizing each
+    centroid coordinate to a 1/1024 grid (floor(avg·1024+0.5), the
+    quantize_int8 convention) collapses both engines onto identical
+    centroids — and mirrors what real systems broadcast anyway (quantized
+    centroid tables). Driver state per iteration is k×dim floats (the
+    IVF-seed collect pattern, `operators/ivf.py:43`); each assignment pass
+    is the no-join LEAST-over-literals scan, so a 100 TB corpus is read
+    once per iteration with no shuffle beyond the k-row aggregate."""
+    e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    seeds = sorted(
+        e.where(F.col("vec_id").between(1, 8)).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    a1 = _assign_best(
+        e, [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in seeds]
+    )
+    n1 = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_iter1"))
+    # M-step: per-dim mean quantized to the shared 1/1024 grid (bounded
+    # k×dim collect — same driver-state pattern as the IVF seeds)
+    m = (
+        a1.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (F.floor(F.avg(F.col("x").cast("double")) * 1024.0 + F.lit(0.5)) / 1024.0).alias("cx")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in m:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"]
+    cents1 = [
+        (cid, [dims[i] for i in range(len(dims))])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    a2 = _assign_best(e, cents1)
+    out = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_iter2"),
+        F.round(F.avg("dist"), 4).alias("avg_dist2"),
+    )
+    return (
+        out.join(F.broadcast(n1), "cid")
+        .select("cid", "n_iter1", "n_iter2", "avg_dist2")
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the shingle-overlap graph
+# --------------------------------------------------------------------------
+
+_EDGE_SQL = f"""
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) >= 3
+"""
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    e AS ({_EDGE_SQL}),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pern AS (
+      SELECT node, COUNT(*) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      GROUP BY node)
+    SELECT node, n_triangles FROM pern
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the document-overlap graph (edge ⇔ ≥3
+    shared 3-shingles): the densest-community signal dedup clustering and
+    graph-quality analysis use on top of pairwise candidates (triangles
+    separate tight duplicate clusters from chance pairwise overlaps;
+    together with `dedup_components` and `pagerank_one_iter` this
+    completes the graph-analytics trio).
+
+    The canonical distributed formulation: oriented edges (u<v) so each
+    triangle is generated exactly once as a wedge u→v→w closed by edge
+    (u,w) — two equi-joins on node keys, never an all-pairs pass. At
+    100 TB the wedge join is the known hot spot (high-degree nodes);
+    the standard mitigation (degree-ordered orientation, which this
+    already half-applies via u<v) keeps wedge counts near-linear for
+    power-law graphs."""
+    d = _t(spark, sf_dir, "documents")
+    sh = ensure_min_partitions(d).select(
+        "doc_id", word_shingles("text", 3).alias("s")
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("sh"))
+    pa = ex.select(F.col("doc_id").alias("u"), "sh")
+    pb = ex.select(F.col("doc_id").alias("v"), "sh")
+    edges = (
+        pa.join(pb, "sh")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

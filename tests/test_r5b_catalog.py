@@ -370,3 +370,57 @@ def test_udtf_matches_native_trigrams(spark, sf_dir):
         .collect()
     )
     assert got == [(r["gram"], r["cnt"]) for r in native]
+
+
+# -- kmeans_two_iterations -------------------------------------------------
+
+
+def test_kmeans_two_iterations_partitions_and_improves(spark, sf_dir):
+    rows = _run(spark, sf_dir, "kmeans_two_iterations").collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_iter1"] for r in rows) == n_vecs
+    assert sum(r["n_iter2"] for r in rows) == n_vecs
+    # Lloyd monotonicity (up to 1/1024 centroid quantization): the mean
+    # distance after the M-step + reassignment must not get WORSE
+    it1 = {r["cid"]: r for r in _run(spark, sf_dir, "kmeans_assign_step").collect()}
+    mean1 = sum(r["n_assigned"] * r["avg_dist"] for r in it1.values()) / n_vecs
+    mean2 = sum(r["n_iter2"] * r["avg_dist2"] for r in rows) / n_vecs
+    assert mean2 <= mean1 + 0.01
+
+
+# -- graph_triangle_count --------------------------------------------------
+
+
+def test_triangle_count_matches_python_bruteforce(spark, sf_dir):
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in d.select("doc_id", word_shingles("text", 3).alias("s")).collect()
+    }
+    ids = sorted(sh)
+    edges = set()
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            if len(sh[u] & sh[v]) >= 3:
+                edges.add((u, v))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    per_node: dict[int, int] = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            for n in (u, v, w):
+                per_node[n] = per_node.get(n, 0) + 1
+    # each triangle counted 3× per node above (once per incident edge pair
+    # enumerated) — wedge closure counts each triangle once per EDGE, i.e.
+    # 3 times total, contributing 1 to each of its nodes per discovery /3
+    expected = {n: c // 3 for n, c in per_node.items()}
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in _run(spark, sf_dir, "graph_triangle_count").collect()
+    }
+    for node, cnt in got.items():
+        assert expected.get(node) == cnt
