@@ -405,3 +405,127 @@ def udaf_cents_total_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_total(F.col("value")).alias("total_cents"),
         n_rows(F.col("value")).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE surface (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recursive_cte_chain_totals",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_walked,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM r WHERE rn <= 10 GROUP BY user_id
+    """,
+)
+def recursive_cte_chain_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive-CTE surface (WITH RECURSIVE, UNION ALL): walk
+    each user's first 10 events as a linked-list recursion, folding an
+    exact integer-cents running total link by link — the sequential-walk
+    shape (lineage chains, path accumulation) recursion exists for.
+
+    The oracle is deliberately NOT a recursion: the walked fold must equal
+    the direct bounded aggregate (algebraic answer vs mechanism), which is
+    the strongest possible check on the recursion plumbing. Recursion depth
+    is bounded at 10 (each iteration is one Spark job over the frontier —
+    depth is the scale knob, rows stay linear: every event appears in at
+    most one frontier). Spark supports only UNION ALL recursion (no cycle
+    dedup), so the walk follows the acyclic rn+1 successor — cycle-free by
+    construction. Cents are exact integers, so the fold is
+    order-independent and hash-comparable."""
+    e = _t(spark, sf_dir, "events")
+    view = f"__events_rec_{abs(hash(sf_dir)) % 10_000}"
+    e.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE seq AS (
+          SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM {view}
+        ),
+        walk AS (
+          SELECT user_id, rn, cents AS cum FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn, w.cum + s.cents
+          FROM walk w JOIN seq s
+            ON s.user_id = w.user_id AND s.rn = w.rn + 1 AND s.rn <= 10
+        )
+        SELECT user_id, MAX(rn) AS n_walked, MAX(cum) AS total_cents
+        FROM walk GROUP BY user_id
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured surface (Spark 4 parse_json)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse the semi-structured `props` JSON
+    column into the binary VARIANT type once, then extract a typed field
+    with variant_get — the schema-on-read path for ragged event payloads
+    (vs `json_extract_events`' per-path string get_json_object, VARIANT
+    parses once and serves every later extraction from the binary form,
+    the difference that matters when one payload feeds many fields).
+
+    Map-only parse + one map-combined aggregate; the oracle reads the
+    same field through DuckDB's JSON operator. Integer payloads keep the
+    comparison exact."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_top_k heavy-hitters surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "approx_topk_event_types",
+    """
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, item
+    """,
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in approx_top_k heavy hitters (Spark 4): sketch the event-
+    type frequency table in one pass and emit every tracked item. The
+    sketch is EXACT whenever true cardinality ≤ maxItemsTracked (here
+    5 ≪ 10000) — the documented regime in which an approx surface can sit
+    behind a value-exact oracle (the same deterministic-bound framing as
+    `approx_stats_events`). Output is re-sorted deterministically
+    (cnt desc, item) because the sketch's own tie order is unspecified.
+    At real heavy-hitter scale the one-pass sketch replaces the full
+    GROUP BY shuffle with a constant-size mergeable state."""
+    e = _t(spark, sf_dir, "events")
+    tk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        tk.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("item"), F.col("s.count").cast("long").alias("cnt")
+        )
+        .orderBy(F.col("cnt").desc(), "item")
+    )

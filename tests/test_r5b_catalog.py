@@ -424,3 +424,71 @@ def test_triangle_count_matches_python_bruteforce(spark, sf_dir):
     }
     for node, cnt in got.items():
         assert expected.get(node) == cnt
+
+
+# -- recursive_cte_chain_totals --------------------------------------------
+
+
+def test_recursive_walk_equals_direct_aggregate(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["n_walked"], r["total_cents"])
+        for r in _run(spark, sf_dir, "recursive_cte_chain_totals").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    ref = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+# -- variant_props_stats ---------------------------------------------------
+
+
+def test_variant_extract_matches_string_json_path(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_k"], r["max_k"])
+        for r in _run(spark, sf_dir, "variant_props_stats").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    ref = {
+        r["event_type"]: (r["n"], r["s"], r["m"])
+        for r in ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("s"),
+            F.max("k").alias("m"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+# -- approx_topk_event_types -----------------------------------------------
+
+
+def test_approx_topk_exact_below_tracking_limit(spark, sf_dir):
+    got = [(r["item"], r["cnt"]) for r in _run(spark, sf_dir, "approx_topk_event_types").collect()]
+    ev = load_table(spark, sf_dir, "events")
+    ref = [
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "event_type")
+        .collect()
+    ]
+    assert got == ref
