@@ -306,7 +306,13 @@ def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = ensure_min_partitions(d).select(
         "doc_id", word_shingles("text", 3).alias("s")
     )
-    ex = sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("sh"))
+    # join on the shingle's 8-byte xxhash64, not the ~25-byte string: the
+    # Exchange carries a third of the bytes and the SMJ compares longs
+    # (same keying convention as chunk_dedup_summary; a cross-shingle
+    # collision would need ~2³² distinct shingles to become likely)
+    ex = sh.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("shs")
+    ).select("doc_id", "sz", F.xxhash64("shs").alias("sh"))
     a = ex.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
     )
@@ -521,14 +527,28 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = ensure_min_partitions(e.where(F.col("vec_id") < 200)).select(
         "vec_id", "embedding"
     )
-    a = blk.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    b = blk.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    sim = dot("ea", "eb") / (l2_norm("ea") * l2_norm("eb"))
+    # norms are per-VECTOR: compute them once per side before the pair
+    # join (not once per pair — 200× fewer interpreted folds), and
+    # materialize the ~n²/2-row pair table once so the two aggregates
+    # below don't each re-run the cross join (the same CollapseProject
+    # economics as the MinHash localCheckpoint)
+    a = blk.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = blk.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    sim = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     pairs = (
         F.broadcast(a)
         .crossJoin(b)
         .where(F.col("ia") < F.col("ib"))
         .select("ia", "ib", sim.alias("sim"))
+        .localCheckpoint(eager=True)
     )
     thr = spark.range(0).sparkSession.createDataFrame(
         [(t,) for t in (20, 30, 40, 50, 75)], "thr_pct int"
@@ -893,7 +913,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = ensure_min_partitions(d).select(
         "doc_id", word_shingles("text", 3).alias("s")
     )
-    ex = sh.select("doc_id", F.explode("s").alias("sh"))
+    # 8-byte hashed shingle keys (same rationale as ngram_containment_topk)
+    ex = sh.select("doc_id", F.explode("s").alias("shs")).select(
+        "doc_id", F.xxhash64("shs").alias("sh")
+    )
     pa = ex.select(F.col("doc_id").alias("u"), "sh")
     pb = ex.select(F.col("doc_id").alias("v"), "sh")
     edges = (
