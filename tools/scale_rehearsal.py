@@ -47,6 +47,12 @@ QUERIES_UNDER_TEST = {
     "similarity_join_topk": (["embeddings"], "docs"),
     "bucketed_join_revenue": (["orders", "lineitem"], "fact"),
     "q1_pricing_summary": (["lineitem"], "fact"),
+    # r5 second wave: the new pair-join mechanisms (quadratic-risk) plus a
+    # window-only control
+    "ngram_containment_topk": (["documents"], "docs"),
+    "graph_triangle_count": (["documents"], "docs"),
+    "cooccurrence_pmi_topk": (["documents"], "docs"),
+    "attribution_last_touch": (["events"], "fact"),
 }
 
 
@@ -91,6 +97,13 @@ def _replicate(spark, table: str, out_dir: str, reps: int) -> None:
             p = p.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000)
             )
+        elif table == "events":
+            # shift BOTH ids: each replica is a fresh user population with
+            # the same per-user chain structure (window state per user is
+            # preserved; user count — the shuffle key cardinality — grows N×)
+            p = p.withColumn(
+                "event_id", F.col("event_id") + F.lit(r * 100_000_000)
+            ).withColumn("user_id", F.col("user_id") + F.lit(r * 1_000_000))
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
@@ -118,7 +131,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    tables = ["documents", "embeddings", "orders", "lineitem"]
+    tables = ["documents", "embeddings", "orders", "lineitem", "events"]
     dirs = {1: os.path.join(WORK, "x1")}
     for t in tables:
         _replicate(spark, t, dirs[1], 1)
