@@ -44,7 +44,15 @@ NOTES = {
     "cooccurrence_pmi_topk": "pair formation is two LEADs over ONE doc-partitioned window (no position self-join); unigram marginals + scalars broadcast onto pair counts.",
     "phrase_merge_apply": "winning pair is a 1-row BroadcastExchange; the corpus rewrite is a map-only project over the documents scan.",
     "pca_power_iteration": "no per-vector shuffle: dot fold + posexplode feed a 64-group map-combined HashAggregate; normalizer is a 1-row broadcast.",
-    "ngram_containment_topk": "inverted-index formulation: shingle explode + SortMergeJoin on the shingle key (no CartesianProduct); sizes ride the explode so no recovery join.",
+    "ngram_containment_topk": "inverted-index formulation: shingle explode + SortMergeJoin on the 8-byte hashed shingle key (no CartesianProduct); sizes ride the explode so no recovery join.",
+    "matryoshka_rerank_16": "both funnel stages are TakeOrderedAndProject (per-partition heaps); the 16-dim coarse distance prunes before any full-dim arithmetic on non-candidates.",
+    "hard_negative_mining": "anchors broadcast; the annulus band Filter runs BEFORE the per-anchor rank window, so ranked state is already pruned.",
+    "parallel_moments_merge": "two stacked HashAggregates, both map-combined — the shard level materializes the partial-merge algebra the engine uses internally.",
+    "kmeans_two_iterations": "both assignment passes are LEAST-over-literal scans (no join/window); the only Exchanges are k-row aggregates and the bounded M-step collect.",
+    "graph_triangle_count": "edge build = hashed-shingle SortMergeJoin; wedge closure = two equi-joins on node keys — no cross product at any stage.",
+    "udaf_cents_total_by_type": "ArrowAggregatePython: raw rows shuffle to the Python worker (NO map-side combine) — the plan-visible cost that keeps hot-path aggregation built-in.",
+    "user_event_sequences": "one Exchange on user_id; ordered string_agg is array_sort over collected structs inside the same aggregate.",
+    "recursive_cte_chain_totals": "UnionLoop iterates the frontier join; every event enters at most one frontier so rows stay linear in depth.",
 }
 
 
