@@ -4,7 +4,11 @@ Composes the engine's corpus-preparation operators in the order a real
 100 TB run chains them — each stage consumes the previous stage's
 DataFrame, so the whole thing is ONE lazy plan until the final write:
 
-  1. near-dup pair generation (label-blocked embedding cosine)
+  0. dedup threshold SWEEP over the candidate pairs → pick the operating
+     point (tightest threshold that keeps the flagged-doc rate ≤ 20%) —
+     the decision a real run makes before deleting anything
+  1. near-dup pair generation (label-blocked embedding cosine) at the
+     chosen threshold — the same pair table the sweep scored
   2. connected components → keep the HIGHEST-QUALITY doc per dup group
      (the keep-best policy, not an arbitrary canonical)
   3. benchmark decontamination (8-gram broadcast semi-join)
@@ -15,7 +19,8 @@ DataFrame, so the whole thing is ONE lazy plan until the final write:
   6. PII redaction (map-only regexp scrub)
   7. token-window chunking + keep-first chunk dedup (boilerplate removal)
   8. sequence packing into fixed-token training rows (per-shard cumsum)
-  9. domain-mixture weights for the loader (uniform target)
+  9. domain-mixture weights for the loader (uniform target) + the
+     temperature-scaled (τ=0.7) sampling schedule
   10. corpus card: token-length histogram, Zipf slope, curriculum tiers —
       the per-snapshot report a pipeline publishes alongside the data
 
@@ -68,9 +73,31 @@ def main() -> None:
         connected_components,
     )
 
-    pairs = embedding_near_duplicates(
-        embs, id_col="vec_id", emb_col="embedding", threshold=0.3, block_col="label"
+    # 0. sweep candidate thresholds over ONE low-threshold pair table and
+    # pick the operating point: the tightest threshold flagging ≤ 20% of
+    # documents (sweep the candidates, then delete — never the reverse)
+    cand = embedding_near_duplicates(
+        embs, id_col="vec_id", emb_col="embedding", threshold=0.2, block_col="label"
+    ).localCheckpoint(eager=True)
+    sweep = (
+        cand.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(t,) for t in (20, 30, 40, 50)], "thr int")
+            )
+        )
+        .where(F.col("cos_sim") >= F.col("thr").cast("double") / 100.0)
+        .select("thr", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("thr")
+        .agg(F.countDistinct("id").alias("n_flagged"))
+        .collect()
     )
+    budget = 0.20 * n0
+    viable = sorted(r["thr"] for r in sweep if r["n_flagged"] <= budget)
+    thr = (viable[0] if viable else 50) / 100.0
+    print(f"sweep                 : {dict((r['thr'], r['n_flagged']) for r in sweep)}"
+          f" -> threshold {thr}")
+
+    pairs = cand.where(F.col("cos_sim") >= thr)
     comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
         "id", "doc_id"
     )
@@ -191,6 +218,17 @@ def main() -> None:
     weights = by_label.crossJoin(F.broadcast(tot)).select(
         "label", "n", F.round(F.col("total") / F.col("k") / F.col("n"), 4).alias("weight")
     )
+    # ...and the temperature-scaled (τ=0.7) schedule: up-weights small
+    # domains without flattening to uniform (the multilingual-mixing rule)
+    raw = by_label.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.pow(F.col("n").cast("double") / F.col("total"), 0.7).alias("w_raw"),
+    )
+    z = raw.agg(F.sum("w_raw").alias("z"))
+    temp_weights = raw.crossJoin(F.broadcast(z)).select(
+        "label", F.round(F.col("w_raw") / F.col("z"), 4).alias("p")
+    )
 
     # 10. corpus card published with the snapshot: length profile,
     # Zipf naturalness fit, curriculum tier cut points
@@ -232,6 +270,7 @@ def main() -> None:
     print(f"chunks after dedup    : {chunks.count()}")
     print(f"packed sequences      : {n_seq} x 512 tokens over 8 shards")
     print("mixture weights       :", {r["label"]: r["weight"] for r in weights.collect()})
+    print("temperature schedule  :", {r["label"]: r["p"] for r in temp_weights.collect()})
     print("length histogram      :", {r["bucket"]: r["n_docs"] for r in hist.collect()})
     print(f"zipf slope            : {fit.first()['slope']:.3f}")
     print("curriculum tier floors:", {r["tier"]: r["tier_floor"] for r in tiers.orderBy("tier").collect()})
