@@ -1,0 +1,93 @@
+"""Property tests for the events-based temporal entries (SURVEY.md §5.2,
+extended): generate RANDOM event tables — timestamp ties, single-event
+users, value edge cases — write them through the same parquet shape the
+driver ships, and require the catalog entry and its own DuckDB oracle to
+agree row-for-row. This exercises the entry+oracle pair on adversarial
+inputs the fixed sf corpora can't contain (the catalog's cross-engine
+arithmetic claims are exactly the kind of thing a tie in `ts` or an
+8-deep EWMA frame would falsify).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+ENTRIES = [
+    "ewma_value_by_user",
+    "attribution_last_touch",
+    "scd2_intervals_user_type",
+    "wilson_ctr_bound",
+    "recursive_cte_chain_totals",
+    "udaf_cents_total_by_type",
+    "user_event_sequences",
+]
+
+TYPES = ["view", "click", "purchase", "signup", "error"]
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user_id (few users ⇒ deep chains)
+        st.integers(min_value=0, max_value=7200),  # seconds offset (forces ties)
+        st.sampled_from(TYPES),
+        st.integers(min_value=1, max_value=49999),  # cents (2-decimal doubles)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _write_events(rows, dirname: str) -> None:
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _, _ in rows],
+            "user_id": [u for u, _, _, _ in rows],
+            "event_type": [t for _, _, t, _ in rows],
+            "value": [c / 100.0 for _, _, _, c in rows],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(os.path.join(dirname, "events.parquet"), index=False)
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (tuple(r) if not isinstance(r, tuple) else r)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("entry", ENTRIES)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=events_strategy)
+def test_entry_matches_its_oracle_on_random_events(spark, entry, rows):
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(rows, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want

@@ -1,0 +1,87 @@
+"""Property tests for the documents-based corpus-prep entries: random
+single-space word-soup corpora (tiny vocabularies force adjacent-pair
+pileups, repeated words, self-similar docs — the adversarial cases for
+greedy merge scanning, PMI marginals, and shingle containment), written
+through the driver's parquet shape; the catalog entry and its own DuckDB
+oracle must agree row-for-row.
+
+The vocabulary is deliberately tiny ('a', 'b', 'ab', 'aa') so that
+overlapping pair occurrences ('a b a b'), words that are prefixes of other
+words, and pair strings colliding with single tokens ('a b' vs 'ab') all
+occur — the exact traps for the space-doubling greedy replace and for
+whitespace tokenization parity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+ENTRIES = [
+    "phrase_merge_apply",
+    "cooccurrence_pmi_topk",
+    "ngram_containment_topk",
+    "char_entropy_quality",
+    "udtf_trigram_counts",
+]
+
+VOCAB = ["a", "b", "ab", "aa", "the", "x"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=30),
+    min_size=2,
+    max_size=15,
+)
+
+
+def _write_docs(doc_tokens, dirname: str) -> None:
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(doc_tokens) + 1),
+            "text": [" ".join(toks) for toks in doc_tokens],
+            "lang": ["en"] * len(doc_tokens),
+            "source": ["synthetic"] * len(doc_tokens),
+            "n_chars": [len(" ".join(toks)) for toks in doc_tokens],
+        }
+    )
+    df.to_parquet(os.path.join(dirname, "documents.parquet"), index=False)
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (tuple(r) if not isinstance(r, tuple) else r)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("entry", ENTRIES)
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(doc_tokens=docs_strategy)
+def test_text_entry_matches_its_oracle_on_random_docs(spark, entry, doc_tokens):
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(doc_tokens, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want
