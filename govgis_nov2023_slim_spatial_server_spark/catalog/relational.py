@@ -1718,3 +1718,57 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") / F.sum("o_totalprice").over(w) * 1000000.0, 4
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "try_funcs_dirty_data",
+    """
+    WITH t AS (
+      SELECT l_returnflag,
+             l_extendedprice / NULLIF(l_quantity - 25, 0) AS div_safe,
+             TRY_CAST(CASE WHEN l_orderkey % 7 = 0 THEN 'N/A'
+                           ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER)
+               AS cast_safe
+      FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN div_safe IS NULL THEN 1 END) AS n_div_null,
+           CAST(SUM(CAST(FLOOR(div_safe * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_div_cents,
+           COUNT(CASE WHEN cast_safe IS NULL THEN 1 END) AS n_cast_null,
+           CAST(SUM(cast_safe) AS BIGINT) AS sum_cast
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def try_funcs_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data safety under ANSI mode (Spark 4 default, session-wide
+    here): a plain division hitting zero or a CAST hitting a malformed
+    string ABORTS the whole job — at 100 TB one bad row of a trillion
+    kills hours of work. try_divide / try_cast degrade to NULL instead,
+    and this entry grades that NULL algebra end-to-end: per-flag counts
+    of nulled divisions (quantity == 25) and nulled casts (synthetic
+    'N/A' rows), plus exact sums over the survivors. Divisions are
+    cents-floored PER ELEMENT before summing, so the aggregate is an
+    exact integer — immune to the partition-order float drift a raw
+    SUM(double) of 600k signed terms would have. The oracle spells the
+    same semantics in portable SQL (NULLIF guard + TRY_CAST)."""
+    li = _t(spark, sf_dir, "lineitem")
+    div = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    cast_safe = F.expr(
+        "try_cast(CASE WHEN l_orderkey % 7 = 0 THEN 'N/A'"
+        " ELSE CAST(l_linenumber AS STRING) END AS INT)"
+    )
+    t = li.select(
+        "l_returnflag",
+        div.alias("div_safe"),
+        cast_safe.alias("cast_safe"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("div_safe").isNull(), 1)).alias("n_div_null"),
+        F.sum(F.floor(F.col("div_safe") * 100.0 + 0.5).cast("long")).alias(
+            "sum_div_cents"
+        ),
+        F.count(F.when(F.col("cast_safe").isNull(), 1)).alias("n_cast_null"),
+        F.sum("cast_safe").cast("long").alias("sum_cast"),
+    )

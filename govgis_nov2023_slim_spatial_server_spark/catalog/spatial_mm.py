@@ -373,3 +373,39 @@ def spatial_knn_rect_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") <= 3)
         .select("probe_id", "c_custkey", F.round("dist", 4).alias("dist"))
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            j -> ascii(text[j:j])) AS codes
+      FROM documents),
+    w AS (
+      SELECT doc_id, codes,
+             unnest(range(0, CAST(ceil(len(codes) / 256.0) AS BIGINT))) AS window_idx
+      FROM c)
+    SELECT doc_id, window_idx,
+           CAST(len(codes[window_idx * 256 + 1 : window_idx * 256 + 256]) AS BIGINT)
+             AS n_samples,
+           CAST(list_sum(codes[window_idx * 256 + 1 : window_idx * 256 + 256]) AS BIGINT)
+             AS sum_amp,
+           CAST(list_max(codes[window_idx * 256 + 1 : window_idx * 256 + 256]) AS BIGINT)
+             AS peak
+    FROM w
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-branch multimodal plumbing: per-window sample statistics
+    (sum amplitude, peak) over binary payloads via mapInPandas — one
+    input row fans out to ⌈n/256⌉ window rows, the VAD/loudness shape.
+    Payload bytes stand in for PCM (ASCII text ⇒ byte == code point, which
+    is what lets DuckDB recompute the windows with ascii() and keeps every
+    aggregate an exact integer). Map-only: the fan-out happens inside the
+    Arrow batch, no shuffle anywhere."""
+    from ..operators.multimodal import audio_window_stats, with_binary_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_window_stats(with_binary_payload(d), window=256)

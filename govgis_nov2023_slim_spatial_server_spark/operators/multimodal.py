@@ -125,3 +125,46 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "installed in this environment; use extract_byte_stats for the "
         "plumbing-verified path"
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id bigint, window_idx bigint, n_samples bigint, sum_amp bigint, peak bigint"
+)
+
+
+def audio_window_stats(
+    df: DataFrame, id_col: str = "doc_id", window: int = 256
+) -> DataFrame:
+    """Fixed-size sample-window statistics over binary payloads — the
+    audio-feature fan-out shape (per-window RMS/peak for VAD, silence
+    trimming, loudness normalization). The payload bytes stand in for
+    PCM samples (the real codec is the same stubbed seam as decode_image);
+    the numpy slicing, window fan-out (one input row → n_windows output
+    rows), and exact integer aggregates are the production plumbing.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, widx, nsamp, sums, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(0, max((len(samples) + window - 1) // window, 1)):
+                    chunk = samples[w * window : (w + 1) * window]
+                    ids.append(doc_id)
+                    widx.append(w)
+                    nsamp.append(len(chunk))
+                    sums.append(int(chunk.sum()))
+                    peaks.append(int(chunk.max()) if len(chunk) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": widx,
+                    "n_samples": nsamp,
+                    "sum_amp": sums,
+                    "peak": peaks,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=AUDIO_WINDOW_SCHEMA)

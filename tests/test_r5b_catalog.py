@@ -492,3 +492,48 @@ def test_approx_topk_exact_below_tracking_limit(spark, sf_dir):
         .collect()
     ]
     assert got == ref
+
+
+# -- multimodal_audio_windows ----------------------------------------------
+
+
+def test_audio_windows_reconstruct_payload_totals(spark, sf_dir):
+    rows = _run(spark, sf_dir, "multimodal_audio_windows").collect()
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, ws in by_doc.items():
+        ws.sort(key=lambda r: r["window_idx"])
+        payload = docs[doc_id]
+        # windows tile the payload exactly once
+        assert sum(r["n_samples"] for r in ws) == len(payload)
+        assert sum(r["sum_amp"] for r in ws) == sum(payload)
+        assert max(r["peak"] for r in ws) == max(payload)
+        assert [r["window_idx"] for r in ws] == list(range(len(ws)))
+
+
+# -- try_funcs_dirty_data --------------------------------------------------
+
+
+def test_try_funcs_null_counts_match_direct_predicates(spark, sf_dir):
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["n_div_null"], r["n_cast_null"])
+        for r in _run(spark, sf_dir, "try_funcs_dirty_data").collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {
+        r["l_returnflag"]: (r["n"], r["d"], r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_quantity") == 25, 1)).alias("d"),
+            F.count(F.when(F.col("l_orderkey") % 7 == 0, 1)).alias("c"),
+        )
+        .collect()
+    }
+    assert got == ref
