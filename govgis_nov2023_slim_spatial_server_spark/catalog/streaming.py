@@ -369,3 +369,95 @@ def stream_topk_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "stream_late_data_drop",
+    """
+    WITH ranked AS (
+      SELECT ts, event_id,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      FROM events),
+    a AS (SELECT ts FROM ranked WHERE rn > 100),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM a)
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', a.ts)) AS BIGINT)
+             AS window_start_s,
+           COUNT(*) AS n_events
+    FROM a CROSS JOIN wm
+    GROUP BY 1, wm.w
+    HAVING CAST(epoch(time_bucket(INTERVAL '1 hour', MIN(a.ts))) AS BIGINT) + 3600
+           <= CAST(FLOOR(epoch(wm.w)) AS BIGINT)
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, actually executed: the 100 earliest
+    events are withheld into the LAST of three files; the stream
+    processes the bulk and a recent tail first (maxFilesPerTrigger=1
+    forces one micro-batch per file), advances the watermark to
+    max(ts)−2h, then sees the stragglers — all far older than the
+    watermark — and MUST discard them. Append mode additionally emits
+    only windows finalized below the watermark.
+
+    The oracle states both halves of the contract in batch SQL: counts
+    come from the on-time file alone (the stragglers contribute to no
+    window), and only windows whose end ≤ final watermark appear. This is
+    the one streaming behavior the other six entries can't show — they
+    all process a single availableNow batch where nothing is ever late.
+    Input files are staged under /tmp with forced mtimes (file order =
+    processing order) and removed after the drain; the result lives in
+    the memory sink, not the files."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    # THREE micro-batches, not two: Spark's late-row filter uses the
+    # watermark as of the PREVIOUS batch (it lags one trigger — verified
+    # empirically: with stragglers in batch 1 the filter watermark is
+    # still the epoch and numRowsDroppedByWatermark stays 0). Bulk in
+    # batch 0 establishes the watermark, a small recent tail in batch 1
+    # activates it for filtering, the stragglers in batch 2 hit it.
+    late, bulk, tail = pdf.iloc[:100], pdf.iloc[100:-50], pdf.iloc[-50:]
+    d = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        bulk.to_parquet(os.path.join(d, "a_bulk.parquet"), index=False)
+        tail.to_parquet(os.path.join(d, "b_tail.parquet"), index=False)
+        late.to_parquet(os.path.join(d, "c_late.parquet"), index=False)
+        now = 1_700_000_000
+        os.utime(os.path.join(d, "a_bulk.parquet"), (now, now))
+        os.utime(os.path.join(d, "b_tail.parquet"), (now + 100, now + 100))
+        os.utime(os.path.join(d, "c_late.parquet"), (now + 200, now + 200))
+        schema = spark.read.parquet(os.path.join(d, "a_bulk.parquet")).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        agg = streaming_tumbling_counts(
+            normalize_events_ts(src), duration="1 hour", watermark="2 hours"
+        )
+        _SINK_SEQ[0] += 1
+        name = f"__stream_late_{_SINK_SEQ[0]}"
+        q = (
+            agg.select("window_start", "n_events")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.table(name)
+            .groupBy(F.col("window_start").cast("long").alias("window_start_s"))
+            .agg(F.sum("n_events").alias("n_events"))
+        )
+        # materialize before the temp inputs disappear
+        out = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

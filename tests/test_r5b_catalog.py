@@ -537,3 +537,32 @@ def test_try_funcs_null_counts_match_direct_predicates(spark, sf_dir):
         .collect()
     }
     assert got == ref
+
+
+# -- stream_late_data_drop -------------------------------------------------
+
+
+def test_late_data_drop_excludes_stragglers(spark, sf_dir):
+    rows = _run(spark, sf_dir, "stream_late_data_drop").collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    all_rows = ev.collect()
+    late_ids = {r["event_id"] for r in all_rows[:100]}
+    # total in the sink = on-time events in finalized windows: strictly
+    # less than the full corpus minus ALL stragglers (some on-time events
+    # sit in the unfinalized last-2h windows and are held back too)
+    total = sum(r["n_events"] for r in rows)
+    assert total <= len(all_rows) - len(late_ids)
+    # every straggler's window must be absent or counted without it: the
+    # earliest emitted window must not include any late-only window count
+    import collections
+
+    on_time_counts = collections.Counter(
+        (r["ts"].replace(minute=0, second=0, microsecond=0)) for r in all_rows[100:]
+    )
+    got = {r["window_start_s"]: r["n_events"] for r in rows}
+    for ws, n in got.items():
+        from datetime import datetime, timezone
+
+        key = datetime.fromtimestamp(ws, tz=timezone.utc).replace(tzinfo=None)
+        assert on_time_counts.get(key) == n  # counts match on-time-only
