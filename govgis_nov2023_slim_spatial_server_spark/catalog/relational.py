@@ -19,7 +19,7 @@ from ..operators.windows import (
     tumbling_window_agg,
 )
 from ..schemas import load_table
-from ._registry import query
+from ._registry import query, rnd_nz
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1771,4 +1771,134 @@ def try_funcs_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("cast_safe").isNull(), 1)).alias("n_cast_null"),
         F.sum("cast_safe").cast("long").alias("sum_cast"),
+    )
+
+
+@query(
+    "target_encoding_smoothed",
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderpriority),
+    p AS (SELECT CAST(SUM(cents) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS prior
+          FROM g)
+    SELECT g.o_orderpriority, CAST(g.n AS BIGINT) AS n,
+           FLOOR((CAST(g.cents AS DOUBLE) + p.prior * 50.0)
+                 / (CAST(g.n AS DOUBLE) + 50.0) / 100.0 * 10000.0 + 0.5) / 10000.0
+             AS encoded
+    FROM g CROSS JOIN p
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (m-estimate, m=50): replace a categorical
+    feature with the shrunken mean of the target — the tabular-ML feature
+    transform whose naive (unsmoothed, unsplit) form leaks labels; the
+    prior-blended estimate (n·mean + m·prior)/(n + m) is the standard fix.
+
+    Per-category sums are EXACT integer cents (the per-element floor
+    convention), so the only doubles are the final blended divisions,
+    computed with identical parenthesization and floor-rounded. One
+    map-combined aggregate plus a 1-row prior broadcast — the shape holds
+    at any cardinality because state per category is three numbers."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        ).alias("cents"),
+    )
+    p = g.agg(
+        (
+            F.sum("cents").cast("double") / F.sum("n").cast("double")
+        ).alias("prior")
+    )
+    return g.crossJoin(F.broadcast(p)).select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(
+                (F.col("cents").cast("double") + F.col("prior") * 50.0)
+                / (F.col("n").cast("double") + 50.0)
+                / 100.0
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "psi_split_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN (o_orderkey * 2654435761) % 97 % 2 = 0
+                  THEN 'ref' ELSE 'cur' END AS split,
+             LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+      FROM orders),
+    c AS (SELECT split, bucket, COUNT(*) AS n FROM b GROUP BY split, bucket),
+    t AS (SELECT split, SUM(n) AS tot FROM c GROUP BY split),
+    m AS (
+      SELECT r.bucket,
+             CAST(r.n AS DOUBLE) / rt.tot AS p_ref,
+             CAST(cu.n AS DOUBLE) / ct.tot AS p_cur
+      FROM c r
+      JOIN c cu ON cu.bucket = r.bucket AND cu.split = 'cur'
+      JOIN t rt ON rt.split = 'ref'
+      JOIN t ct ON ct.split = 'cur'
+      WHERE r.split = 'ref')
+    SELECT bucket,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) + 0.0 AS psi_term
+    FROM m
+    """,
+)
+def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two deterministic hash-splits of
+    orders — the train/serve drift monitor every production feature
+    pipeline runs (PSI ≥ 0.2 pages someone). On identical-distribution
+    splits the terms hover near zero, which is itself the assertion.
+
+    Both engines bucket with the same integer arithmetic. The split
+    predicate must be engine-portable (Spark's hash() is engine-private),
+    so membership is a Knuth multiplicative scramble mod 97 mod 2 —
+    identical exact-integer arithmetic on both engines, decorrelated from
+    key order, provably < 2^63 under ANSI mode.
+    Distribution ratios are count ratios (exact division) rounded late;
+    ln terms carry the −0.0 guard (differences straddle zero)."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        F.when((F.col("o_orderkey") * 2654435761) % 97 % 2 == 0, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("split"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    c = b.groupBy("split", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("split").agg(F.sum("n").alias("tot"))
+    r = (
+        c.where(F.col("split") == "ref")
+        .select("bucket", F.col("n").alias("n_ref"))
+        .join(
+            c.where(F.col("split") == "cur").select(
+                "bucket", F.col("n").alias("n_cur")
+            ),
+            "bucket",
+        )
+        .crossJoin(
+            F.broadcast(
+                t.groupBy().pivot("split", ["ref", "cur"]).sum("tot")
+            )
+        )
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("cur")
+    return r.select(
+        "bucket",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        rnd_nz((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )

@@ -529,3 +529,63 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "item")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral Markov transitions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "markov_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, SUM(n) AS row_total FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           FLOOR(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM c JOIN t ON c.from_type = t.from_type
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream
+    (P(next=b | current=a)) — the behavioral model powering next-event
+    prediction features and synthetic sequence generation, and the QA
+    statistic that exposes instrumentation bugs (impossible transitions).
+
+    One LEAD over the user_id window (same single-exchange family as the
+    change log), a |types|² count table, and a broadcast of row totals
+    back onto it. Probabilities are exact integer ratios floor-rounded to
+    6 — k/n ratios land on terminating decimals where the engines' ROUNDs
+    split (the containment lesson)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = o.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.col("row_total").cast("double")
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("p"),
+    )

@@ -566,3 +566,49 @@ def test_late_data_drop_excludes_stragglers(spark, sf_dir):
 
         key = datetime.fromtimestamp(ws, tz=timezone.utc).replace(tzinfo=None)
         assert on_time_counts.get(key) == n  # counts match on-time-only
+
+
+# -- markov_transition_matrix ----------------------------------------------
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    rows = _run(spark, sf_dir, "markov_transition_matrix").collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4  # each row sums to 1 (rounded terms)
+
+
+# -- target_encoding_smoothed ----------------------------------------------
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
+    rows = _run(spark, sf_dir, "target_encoding_smoothed").collect()
+    o = load_table(spark, sf_dir, "orders")
+    prior = o.agg(F.avg("o_totalprice")).first()[0]
+    means = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority").agg(F.avg("o_totalprice").alias("m")).collect()
+    }
+    for r in rows:
+        raw = means[r["o_orderpriority"]]
+        # encoded value lies between the category mean and the prior
+        lo, hi = sorted((raw, prior))
+        assert lo - 1.0 <= r["encoded"] <= hi + 1.0
+
+
+# -- psi_split_drift -------------------------------------------------------
+
+
+def test_psi_near_zero_on_identical_distribution(spark, sf_dir):
+    rows = _run(spark, sf_dir, "psi_split_drift").collect()
+    assert rows
+    psi = sum(r["psi_term"] for r in rows)
+    # both splits draw from the same distribution: PSI must be far below
+    # the 0.1 "watch" threshold
+    assert 0.0 <= psi < 0.05
+    for r in rows:
+        assert abs(r["p_ref"] - r["p_cur"]) < 0.1
