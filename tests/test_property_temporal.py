@@ -29,6 +29,9 @@ ENTRIES = [
     "recursive_cte_chain_totals",
     "udaf_cents_total_by_type",
     "user_event_sequences",
+    "markov_transition_matrix",
+    "approx_topk_event_types",
+    "variant_props_stats",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
