@@ -1,0 +1,91 @@
+"""Property tests for orders-based entries on random order tables:
+duplicate totalprice values (the argmax tie trap the fixed corpora only
+contain one instance of), skewed priorities, single-row categories (the
+m-estimate shrink edge), and tiny tables. Entry vs its own oracle,
+row-for-row, through the driver's parquet shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+ENTRIES = [
+    "target_encoding_smoothed",
+    "psi_split_drift",
+    "argmax_order_per_status",
+    "grouping_sets_status_priority",
+    "topk_offset_orders",
+]
+
+STATUSES = ["O", "F", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(STATUSES),
+        st.sampled_from(PRIORITIES),
+        # cents; small range forces DUPLICATE totalprice values (tie-break paths)
+        st.integers(min_value=100, max_value=5000),
+        st.integers(min_value=0, max_value=364),  # orderdate day offset
+        st.integers(min_value=0, max_value=20),  # custkey
+    ),
+    min_size=3,
+    max_size=80,
+)
+
+
+def _write_orders(rows, dirname: str) -> None:
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [c for *_, c in rows],
+            "o_orderstatus": [s for s, *_ in rows],
+            "o_totalprice": [cents / 100.0 for _, _, cents, _, _ in rows],
+            "o_orderdate": [base + pd.Timedelta(days=d) for *_, d, _ in rows],
+            "o_orderpriority": [p for _, p, *_ in rows],
+        }
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    df.to_parquet(os.path.join(dirname, "orders.parquet"), index=False)
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (tuple(r) if not isinstance(r, tuple) else r)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("entry", ENTRIES)
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=orders_strategy)
+def test_orders_entry_matches_its_oracle_on_random_orders(spark, entry, rows):
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(rows, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+        )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want
