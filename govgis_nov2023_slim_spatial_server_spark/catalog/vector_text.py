@@ -1334,7 +1334,11 @@ def zipf_slope_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("ly").alias("__my"),
         F.avg("lx").alias("__mx"),
     )
-    slope = F.col("__cxy") / F.col("__vx")
+    # NULLIF guard: a degenerate single-term vocabulary has var_pop = 0;
+    # DuckDB's regr_slope yields NULL there, while a bare division is an
+    # ANSI-mode DIVIDE_BY_ZERO job abort (found by the random-corpus
+    # property gate, tests/test_property_text_entries.py)
+    slope = F.col("__cxy") / F.nullif(F.col("__vx"), F.lit(0.0))
     return a.select(
         "n_terms",
         F.round(slope, 4).alias("slope"),

@@ -32,6 +32,18 @@ ENTRIES = [
     "markov_transition_matrix",
     "approx_topk_event_types",
     "variant_props_stats",
+    # wider events family (r1-r4 entries): window/session/funnel semantics
+    # on adversarial streams — ts ties, single-event users, sparse types
+    "event_type_change_log",
+    "cumulative_distinct_users",
+    "dedup_first_event_per_key",
+    "window_lag_lead_events",
+    "funnel_view_click_purchase",
+    "tumbling_window_1h",
+    "session_windows_30m",
+    "rolling_1h_user_stats",
+    "json_extract_events",
+    "map_funcs_events",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -31,6 +31,18 @@ ENTRIES = [
     "ngram_containment_topk",
     "char_entropy_quality",
     "udtf_trigram_counts",
+    # wider documents family: tokenization/counting/scoring parity on
+    # degenerate corpora (repeated words, 1-token docs, prefix collisions)
+    "bpe_pair_counts",
+    "bigram_top_counts",
+    "token_counts",
+    "doc_quality",
+    "corpus_stats_documents",
+    "zipf_slope_unigrams",
+    "bigram_lm_cross_entropy",
+    "doc_length_outliers",
+    "mixture_temperature_schedule",
+    "ngram_jaccard_topk",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]

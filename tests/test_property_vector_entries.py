@@ -31,6 +31,16 @@ ENTRIES = [
     "dedup_threshold_sweep",
     "kmeans_assign_step",
     "kmeans_two_iterations",
+    # wider embeddings family: fold/tie-break parity under planted
+    # duplicate vectors and tiny corpora
+    "knn_topk",
+    "knn_euclidean",
+    "dot_product_ranking",
+    "vector_stats_by_label",
+    "vector_centroids_by_label",
+    "embedding_quantize_int8",
+    "zscore_norms_by_label",
+    "explode_embedding_dims",
 ]
 
 
