@@ -142,7 +142,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_words::BIGINT AS n_words,
            ROUND(top_cnt::DOUBLE / n_words, 4) AS top_word_ratio,
            ROUND(n_distinct::DOUBLE / n_words, 4) AS distinct_ratio,
-           ROUND((len(bgs) - len(list_distinct(bgs)))::DOUBLE / len(bgs), 4) AS dup_2gram_ratio,
+           CASE WHEN len(bgs) = 0 THEN 0.0
+                ELSE ROUND((len(bgs) - len(list_distinct(bgs)))::DOUBLE / len(bgs), 4)
+           END AS dup_2gram_ratio,
            CASE WHEN top_cnt::DOUBLE / n_words <= 0.15
                  AND n_distinct::DOUBLE / n_words >= 0.5 THEN 1 ELSE 0 END::BIGINT AS keep
     FROM tw JOIN bg USING (doc_id)

@@ -24,6 +24,22 @@ ENTRIES = [
     "argmax_order_per_status",
     "grouping_sets_status_priority",
     "topk_offset_orders",
+    # wider orders family: grouping/window/sampling semantics under
+    # forced duplicate keys and tiny categories
+    "pivot_status_priority",
+    "agg_cube_status_priority",
+    "distinct_multi_agg_orders",
+    "window_rank_orders_per_customer",
+    "window_ntile_quartiles",
+    "window_percent_rank_prices",
+    "window_running_total",
+    "bitwise_aggs_orders",
+    "mad_totalprice_by_status",
+    "percentiles_by_status",
+    "rank_with_ties_topk",
+    "sample_deterministic_orders",
+    "date_funcs_orders",
+    "order_date_spine_counts",
 ]
 
 STATUSES = ["O", "F", "P"]

@@ -43,6 +43,20 @@ ENTRIES = [
     "doc_length_outliers",
     "mixture_temperature_schedule",
     "ngram_jaccard_topk",
+    "pii_redaction",
+    "repetition_filter",
+    "lang_id_stopwords",
+    "token_length_histogram",
+    "stopword_ratio_en",
+    "fingerprint_dup_groups",
+    "chunk_documents_tokens",
+    "chunk_dedup_summary",
+    "pack_sequences_512",
+    "oov_rate_top_vocab",
+    "tfidf_top_terms",
+    "dedup_retention_summary",
+    "inverted_index_postings",
+    "bm25_keyword_search",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
