@@ -1,0 +1,101 @@
+"""Property tests for lineitem-based entries on random line-item tables:
+quantity exactly at guard boundaries (25 for try_divide, discount bucket
+edges), duplicate keys, and single-row groups. Entry vs its own oracle,
+row-for-row, through the driver's parquet shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+ENTRIES = [
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "math_funcs_lineitem",
+    "collection_funcs_lineitem",
+    "unpivot_lineitem_measures",
+    "case_when_discount_buckets",
+    "parallel_moments_merge",
+    "try_funcs_dirty_data",
+]
+
+FLAGS = ["A", "N", "R"]
+STATUSES = ["O", "F"]
+
+lineitem_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),  # orderkey (dups expected)
+        st.integers(min_value=1, max_value=7),  # linenumber
+        st.integers(min_value=1, max_value=50),  # quantity (25 = try guard)
+        st.integers(min_value=100, max_value=900000),  # extendedprice cents
+        st.integers(min_value=0, max_value=10),  # discount %
+        st.integers(min_value=0, max_value=8),  # tax %
+        st.sampled_from(FLAGS),
+        st.sampled_from(STATUSES),
+        st.integers(min_value=0, max_value=900),  # shipdate day offset
+    ),
+    min_size=2,
+    max_size=80,
+)
+
+
+def _write_lineitem(rows, dirname: str) -> None:
+    base = pd.Timestamp("1995-01-01")
+    df = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[0] * 3 + 1 for r in rows],
+            "l_suppkey": [r[0] % 5 + 1 for r in rows],
+            "l_linenumber": [r[1] for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+            "l_extendedprice": [r[3] / 100.0 for r in rows],
+            "l_discount": [r[4] / 100.0 for r in rows],
+            "l_tax": [r[5] / 100.0 for r in rows],
+            "l_returnflag": [r[6] for r in rows],
+            "l_linestatus": [r[7] for r in rows],
+            "l_shipdate": [base + pd.Timedelta(days=r[8]) for r in rows],
+        }
+    )
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    df.to_parquet(os.path.join(dirname, "lineitem.parquet"), index=False)
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (tuple(r) if not isinstance(r, tuple) else r)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("entry", ENTRIES)
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=lineitem_strategy)
+def test_lineitem_entry_matches_its_oracle_on_random_rows(spark, entry, rows):
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem(rows, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+        )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want
