@@ -22,6 +22,30 @@ from ..schemas import load_table
 from ._registry import query, rnd_nz
 
 
+def _revenue_e4(price="l_extendedprice", disc="l_discount"):
+    """Revenue Σ price·(1−discount) in EXACT basis-point-cents (int64).
+
+    `ROUND(SUM(price·(1−disc)), 2)` is cross-engine-unstable: the true sum
+    of 4-decimal products can land exactly on a half-cent (x.xx5), where
+    Spark's shortest-repr HALF_UP and DuckDB's binary round split — and
+    each engine's float sum sits one ulp to either side of the tie anyway
+    (found by the random-DB property gate on q5). Per-element
+    floor-to-cents × (100−disc%) is exact int64; divide once at the end.
+    Headroom: cents(≤1e7)·100 ≈ 1e9/row ⇒ overflows int64 past ~9e9 rows
+    per group — at that scale widen to DECIMAL(38) or sum per-shard
+    (parallel_moments_merge pattern)."""
+    cents = F.floor(F.col(price) * 100.0 + 0.5).cast("long")
+    dpct = F.floor(F.col(disc) * 100.0 + 0.5).cast("long")
+    return F.sum(cents * (F.lit(100) - dpct)).cast("double") / 10000.0
+
+
+# the oracle twin of _revenue_e4 (CAST collapses DuckDB's HUGEINT SUM)
+_REVENUE_E4_SQL = (
+    "CAST(SUM(CAST(FLOOR({p} * 100.0 + 0.5) AS BIGINT)"
+    " * (100 - CAST(FLOOR({d} * 100.0 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0"
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -37,9 +61,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                                AS avg_qty,
-           ROUND(AVG(l_discount), 4)                                AS avg_disc,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)))
+                AS BIGINT) / 10000.0                                AS sum_disc_price,
+           FLOOR(SUM(l_quantity) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+                                                                    AS avg_qty,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100.0 * 10000.0 + 0.5) / 10000.0      AS avg_disc,
            COUNT(*)                                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -49,18 +77,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: partial (map-side) agg → 1 shuffle on 2 low-card
-    keys; scales linearly, shuffle volume = O(groups), not O(rows)."""
+    keys; scales linearly, shuffle volume = O(groups), not O(rows).
+
+    Decimal-tie discipline (the _revenue_e4 rationale): the disc-price sum
+    and the averages are computed over EXACT integer units (quantities are
+    integer-valued, discounts floor to whole percent) so both engines
+    divide identical numbers; the rounding is the floor convention. The
+    plain 2-decimal sums (qty, base price) are tie-free as-is: their true
+    values have no third decimal."""
     li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    disc_pct = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _revenue_e4().alias("sum_disc_price"),
+            (
+                F.floor(F.sum("l_quantity") / cnt * 10000.0 + F.lit(0.5)) / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(disc_pct).cast("double") / cnt / 100.0 * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -150,7 +195,9 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS order_date,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -170,7 +217,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_revenue_e4().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -180,7 +227,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -215,7 +264,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_revenue_e4().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -757,7 +806,9 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_revenue_forecast",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -767,8 +818,12 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: multi-predicate scan → scalar agg; every filter
-    pushes to the parquet scan (zero shuffle beyond the final reduce)."""
+    pushes to the parquet scan (zero shuffle beyond the final reduce).
+    The price×discount sum runs in exact cents×percent units (the
+    _revenue_e4 decimal-tie rationale)."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    dpct = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -776,7 +831,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg((F.sum(cents * dpct).cast("double") / 10000.0).alias("revenue"))
     )
 
 
@@ -1136,7 +1191,9 @@ _SQL_SURFACE_Q = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                         * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)))
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-07-01'
     GROUP BY l_returnflag, l_linestatus
@@ -1292,7 +1349,9 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -1332,9 +1391,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _revenue_e4().alias("revenue"),
         )
     )
 

@@ -146,7 +146,17 @@ def test_sql_surface_matches_dataframe_api(spark):
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                # exact-cents revenue (the _revenue_e4 decimal-tie form)
+                (
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+                        * (
+                            F.lit(100)
+                            - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+                        )
+                    ).cast("double")
+                    / 10000.0
+                ).alias("sum_disc_price"),
             )
         ).collect()
     }

@@ -1,0 +1,221 @@
+"""Property tests for the multi-table (join) entries on random databases:
+customers WITHOUT orders (the anti-join's non-trivial branch — on the
+shipped corpora it returns 0 rows and passes vacuously), orders without
+line items, dangling foreign keys, empty join results, duplicate amounts.
+Entry vs its own oracle, row-for-row, through the driver's parquet shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+ENTRIES = [
+    "join_anti_customers_no_orders",
+    "join_semi_customers_with_orders",
+    "join_outer_order_counts",
+    "full_outer_join_counts",
+    "cross_join_region_nation",
+    "having_populous_nations",
+    "scalar_subquery_above_avg",
+    "exists_correlated_bigqty",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q12_priority_by_year",
+    "q14_economy_revenue_share",
+    "set_union_keys",
+    "set_intersect_nations",
+    "set_except_keys",
+]
+
+REGIONS = ["AMERICA", "ASIA", "EUROPE"]
+NATIONS = ["BRAZIL", "CANADA", "CHINA", "FRANCE", "GERMANY", "JAPAN"]
+SEGMENTS = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY ANODIZED STEEL", "STANDARD BURNISHED TIN", "PROMO PLATED COPPER"]
+
+
+@st.composite
+def tpch_db(draw):
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    n_cust = draw(st.integers(min_value=3, max_value=15))
+    n_orders = draw(st.integers(min_value=0, max_value=40))
+    lines_per_order = draw(st.integers(min_value=0, max_value=4))
+    return seed, n_cust, n_orders, lines_per_order
+
+
+def _write_db(seed, n_cust, n_orders, lines_per_order, d: str):
+    rng = np.random.default_rng(seed)
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(len(REGIONS), dtype=np.int32), "r_name": REGIONS}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(len(NATIONS), dtype=np.int32),
+            "n_name": NATIONS,
+            "n_regionkey": (np.arange(len(NATIONS)) % len(REGIONS)).astype(np.int32),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, n_cust + 1),
+            "c_name": [f"Customer#{i}" for i in range(1, n_cust + 1)],
+            "c_nationkey": rng.integers(0, len(NATIONS), n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+            "c_mktsegment": rng.choice(SEGMENTS, n_cust),
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, 6),
+            "s_name": [f"Supplier#{i}" for i in range(1, 6)],
+            "s_nationkey": rng.integers(0, len(NATIONS), 5).astype(np.int32),
+            "s_acctbal": np.round(rng.uniform(0, 9999, 5), 2),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, 9),
+            "p_name": [f"part {i}" for i in range(1, 9)],
+            "p_brand": [f"Brand#{i % 3 + 1}" for i in range(1, 9)],
+            "p_type": rng.choice(PTYPES, 8),
+            "p_size": rng.integers(1, 50, 8).astype(np.int32),
+            "p_retailprice": np.round(rng.uniform(100, 2000, 8), 2),
+        }
+    )
+    base = pd.Timestamp("1995-01-01")
+    # orders reference a SUBSET of customers so some customers stay bare
+    # (non-vacuous anti-join); a dangling custkey exercises outer joins
+    custkeys = rng.integers(1, n_cust + 2, n_orders) if n_orders else np.array([], dtype=np.int64)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1),
+            "o_custkey": custkeys,
+            "o_orderstatus": rng.choice(["O", "F", "P"], n_orders),
+            "o_totalprice": np.round(rng.uniform(900, 300000, n_orders), 2),
+            "o_orderdate": [
+                base + pd.Timedelta(days=int(x))
+                for x in rng.integers(0, 1400, n_orders)
+            ],
+            "o_orderpriority": rng.choice(PRIORITIES, n_orders),
+        }
+    )
+    n_li = n_orders * lines_per_order
+    li_orderkeys = (
+        np.repeat(np.arange(1, n_orders + 1), lines_per_order)
+        if n_li
+        else np.array([], dtype=np.int64)
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": li_orderkeys,
+            "l_partkey": rng.integers(1, 9, n_li),
+            "l_suppkey": rng.integers(1, 6, n_li),
+            "l_linenumber": np.tile(np.arange(1, lines_per_order + 1), n_orders)
+            if n_li
+            else np.array([], dtype=np.int32),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(100, 90000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+            "l_linestatus": rng.choice(["O", "F"], n_li),
+            "l_shipdate": [
+                base + pd.Timedelta(days=int(x))
+                for x in rng.integers(0, 1500, n_li)
+            ],
+        }
+    )
+    # EMPTY tables are a deliberate test case, but empty pandas columns
+    # degrade to float64/null dtypes — enforce the driver schemas exactly
+    dtypes = {
+        "orders": {
+            "o_orderkey": "int64",
+            "o_custkey": "int64",
+            "o_orderstatus": "string",
+            "o_totalprice": "float64",
+            "o_orderdate": "datetime64[us]",
+            "o_orderpriority": "string",
+        },
+        "lineitem": {
+            "l_orderkey": "int64",
+            "l_partkey": "int64",
+            "l_suppkey": "int64",
+            "l_linenumber": "int32",
+            "l_quantity": "float64",
+            "l_extendedprice": "float64",
+            "l_discount": "float64",
+            "l_tax": "float64",
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+            "l_shipdate": "datetime64[us]",
+        },
+    }
+    for name, df in [
+        ("region", region),
+        ("nation", nation),
+        ("customer", customer),
+        ("supplier", supplier),
+        ("part", part),
+        ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        for c, dt in dtypes.get(name, {}).items():
+            if dt.startswith("datetime"):
+                df[c] = pd.to_datetime(df[c]).astype(dt)
+            else:
+                df[c] = df[c].astype(dt)
+        for c in df.columns:
+            if df[c].dtype == "datetime64[ns]":
+                df[c] = df[c].astype("datetime64[us]")
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (tuple(r) if not isinstance(r, tuple) else r)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("entry", ENTRIES)
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(params=tpch_db())
+def test_join_entry_matches_its_oracle_on_random_db(spark, entry, params):
+    with tempfile.TemporaryDirectory() as d:
+        _write_db(*params, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        for t in [
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want

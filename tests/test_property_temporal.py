@@ -44,6 +44,7 @@ ENTRIES = [
     "rolling_1h_user_stats",
     "json_extract_events",
     "map_funcs_events",
+    "user_retention_cohorts",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
