@@ -35,6 +35,11 @@ ENTRIES = [
     "set_union_keys",
     "set_intersect_nations",
     "set_except_keys",
+    "q4_priority_with_late_items",
+    "min_cost_supplier_per_nation",
+    "fuzzy_match_levenshtein",
+    "string_funcs_part",
+    "null_safe_join_counts",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]
