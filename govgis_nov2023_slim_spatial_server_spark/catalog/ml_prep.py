@@ -939,3 +939,214 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (snapshot-merge) dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup_merge",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents
+      WHERE doc_id <= 250),
+    batch AS (
+      SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents
+      WHERE doc_id > 250),
+    fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = b.fp)),
+    kept AS (
+      SELECT doc_id, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM fresh)
+                AS BIGINT) AS n_dropped_vs_base,
+           CAST((SELECT COUNT(*) FROM fresh)
+                - (SELECT COUNT(*) FROM kept WHERE rn = 1) AS BIGINT)
+             AS n_dropped_in_batch,
+           CAST((SELECT COUNT(*) FROM kept WHERE rn = 1) AS BIGINT) AS n_admitted
+    """,
+)
+def incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape batch dedup entries don't
+    cover: a new ingest batch is admitted against an EXISTING corpus
+    snapshot (anti-join on content fingerprint), then deduped within
+    itself (keep-first). A real pipeline runs this on every drop; only the
+    batch is new work, the corpus side is a pre-built fingerprint index.
+
+    Scale shape: the corpus fingerprint set joins as a Bloom-prefilterable
+    anti-join on an 16-byte key (never rescans corpus text); within-batch
+    dedup windows on the fingerprint. The corpus/batch split here is a
+    deterministic id cut so the oracle can replay it; the admitted/dropped
+    scorecard is what the ingest job logs."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.lower(F.col("text"))))
+    base = d.where(F.col("doc_id") <= 250).select(fp.alias("fp"))
+    batch = d.where(F.col("doc_id") > 250).select("doc_id", fp.alias("fp"))
+    n_batch = batch.count()
+    fresh = batch.join(base, "fp", "left_anti")
+    n_fresh = fresh.count()
+    admitted = fresh.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")
+        ),
+    ).where(F.col("rn") == 1)
+    n_admitted = admitted.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_batch,
+                n_batch - n_fresh,
+                n_fresh - n_admitted,
+                n_admitted,
+            )
+        ],
+        "n_batch long, n_dropped_vs_base long, n_dropped_in_batch long, n_admitted long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private release (deterministic Laplace for the oracle)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_type_counts",
+    """
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, true_n,
+             (CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(event_type, ''),
+                                 ch -> CAST(ascii(ch) AS BIGINT))),
+                (x, y) -> (x * 257 + y) % 18014398509481951) % 1000003 AS DOUBLE)
+              / 1000003.0) - 0.5 AS uu
+      FROM c)
+    SELECT event_type, true_n,
+           CAST(true_n + FLOOR(
+             -1.0 * (CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * abs(uu)) + 0.5) AS BIGINT) AS noisy_n
+    FROM u
+    """,
+)
+def dp_noisy_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε=1 Laplace mechanism): the
+    aggregate-with-calibrated-noise shape a privacy-preserving stats
+    endpoint uses. Production draws the noise from a CSPRNG; HERE the
+    draw is a deterministic inverse-CDF transform of a hash-uniform so
+    the DuckDB oracle can replay it bit-for-bit (the same seeded-fake
+    seam as the multimodal decoder: the MECHANISM — sensitivity-1 count,
+    Laplace inverse CDF, post-processing floor — is real, the entropy
+    source is swapped). Laplace⁻¹(u) = −b·sgn(u)·ln(1−2|u|) with b=1/ε=1.
+
+    The uniform comes from the polynomial rolling hash of the group key
+    (the MinHash oracle's base-hash trick — identical exact-integer
+    arithmetic on both engines; engine-private hash() functions would
+    diverge), reduced mod a prime and shifted to (−0.5, 0.5)."""
+    from ..functions.hashes import _POLY_BASE, _POLY_MOD
+
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    codes = F.transform(
+        F.split(F.col("event_type"), ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    poly = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_POLY_BASE) + x) % F.lit(_POLY_MOD),
+    )
+    uu = (poly % 1000003).cast("double") / 1000003.0 - 0.5
+    lap = (
+        F.lit(-1.0)
+        * F.when(uu >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(uu))
+    )
+    return c.select(
+        "event_type",
+        "true_n",
+        (F.col("true_n") + F.floor(lap + F.lit(0.5))).cast("long").alias("noisy_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion A/B significance test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_two_proportions",
+    """
+    WITH g AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 97 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS conv,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+             MAX(CASE WHEN grp = 'B' THEN conv END) AS cb,
+             MAX(CASE WHEN grp = 'B' THEN n END) AS nb
+      FROM g)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(((ca / na) - (cb / nb))
+                 / sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                        * ((1.0 / na) + (1.0 / nb))), 4) + 0.0 AS z_score,
+           CAST(CASE WHEN abs(((ca / na) - (cb / nb))
+                 / sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                        * ((1.0 / na) + (1.0 / nb)))) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM w
+    """,
+)
+def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms (the
+    A/B-test readout; pooled-variance form): z = (p̂_A − p̂_B) / √(p̂(1−p̂)
+    (1/n_A + 1/n_B)). On arms drawn from the same population the test
+    correctly fails to reject — the null calibration check. Arm
+    assignment is the portable multiplicative scramble (engine-identical);
+    the statistic is written with one parenthesization on both engines.
+    One map-combined aggregate, a 2-row pivot, constant state."""
+    e = _t(spark, sf_dir, "events")
+    g = (
+        e.select(
+            F.when((F.col("user_id") * 2654435761) % 97 % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("grp"),
+            F.col("event_type"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("double")
+            .alias("conv"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "B", F.col("conv"))).alias("cb"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+    )
+    ca, na, cb, nb = F.col("ca"), F.col("na"), F.col("cb"), F.col("nb")
+    pooled = (ca + cb) / (na + nb)
+    z = ((ca / na) - (cb / nb)) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * ((F.lit(1.0) / na) + (F.lit(1.0) / nb))
+    )
+    return w.select(
+        na.cast("long").alias("n_a"),
+        ca.cast("long").alias("conv_a"),
+        nb.cast("long").alias("n_b"),
+        cb.cast("long").alias("conv_b"),
+        rnd_nz(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.96, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("significant"),
+    )

@@ -612,3 +612,39 @@ def test_psi_near_zero_on_identical_distribution(spark, sf_dir):
     assert 0.0 <= psi < 0.05
     for r in rows:
         assert abs(r["p_ref"] - r["p_cur"]) < 0.1
+
+
+# -- incremental_dedup_merge -----------------------------------------------
+
+
+def test_incremental_dedup_accounting_balances(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "incremental_dedup_merge").collect()
+    assert r["n_batch"] == (
+        r["n_dropped_vs_base"] + r["n_dropped_in_batch"] + r["n_admitted"]
+    )
+    assert r["n_admitted"] >= 0
+
+
+# -- dp_noisy_type_counts --------------------------------------------------
+
+
+def test_dp_noise_is_bounded_and_deterministic(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dp_noisy_type_counts").collect()
+    again = _run(spark, sf_dir, "dp_noisy_type_counts").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        # ε=1 Laplace: |noise| > 15 has probability e^-15 — the fake
+        # uniform can't produce it either (bounded away from the tails)
+        assert abs(r["noisy_n"] - r["true_n"]) <= 15
+
+
+# -- ab_test_two_proportions -----------------------------------------------
+
+
+def test_ab_test_null_is_calibrated(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "ab_test_two_proportions").collect()
+    # arms drawn from one population: must not reject at 95% (and the
+    # z-score must be consistent with its own flag)
+    assert r["significant"] == (1 if abs(r["z_score"]) > 1.96 else 0)
+    assert abs(r["z_score"]) < 3.5  # sanity: not wildly out
+    assert r["n_a"] > 0 and r["n_b"] > 0
