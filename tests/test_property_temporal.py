@@ -45,6 +45,8 @@ ENTRIES = [
     "json_extract_events",
     "map_funcs_events",
     "user_retention_cohorts",
+    "dp_noisy_type_counts",
+    "ab_test_two_proportions",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

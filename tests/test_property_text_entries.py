@@ -57,6 +57,7 @@ ENTRIES = [
     "dedup_retention_summary",
     "inverted_index_postings",
     "bm25_keyword_search",
+    "incremental_dedup_merge",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
