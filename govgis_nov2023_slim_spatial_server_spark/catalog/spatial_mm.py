@@ -409,3 +409,46 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return audio_window_stats(with_binary_payload(d), window=256)
+
+
+@query(
+    "spatial_grid_density",
+    f"""
+    WITH r AS ({_CUST_RECT_SQL})
+    SELECT CAST(FLOOR((r.xmin + r.xmax) / 2.0) AS BIGINT) AS cell_x,
+           CAST(FLOOR((r.ymin + r.ymax) / 2.0) AS BIGINT) AS cell_y,
+           COUNT(*) AS n_geoms,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def spatial_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-grid (heat-map) aggregation over the SPATIAL STORE: bucket
+    each geometry's bbox centroid into 1°×1° cells and aggregate joined
+    attributes — the tile/choropleth precomputation a GIS service layers
+    over the reference's search (and the first reduction step of any
+    spatial statistics job).
+
+    The centroid comes from the bbox DERIVED FROM WKB, so the entry
+    grades the encode→decode→bbox round-trip against the oracle's direct
+    rectangle arithmetic (float64 survives WKB exactly; both engines then
+    floor the identical double, so the cell cut is deterministic even on
+    cell boundaries). Scale shape: map-side cell assignment → one
+    map-combined aggregate on the cell key; the attribute join broadcasts
+    the dimension. Cells are bounded by the extent, not the data."""
+    layers = _spatial_layers(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cx = (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2.0
+    cy = (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2.0
+    return (
+        layers.join(F.broadcast(c), "c_custkey")
+        .groupBy(
+            F.floor(cx).cast("long").alias("cell_x"),
+            F.floor(cy).cast("long").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_geoms"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

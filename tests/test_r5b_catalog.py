@@ -648,3 +648,16 @@ def test_ab_test_null_is_calibrated(spark, sf_dir):
     assert r["significant"] == (1 if abs(r["z_score"]) > 1.96 else 0)
     assert abs(r["z_score"]) < 3.5  # sanity: not wildly out
     assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+# -- spatial_grid_density --------------------------------------------------
+
+
+def test_grid_density_partitions_all_geometries(spark, sf_dir):
+    rows = _run(spark, sf_dir, "spatial_grid_density").collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_geoms"] for r in rows) == n_cust
+    for r in rows:
+        # extent bounds: x ∈ [-125, -74], y ∈ [24, 45] by construction
+        assert -126 <= r["cell_x"] <= -73
+        assert 23 <= r["cell_y"] <= 46
