@@ -53,6 +53,13 @@ NOTES = {
     "udaf_cents_total_by_type": "ArrowAggregatePython: raw rows shuffle to the Python worker (NO map-side combine) — the plan-visible cost that keeps hot-path aggregation built-in.",
     "user_event_sequences": "one Exchange on user_id; ordered string_agg is array_sort over collected structs inside the same aggregate.",
     "recursive_cte_chain_totals": "UnionLoop iterates the frontier join; every event enters at most one frontier so rows stay linear in depth.",
+    "markov_transition_matrix": "one LEAD window on the user_id Exchange; the |types|² count table gets row totals broadcast back — no second scan of events.",
+    "target_encoding_smoothed": "exact-cents sums in one map-combined HashAggregate; the prior is a 1-row BroadcastExchange onto the category table.",
+    "psi_split_drift": "split+bucket assignment is scan-side projection; two tiny aggregates meet in a broadcast join — the raw table shuffles once.",
+    "incremental_dedup_merge": "corpus side reduces to a fingerprint column before the LeftAnti join — batch admission never rescans corpus text.",
+    "spatial_grid_density": "cell assignment is a map-side floor over the store's bbox struct; attributes broadcast; one cell-key HashAggregate.",
+    "q1_pricing_summary": "shipdate filter pushed to scan; exact-integer cents/percent units inside the two-level HashAggregate (decimal-tie-free).",
+    "try_funcs_dirty_data": "try_divide/try_cast stay inside WholeStageCodegen — NULL-on-error costs nothing over the plain operators.",
 }
 
 
