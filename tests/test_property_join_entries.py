@@ -40,6 +40,11 @@ ENTRIES = [
     "fuzzy_match_levenshtein",
     "string_funcs_part",
     "null_safe_join_counts",
+    "html_to_markdown",
+    "spatial_point_filter",
+    "spatial_join_overlap",
+    "spatial_join_blocked",
+    "spatial_grid_density",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

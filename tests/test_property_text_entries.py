@@ -58,6 +58,16 @@ ENTRIES = [
     "inverted_index_postings",
     "bm25_keyword_search",
     "incremental_dedup_merge",
+    "decontaminate_benchmark",
+    "char_ngram_counts",
+    "multimodal_byte_stats",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_windows",
+    "simhash_poly_signature",
+    "minhash_neardup_oracle",
+    "quality_curriculum_buckets",
+    "weighted_sample_by_quality",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]

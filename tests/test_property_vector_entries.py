@@ -41,6 +41,14 @@ ENTRIES = [
     "embedding_quantize_int8",
     "zscore_norms_by_label",
     "explode_embedding_dims",
+    "knn_lsh_oracle",
+    "knn_ivf_oracle",
+    "similarity_join_lsh_oracle",
+    "similarity_join_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "knn_int8_rerank",
+    "stratified_sample_embeddings",
 ]
 
 
