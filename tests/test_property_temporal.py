@@ -109,3 +109,38 @@ def test_entry_matches_its_oracle_on_random_events(spark, entry, rows):
         want = _normalize(con.execute(ORACLES[entry]).fetchall())
         con.close()
         assert got == want
+
+
+STREAM_ENTRIES = [
+    "stream_tumbling_event_counts",
+    "stream_sliding_event_counts",
+    "stream_session_user_totals",
+    "stream_dedup_user_type",
+    "stream_interval_join_pairs",
+    "stream_topk_types_per_window",
+    "stream_stateful_running_totals",
+]
+
+
+@pytest.mark.parametrize("entry", STREAM_ENTRIES)
+@settings(
+    max_examples=3, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=events_strategy)
+def test_streaming_entry_matches_its_oracle_on_random_events(spark, entry, rows):
+    """REAL availableNow streaming executions against the batch oracle on
+    random streams — timestamp ties, single-event sessions, empty types.
+    This is the watermark/session/interval semantics check the fixed
+    corpus can't vary."""
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(rows, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES[entry](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = _normalize(con.execute(ORACLES[entry]).fetchall())
+        con.close()
+        assert got == want
