@@ -261,8 +261,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_benchmark",
     """
     WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i-7:i], ' ') AS g
-           FROM t, (SELECT unnest(range(8, 2001)) AS i) ix WHERE i <= len(w)),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, CASE WHEN len(w) >= 8 THEN len(w) - 7 ELSE 1 END + 1),
+             i -> array_to_string(w[i:i+7], ' ')))) AS g
+           FROM t),
     bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0)
     SELECT s.doc_id, COUNT(*)::BIGINT AS n_shared_shingles
     FROM sh s JOIN bench USING (g)
@@ -274,7 +276,11 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs (doc_id % 7 != 0) sharing any
     lowercased 8-word shingle with the benchmark subset (doc_id % 7 == 0) —
     near-duplicate documents straddling the boundary are exactly what this
-    catches. Benchmark shingle set broadcasts; corpus side is map-only
+    catches. Docs shorter than 8 words contribute their FULL text as the
+    single shingle (word_shingles' documented rule — an exact short-doc
+    duplicate of a benchmark doc IS contamination; the oracle's CASE
+    mirrors it, found by the random-corpus gate on 1-word docs).
+    Benchmark shingle set broadcasts; corpus side is map-only
     explode + broadcast semi-join + one agg (operators/decontaminate)."""
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 7 == 0)

@@ -47,6 +47,15 @@ ENTRIES = [
     "user_retention_cohorts",
     "dp_noisy_type_counts",
     "ab_test_two_proportions",
+    # ml_eval wave: rank-statistic AUC (midrank ties ⇒ value collisions are
+    # the adversarial case), NTILE calibration, rank-trimmed means,
+    # integer-count entropy, basket lift, gaps-and-islands
+    "roc_auc_purchase_vs_view",
+    "calibration_bins_decile",
+    "trimmed_stats_by_type",
+    "user_behavior_entropy",
+    "assoc_rules_event_pairs",
+    "activity_islands_daily",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

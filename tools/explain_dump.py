@@ -60,6 +60,10 @@ NOTES = {
     "spatial_grid_density": "cell assignment is a map-side floor over the store's bbox struct; attributes broadcast; one cell-key HashAggregate.",
     "q1_pricing_summary": "shipdate filter pushed to scan; exact-integer cents/percent units inside the two-level HashAggregate (decimal-tie-free).",
     "try_funcs_dirty_data": "try_divide/try_cast stay inside WholeStageCodegen — NULL-on-error costs nothing over the plain operators.",
+    "roc_auc_purchase_vs_view": "Mann-Whitney over the AGGREGATED score domain: HashAggregate to per-distinct-cents counts first, so the cumulative Window sorts the bounded value domain, never N rows.",
+    "assoc_rules_event_pairs": "basket self-join co-partitioned on user_id (one Exchange, reused both sides); type totals and the user count are 5-row/1-row BroadcastExchanges.",
+    "activity_islands_daily": "single user_id Exchange serves both the row_number Window and the island groupBy — the day-number-minus-rank trick needs no self-join.",
+    "trimmed_stats_by_type": "rank trim is a PARTITIONED window (per-type sort, horizontal scale); kept rows feed one map-combined cents aggregate.",
 }
 
 
