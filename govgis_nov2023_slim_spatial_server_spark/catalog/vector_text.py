@@ -36,6 +36,7 @@ from ..operators.knn import (
     query_buckets,
     similarity_join,
 )
+from ..operators.windows import floor_round
 from ..schemas import load_table
 from ._registry import QUALITY_EXPR_SQL, fmt_vec_sql, query, rnd_nz
 
@@ -213,6 +214,93 @@ def similarity_join_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=6, n_probes=2, seed=42, dim=64,
     )
     return out.select("probe_id", "vec_id", rnd_nz("dist", 4).alias("dist"))
+
+
+def _ann_recall_oracle_sql() -> str:
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{fmt_vec_sql(list(_LSH_PLANES[i]))}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_LSH_PLANES))
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT vec_id AS probe_id, emb AS pemb, pnrm,
+             unnest([bucket, xor(bucket, 1)]) AS bucket
+      FROM (SELECT vec_id, emb, nrm AS pnrm, bucket FROM b WHERE vec_id < 5)),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, b.vec_id,
+               1 - list_dot_product(p.pemb, b.emb) / (p.pnrm * b.nrm) AS d
+        FROM p JOIN b USING (bucket))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 10),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT pp.vec_id AS probe_id, b.vec_id,
+               1 - list_dot_product(pp.emb, b.emb) / (pp.nrm * b.nrm) AS d
+        FROM (SELECT * FROM b WHERE vec_id < 5) pp, b)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 10)
+    SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           FLOOR(COUNT(a.vec_id) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS recall
+    FROM exact e LEFT JOIN approx a USING (probe_id, vec_id)
+    GROUP BY e.probe_id ORDER BY probe_id
+    """
+
+
+@query("ann_recall_at_10", _ann_recall_oracle_sql())
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH ANN path against brute-force ground
+    truth, per probe — the quality axis of the approximate-search
+    trade-off, measured INSIDE the gate rather than asserted in a test.
+    Composes the two already-hash-verified mechanisms (the exact
+    broadcast similarity join and the LSH bucket-meet join, both with
+    bit-identical fold distances and (dist, vec_id) tie-breaks), so the
+    k-boundary membership of BOTH top-10 sets is deterministic; recall
+    is then pure integer counting (hits/n_exact, floor-rounded).
+
+    Scale shape: ground truth is only ever computed for the evaluation
+    probe sample (here 5; thousands at 100 TB) — the exact side
+    broadcasts probes and never shuffles the corpus, the approx side
+    prunes to probed buckets; the recall join carries ≤ probes·k rows.
+    This is the recurring recall audit a production ANN index runs after
+    each re-bucketing. Honest reading of the number: the synthetic
+    embeddings are ISOTROPIC (near-uniform pairwise angles), the hardest
+    case for angle-based LSH — measured recall ≈ 0.2 with 2/64 buckets
+    probed (~6× the 0.03 random-scan baseline; tests assert the margin).
+    Clustered real embeddings land far higher at the same probe budget."""
+    from ..operators.knn import similarity_join, similarity_join_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    approx = similarity_join_lsh(
+        probes, e, k=10, probe_id="probe_id", probe_emb="probe_emb",
+        corpus_id="vec_id", corpus_emb="embedding",
+        n_planes=6, n_probes=2, seed=42, dim=64,
+    ).select("probe_id", "vec_id", F.lit(1).alias("__hit"))
+    exact = similarity_join(
+        probes, e, k=10, probe_id="probe_id", probe_emb="probe_emb",
+        corpus_id="vec_id", corpus_emb="embedding",
+    ).select("probe_id", "vec_id")
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+            floor_round(
+                F.count("__hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
 
 
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests

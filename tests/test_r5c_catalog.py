@@ -139,3 +139,24 @@ def test_islands_partition_active_days(spark, sf_dir):
         islands.sort(key=lambda r: r["island_start"])
         for a, b in zip(islands, islands[1:]):
             assert (b["island_start"] - a["island_end"]).days >= 2
+
+
+# -- ann_recall_at_10 ------------------------------------------------------
+
+
+def test_ann_recall_beats_random_bucket_baseline(spark, sf_dir):
+    # 2 of 64 buckets probed ⇒ a bucket-blind scan would land ~0.03 of the
+    # true top-10; sign-LSH must clear that with margin even on isotropic
+    # vectors (the adversarial case for angle hashing)
+    rows = QUERIES["ann_recall_at_10"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= 10
+        assert r["recall"] >= 0.05
+
+
+def test_ann_recall_exact_side_broadcasts_probes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_recall_at_10")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -64,6 +64,7 @@ NOTES = {
     "assoc_rules_event_pairs": "basket self-join co-partitioned on user_id (one Exchange, reused both sides); type totals and the user count are 5-row/1-row BroadcastExchanges.",
     "activity_islands_daily": "single user_id Exchange serves both the row_number Window and the island groupBy — the day-number-minus-rank trick needs no self-join.",
     "trimmed_stats_by_type": "rank trim is a PARTITIONED window (per-type sort, horizontal scale); kept rows feed one map-combined cents aggregate.",
+    "ann_recall_at_10": "ground truth computed ONLY for the probe sample (probes broadcast, corpus never shuffled); LSH side joins on bucket; the recall join carries ≤ probes·k rows.",
 }
 
 
