@@ -303,6 +303,110 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle_sql() -> str:
+    return """
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM b WHERE vec_id BETWEEN 1 AND 8),
+    a AS (
+      SELECT b.vec_id, b.emb, b.nrm, c.cid
+      FROM b CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+          ORDER BY list_distance(b.emb, c.cemb), c.cid) = 1),
+    p AS (SELECT vec_id AS probe_id, emb AS pemb, nrm AS pnrm FROM b WHERE vec_id < 5),
+    cells AS (
+      SELECT p.probe_id, c.cid
+      FROM p CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+          ORDER BY list_distance(c.cemb, p.pemb), c.cid) <= 2),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT cells.probe_id, a.vec_id,
+               1 - list_dot_product(a.emb, p.pemb) / (a.nrm * p.pnrm) AS d
+        FROM cells JOIN a USING (cid) JOIN p USING (probe_id))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 10),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, b.vec_id,
+               1 - list_dot_product(b.emb, p.pemb) / (b.nrm * p.pnrm) AS d
+        FROM p CROSS JOIN b)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 10)
+    SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+           FLOOR(COUNT(ap.vec_id) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS recall
+    FROM exact e LEFT JOIN approx ap USING (probe_id, vec_id)
+    GROUP BY e.probe_id ORDER BY probe_id
+    """
+
+
+@query("ivf_recall_at_10", _ivf_recall_oracle_sql())
+def ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe-and-rank path against brute-force
+    ground truth, per probe — the IVF twin of ann_recall_at_10, closing
+    the quality audit over BOTH approximate-search mechanisms. Runs the
+    real operators (assign_clusters' BLAS argmin, ivf_search's
+    2-nearest-cell prune + exact in-cell top-10) with data-derived
+    centroids (vec_id 1..8, the bounded k-row collect), so the oracle
+    replays the identical pipeline: assign → rank cells per probe →
+    exact top-10 inside the probed cells → ID-set intersection with the
+    global top-10.
+
+    Scale shape: at 100 TB the assignment is written ONCE partitioned by
+    cluster (write_ivf) and each probe's candidate scan is directory
+    pruning; here the per-probe searches re-derive it (5 bounded probes),
+    which is the documented test-scale shortcut. Ground truth cost is
+    probe-sample-bounded exactly as in ann_recall_at_10."""
+    import numpy as np
+    from functools import reduce
+
+    from ..operators.ivf import assign_clusters, ivf_search
+    from ..operators.knn import similarity_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents_rows = sorted(
+        e.where(F.col("vec_id").between(1, 8)).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in cents_rows], dtype=np.float64
+    )
+    probe_rows = sorted(
+        e.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assigned = assign_clusters(e, cents)
+    approx = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            ivf_search(assigned, cents, [float(v) for v in r["embedding"]], k=10, n_probe=2)
+            .select(F.lit(r["vec_id"]).cast("long").alias("probe_id"), "vec_id")
+            for r in probe_rows
+        ],
+    ).withColumn("__hit", F.lit(1))
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    exact = similarity_join(
+        probes, e, k=10, probe_id="probe_id", probe_emb="probe_emb",
+        corpus_id="vec_id", corpus_emb="embedding",
+    ).select("probe_id", "vec_id")
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+            floor_round(
+                F.count("__hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN via IVF cluster probing (sampled k-means + partition-prunable inverted file)."""

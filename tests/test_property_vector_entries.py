@@ -45,9 +45,10 @@ ENTRIES = [
     "knn_ivf_oracle",
     "similarity_join_lsh_oracle",
     "similarity_join_topk",
-    # recall audit composes the exact + LSH mechanisms; small corpora force
-    # the k-boundary (n_exact < 10) and planted dups force distance ties
+    # recall audits compose the exact + LSH/IVF mechanisms; small corpora
+    # force the k-boundary (n_exact < 10), planted dups force distance ties
     "ann_recall_at_10",
+    "ivf_recall_at_10",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "knn_int8_rerank",

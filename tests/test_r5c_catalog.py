@@ -160,3 +160,15 @@ def test_ann_recall_exact_side_broadcasts_probes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_recall_at_10")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_bounds_and_probe_coverage(spark, sf_dir):
+    # 2 of 8 cells probed; on isotropic vectors cell membership is near-
+    # uniform so expected coverage ~0.25 of the true top-10 — assert the
+    # audit reports sane bounds and all probes
+    rows = QUERIES["ivf_recall_at_10"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= 10
+        assert abs(r["recall"] - r["n_hit"] / r["n_exact"]) < 1e-9

@@ -65,6 +65,7 @@ NOTES = {
     "activity_islands_daily": "single user_id Exchange serves both the row_number Window and the island groupBy — the day-number-minus-rank trick needs no self-join.",
     "trimmed_stats_by_type": "rank trim is a PARTITIONED window (per-type sort, horizontal scale); kept rows feed one map-combined cents aggregate.",
     "ann_recall_at_10": "ground truth computed ONLY for the probe sample (probes broadcast, corpus never shuffled); LSH side joins on bucket; the recall join carries ≤ probes·k rows.",
+    "ivf_recall_at_10": "per-probe searches filter on the broadcast-argmin cluster id (directory pruning at scale via write_ivf); exact side broadcasts probes; recall join ≤ probes·k rows.",
 }
 
 
