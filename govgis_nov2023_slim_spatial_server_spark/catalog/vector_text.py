@@ -407,6 +407,127 @@ def ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retrieval_ndcg_labels",
+    """
+    WITH b AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS p_label, emb AS pemb, nrm AS pnrm
+          FROM b WHERE vec_id < 5),
+    top AS (
+      SELECT probe_id, p_label, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) AS rn
+      FROM (
+        SELECT p.probe_id, p.p_label, b.vec_id, b.label,
+               1 - list_dot_product(b.emb, p.pemb) / (b.nrm * p.pnrm) AS d
+        FROM p CROSS JOIN b WHERE b.vec_id <> p.probe_id)
+      QUALIFY rn <= 10),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY label),
+    agg AS (
+      SELECT t.probe_id, MAX(t.p_label) AS p_label,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN t.label = t.p_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             SUM(CASE WHEN t.label = t.p_label THEN 1.0 / log2(rn + 1.0)
+                 ELSE 0.0 END) AS dcg_raw
+      FROM top t GROUP BY t.probe_id),
+    j AS (
+      SELECT agg.*, GREATEST(LEAST(c.c - 1, n_exact), 0) AS ideal_k
+      FROM agg JOIN cnt c ON c.label = agg.p_label)
+    SELECT probe_id, n_exact, n_rel,
+           FLOOR(n_rel / CAST(n_exact AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS precision_at_k,
+           ROUND(dcg_raw, 4) + 0.0 AS dcg,
+           CASE WHEN ideal_k > 0 THEN
+             ROUND(dcg_raw / list_reduce(
+               list_concat([0.0], list_transform(range(1, ideal_k + 1),
+                                                 i -> 1.0 / log2(i + 1.0))),
+               (a, x) -> a + x), 4) + 0.0
+           ELSE NULL END AS ndcg
+    FROM j ORDER BY probe_id
+    """,
+)
+def retrieval_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for exact retrieval with label-match
+    relevance: precision@10, DCG@10 and NDCG@10 per probe (self excluded
+    from candidates, the standard eval protocol) — the third leg of the
+    search-quality stool next to the two ANN recall audits.
+
+    Determinism notes: the top-10 set is the proven (dist, vec_id)
+    tie-broken selection; precision is an int ratio (floor-rounded); DCG
+    terms are libm log2 (→ round 4, the entropy convention); the IDEAL
+    DCG is a sequential fold over sequence(1..ideal_k) with a 0.0 init on
+    BOTH engines (0.0 + t1 is exact, the EWMA fold-identity), where
+    ideal_k = min(#same-label others in the corpus, n_exact).
+
+    Scale shape: one broadcast of the probe sample against the corpus
+    (map-side distance + local top-k prune, one windowed shuffle of
+    ≤ P·k rows); label marginals are a 10-row broadcast. Eval cost is
+    probe-bounded exactly like the recall audits."""
+    from ..operators.knn import local_topk_prune
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "label", "embedding").withColumn(
+        "__cn", l2_norm("embedding")
+    )
+    p = (
+        e.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("p_label"),
+            F.col("embedding").alias("pemb"),
+        )
+        .withColumn("__pn", l2_norm("pemb"))
+    )
+    j = b.crossJoin(F.broadcast(p)).where(F.col("vec_id") != F.col("probe_id"))
+    scored = j.withColumn(
+        "d",
+        F.lit(1.0) - dot("embedding", "pemb") / (F.col("__cn") * F.col("__pn")),
+    ).drop("embedding", "pemb", "__cn", "__pn")
+    scored = local_topk_prune(scored, 10, "probe_id", "d", "vec_id")
+    w = Window.partitionBy("probe_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .withColumn("rel", (F.col("label") == F.col("p_label")).cast("long"))
+    )
+    agg = top.groupBy("probe_id").agg(
+        F.max("p_label").alias("p_label"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rn") + 1.0))
+            .otherwise(F.lit(0.0))
+        ).alias("dcg_raw"),
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    jn = agg.join(
+        F.broadcast(cnt), agg["p_label"] == cnt["label"]
+    ).withColumn(
+        "ideal_k",
+        F.greatest(F.least(F.col("c") - 1, F.col("n_exact")), F.lit(0)),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("ideal_k")),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+    )
+    return jn.select(
+        "probe_id",
+        "n_exact",
+        "n_rel",
+        floor_round(F.col("n_rel") / F.col("n_exact").cast("double"), 4).alias(
+            "precision_at_k"
+        ),
+        rnd_nz(F.col("dcg_raw"), 4).alias("dcg"),
+        F.when(
+            F.col("ideal_k") > 0, rnd_nz(F.col("dcg_raw") / idcg, 4)
+        ).alias("ndcg"),
+    ).orderBy("probe_id")
+
+
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN via IVF cluster probing (sampled k-means + partition-prunable inverted file)."""

@@ -49,6 +49,7 @@ ENTRIES = [
     # force the k-boundary (n_exact < 10), planted dups force distance ties
     "ann_recall_at_10",
     "ivf_recall_at_10",
+    "retrieval_ndcg_labels",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "knn_int8_rerank",

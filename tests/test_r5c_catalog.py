@@ -172,3 +172,19 @@ def test_ivf_recall_bounds_and_probe_coverage(spark, sf_dir):
         assert r["n_exact"] == 10
         assert 0 <= r["n_hit"] <= 10
         assert abs(r["recall"] - r["n_hit"] / r["n_exact"]) < 1e-9
+
+
+def test_ndcg_bounds_and_dcg_consistency(spark, sf_dir):
+    import math as _m
+
+    rows = QUERIES["retrieval_ndcg_labels"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["precision_at_k"] <= 1.0
+        # DCG is bounded by the all-relevant ideal at k
+        ideal10 = sum(1.0 / _m.log2(i + 1) for i in range(1, r["n_exact"] + 1))
+        assert 0.0 <= r["dcg"] <= ideal10 + 1e-9
+        if r["ndcg"] is not None:
+            assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        if r["n_rel"] == 0:
+            assert r["dcg"] == 0.0

@@ -66,6 +66,7 @@ NOTES = {
     "trimmed_stats_by_type": "rank trim is a PARTITIONED window (per-type sort, horizontal scale); kept rows feed one map-combined cents aggregate.",
     "ann_recall_at_10": "ground truth computed ONLY for the probe sample (probes broadcast, corpus never shuffled); LSH side joins on bucket; the recall join carries ≤ probes·k rows.",
     "ivf_recall_at_10": "per-probe searches filter on the broadcast-argmin cluster id (directory pruning at scale via write_ivf); exact side broadcasts probes; recall join ≤ probes·k rows.",
+    "retrieval_ndcg_labels": "probe sample broadcast; local_topk_prune cuts the window input to ≤ P·k rows; label marginals a 10-row broadcast — eval cost is probe-bounded.",
 }
 
 
