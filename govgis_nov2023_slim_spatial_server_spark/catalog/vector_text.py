@@ -303,6 +303,53 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_balance_oracle_sql() -> str:
+    bucket = "\n           + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{fmt_vec_sql(list(_LSH_PLANES[i]))}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_LSH_PLANES))
+    )
+    return f"""
+    WITH g AS (
+      SELECT {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           FLOOR(MAX(n) * CAST(COUNT(*) AS DOUBLE) / SUM(n) * 10000.0 + 0.5)
+             / 10000.0 AS skew_ratio
+    FROM g
+    """
+
+
+@query("lsh_bucket_balance", _lsh_balance_oracle_sql())
+def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of the sign-LSH bucket partitioning: buckets used
+    (of 2^6), the largest bucket, and skew_ratio = max/mean over used
+    buckets — the number that decides whether the bucket-partitioned ANN
+    store balances at 100 TB (a hot bucket is a straggler partition; the
+    mitigation is more planes or bucket splitting, and THIS entry is the
+    monitor that triggers it). Same plane literals as every LSH oracle,
+    so a bucket-bit slip anywhere shows up here too.
+
+    One map-side bucket projection + one combinable 64-group aggregate —
+    linear, shuffle of ≤64 rows."""
+    from ..operators.knn import sign_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    g = e.groupBy(
+        sign_lsh_bucket("embedding", _LSH_PLANES).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("n").alias("max_bucket_n"),
+        floor_round(
+            F.max("n") * F.count(F.lit(1)).cast("double") / F.sum("n"), 4
+        ).alias("skew_ratio"),
+    )
+
+
 def _ivf_recall_oracle_sql() -> str:
     return """
     WITH b AS (

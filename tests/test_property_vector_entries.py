@@ -50,6 +50,7 @@ ENTRIES = [
     "ann_recall_at_10",
     "ivf_recall_at_10",
     "retrieval_ndcg_labels",
+    "lsh_bucket_balance",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "knn_int8_rerank",
