@@ -53,6 +53,14 @@ QUERIES_UNDER_TEST = {
     "graph_triangle_count": (["documents"], "docs"),
     "cooccurrence_pmi_topk": (["documents"], "docs"),
     "attribution_last_touch": (["events"], "fact"),
+    # r5 tail — eval/audit wave: AUC's aggregated-domain window, the basket
+    # self-join, the probe-bounded recall/NDCG audits, the skew monitor
+    "roc_auc_purchase_vs_view": (["events"], "fact"),
+    "assoc_rules_event_pairs": (["events"], "fact"),
+    "user_behavior_entropy": (["events"], "fact"),
+    "ann_recall_at_10": (["embeddings"], "docs"),
+    "retrieval_ndcg_labels": (["embeddings"], "docs"),
+    "lsh_bucket_balance": (["embeddings"], "docs"),
 }
 
 
@@ -124,14 +132,32 @@ def main() -> None:
     ap.add_argument("--docs-reps", type=int, default=20)
     ap.add_argument("--fact-reps", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query-name substrings; measure only matches",
+    )
     args = ap.parse_args()
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        global QUERIES_UNDER_TEST
+        QUERIES_UNDER_TEST = {
+            n: v
+            for n, v in QUERIES_UNDER_TEST.items()
+            if any(p in n for p in pats)
+        }
 
     from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    tables = ["documents", "embeddings", "orders", "lineitem", "events"]
+    needed = {t for tabs, _ in QUERIES_UNDER_TEST.values() for t in tabs}
+    tables = [
+        t
+        for t in ["documents", "embeddings", "orders", "lineitem", "events"]
+        if t in needed
+    ]
     dirs = {1: os.path.join(WORK, "x1")}
     for t in tables:
         _replicate(spark, t, dirs[1], 1)
