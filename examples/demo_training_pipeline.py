@@ -23,6 +23,9 @@ DataFrame, so the whole thing is ONE lazy plan until the final write:
      temperature-scaled (τ=0.7) sampling schedule
   10. corpus card: token-length histogram, Zipf slope, curriculum tiers —
       the per-snapshot report a pipeline publishes alongside the data
+  11. retrieval-index audit: LSH bucket balance (partition skew of the
+      ANN store) and measured LSH recall@10 vs brute-force ground truth
+      — the post-build check a pipeline runs before serving the index
 
     python examples/demo_training_pipeline.py [sf_dir]
 """
@@ -274,6 +277,19 @@ def main() -> None:
     print("length histogram      :", {r["bucket"]: r["n_docs"] for r in hist.collect()})
     print(f"zipf slope            : {fit.first()['slope']:.3f}")
     print("curriculum tier floors:", {r["tier"]: r["tier_floor"] for r in tiers.orderBy("tier").collect()})
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+    bal = QUERIES["lsh_bucket_balance"](spark, sf_dir).first()
+    rec = (
+        QUERIES["ann_recall_at_10"](spark, sf_dir)
+        .agg(F.avg("recall"))
+        .first()[0]
+    )
+    print(
+        f"ANN store audit       : {bal['n_buckets_used']} buckets used, "
+        f"skew {bal['skew_ratio']:.2f}, LSH recall@10 {rec:.2f}"
+    )
     spark.stop()
 
 
