@@ -575,6 +575,62 @@ def retrieval_ndcg_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+@query(
+    "ivf_cell_balance",
+    """
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM b WHERE vec_id BETWEEN 1 AND 8),
+    a AS (
+      SELECT b.vec_id, c.cid
+      FROM b CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+          ORDER BY list_distance(b.emb, c.cemb), c.cid) = 1),
+    g AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY cid)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+           CAST(MAX(n) AS BIGINT) AS max_cell_n,
+           FLOOR(MAX(n) * CAST(COUNT(*) AS DOUBLE) / SUM(n) * 10000.0 + 0.5)
+             / 10000.0 AS skew_ratio
+    FROM g
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of the IVF cluster partitioning — the twin of
+    lsh_bucket_balance for the second ANN store layout: cells used (of
+    8), the largest cell, and skew_ratio = max/mean. The inverted file is
+    written partitioned by cluster id (write_ivf), so cell skew IS
+    partition skew: a hot cell throttles every probe that hits it, and
+    the fix (re-train centroids, split the cell) is triggered by this
+    monitor. Uses the same data-derived centroids and BLAS argmin as the
+    proven knn_ivf_oracle pipeline.
+
+    One broadcast-argmin map (no shuffle) + one ≤8-group aggregate."""
+    import numpy as np
+
+    from ..operators.ivf import assign_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents_rows = sorted(
+        e.where(F.col("vec_id").between(1, 8)).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in cents_rows], dtype=np.float64
+    )
+    g = assign_clusters(e, cents).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.max("n").alias("max_cell_n"),
+        floor_round(
+            F.max("n") * F.count(F.lit(1)).cast("double") / F.sum("n"), 4
+        ).alias("skew_ratio"),
+    )
+
+
 @query("knn_ivf_approx")  # approximate ⇒ rows-only; recall vs exact in tests
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN via IVF cluster probing (sampled k-means + partition-prunable inverted file)."""

@@ -51,6 +51,7 @@ ENTRIES = [
     "ivf_recall_at_10",
     "retrieval_ndcg_labels",
     "lsh_bucket_balance",
+    "ivf_cell_balance",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "knn_int8_rerank",

@@ -199,3 +199,14 @@ def test_lsh_bucket_balance_invariants(spark, sf_dir):
     assert 1 <= r["n_buckets_used"] <= 64
     assert r["max_bucket_n"] * r["n_buckets_used"] >= n  # max ≥ mean
     assert r["skew_ratio"] >= 1.0
+
+
+def test_ivf_cell_balance_invariants(spark, sf_dir):
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    r = QUERIES["ivf_cell_balance"](spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert r["n_vectors"] == n
+    assert 1 <= r["n_cells_used"] <= 8
+    assert r["max_cell_n"] * r["n_cells_used"] >= n
+    assert r["skew_ratio"] >= 1.0
