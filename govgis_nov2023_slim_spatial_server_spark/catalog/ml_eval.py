@@ -394,6 +394,105 @@ def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Chi-square test of independence (event_type × experiment arm)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chi2_type_by_arm",
+    """
+    WITH s AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 97 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm, event_type
+      FROM events),
+    o AS (SELECT arm, event_type, CAST(COUNT(*) AS BIGINT) AS obs
+          FROM s GROUP BY arm, event_type),
+    ra AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS rn FROM s GROUP BY arm),
+    ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cn
+           FROM s GROUP BY event_type),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    cells AS (
+      SELECT ra.arm, ct.event_type,
+             CAST(COALESCE(o.obs, 0) AS DOUBLE) AS obs_d,
+             CAST(ra.rn AS DOUBLE) * ct.cn / tot.n AS exp_d
+      FROM ra CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN o ON o.arm = ra.arm AND o.event_type = ct.event_type)
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS n_arms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_types,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ra)
+             * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM ct) AS dof,
+           ROUND(SUM((obs_d - exp_d) * (obs_d - exp_d) / exp_d), 4) + 0.0
+             AS chi2
+    FROM cells
+    """,
+)
+def chi2_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and a
+    deterministic experiment arm (the same Knuth-hash split as
+    ab_test_two_proportions) — the k-category generalization of the
+    two-proportion z-test, and the standard guardrail-metric check on an
+    A/B split. Under a correct random split the statistic should sit
+    near its dof (null calibration — the pytest contract asserts it).
+
+    The cell table is the CROSS JOIN of the two marginal tables with
+    observed counts LEFT-joined (zero cells contribute their full
+    expectation — omitting them understates the statistic), so both
+    engines sum the identical cell set. Expectations are computed
+    double-side (R·C overflows int64 at ~1e10-row arms), same operand
+    order both engines; the final Σ is ≤ arms·types libm-free doubles,
+    round 4.
+
+    Scale: one map-side arm projection, three map-combined aggregates
+    over the same scan, and a cells join of (2 × 5) broadcast rows."""
+    e = _t(spark, sf_dir, "events")
+    arm = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % 97 % 2 == 0, F.lit("A")
+    ).otherwise(F.lit("B"))
+    s = e.select(arm.alias("arm"), "event_type")
+    o = s.groupBy("arm", "event_type").agg(F.count(F.lit(1)).alias("obs"))
+    ra = s.groupBy("arm").agg(F.count(F.lit(1)).alias("rn"))
+    ct = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("cn"))
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        ra.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(o), ["arm", "event_type"], "left")
+        .select(
+            "n",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("double").alias("obs_d"),
+            (F.col("rn").cast("double") * F.col("cn") / F.col("n")).alias(
+                "exp_d"
+            ),
+        )
+    )
+    n_arms = ra.agg(F.count(F.lit(1)).alias("n_arms"))
+    n_types = ct.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        cells.agg(
+            F.max("n").alias("n"),
+            rnd_nz(
+                F.sum(
+                    (F.col("obs_d") - F.col("exp_d"))
+                    * (F.col("obs_d") - F.col("exp_d"))
+                    / F.col("exp_d")
+                ),
+                4,
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_arms))
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "n",
+            "n_arms",
+            "n_types",
+            ((F.col("n_arms") - 1) * (F.col("n_types") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Gaps and islands (consecutive-activity runs)
 # --------------------------------------------------------------------------
 

@@ -56,6 +56,7 @@ ENTRIES = [
     "user_behavior_entropy",
     "assoc_rules_event_pairs",
     "activity_islands_daily",
+    "chi2_type_by_arm",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -210,3 +210,15 @@ def test_ivf_cell_balance_invariants(spark, sf_dir):
     assert 1 <= r["n_cells_used"] <= 8
     assert r["max_cell_n"] * r["n_cells_used"] >= n
     assert r["skew_ratio"] >= 1.0
+
+
+def test_chi2_null_calibration(spark, sf_dir):
+    # the arm split is independent of event_type by construction, so the
+    # statistic should be unexceptional under the null: for dof=4 the
+    # 99.9th percentile is ~18.5 — a value beyond that would mean the
+    # hash split itself is biased
+    r = QUERIES["chi2_type_by_arm"](spark, sf_dir).collect()[0]
+    assert r["dof"] == (r["n_arms"] - 1) * (r["n_types"] - 1)
+    assert r["chi2"] >= 0.0
+    if r["dof"] == 4:
+        assert r["chi2"] < 18.5
