@@ -1,6 +1,7 @@
 """Model-evaluation / data-audit wave (r5 tail): rank-statistic ROC-AUC,
 calibration deciles, rank-trimmed robust means, behavioral entropy,
-association rules with lift, and activity gaps-and-islands.
+association rules with lift, a chi-square independence test on the hash
+A/B split, and activity gaps-and-islands.
 
 These are the metrics a training-data pipeline computes AFTER the corpus
 ships — scoring model outputs, auditing drift, mining co-occurrence — and

@@ -1,5 +1,6 @@
-"""Semantic + plan contracts for the ml_eval wave (ROC-AUC, calibration,
-trimmed means, entropy, association rules, gaps-and-islands): invariants
+"""Semantic + plan contracts for the r5-tail eval/audit wave (ROC-AUC,
+calibration, trimmed means, entropy, association rules, chi-square,
+gaps-and-islands, ANN recall/NDCG audits, partition-balance monitors): invariants
 the hash gate can't state — AUC bounds and midrank bookkeeping, NTILE bin
 balance, trim-count arithmetic, entropy's ln(k) ceiling, the support ≤
 confidence dominance, island partitioning of the activity set — plus the
