@@ -545,3 +545,104 @@ def activity_islands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "island_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary drift between deterministic splits (KL divergence)
+# --------------------------------------------------------------------------
+
+
+def _vocab_kl_oracle_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id")
+    return f"""
+    WITH t AS (
+      SELECT CASE WHEN {b} < 8000 THEN 'train' ELSE 'val' END AS split,
+             u.term
+      FROM documents,
+           LATERAL unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS u(term)),
+    c AS (SELECT split, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM t GROUP BY split, term),
+    tr AS (SELECT term, c FROM c WHERE split = 'train'),
+    va AS (SELECT term, c FROM c WHERE split = 'val'),
+    v AS (SELECT COALESCE(tr.term, va.term) AS term,
+                 COALESCE(tr.c, 0) AS ct, COALESCE(va.c, 0) AS cv
+          FROM tr FULL OUTER JOIN va ON tr.term = va.term),
+    m AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cv) AS BIGINT) AS nv,
+                 CAST(COUNT(*) AS BIGINT) AS vocab FROM v),
+    d AS (
+      SELECT (ct + 1.0) / (m.nt + m.vocab) AS p,
+             (cv + 1.0) / (m.nv + m.vocab) AS q
+      FROM v CROSS JOIN m)
+    SELECT (SELECT nt FROM m) AS n_train_tokens,
+           (SELECT nv FROM m) AS n_val_tokens,
+           (SELECT vocab FROM m) AS vocab_size,
+           ROUND(SUM(p * ln(p / q)), 4) + 0.0 AS kl_train_val,
+           ROUND(SUM(q * ln(q / p)), 4) + 0.0 AS kl_val_train
+    FROM d
+    """
+
+
+@query("vocab_kl_train_val", _vocab_kl_oracle_sql())
+def vocab_kl_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-distribution drift between the deterministic 80/20
+    train/val document split: add-one-smoothed unigram KL divergence in
+    both directions plus the shared-vocabulary size — the text-side twin
+    of psi_split_drift (which monitors numeric distributions). A healthy
+    random split shows near-zero KL; a skewed ingest (one source landing
+    wholly in train) shows up here before it shows up in eval loss.
+
+    Same Knuth-hash bucket split as split_train_val_test, so the monitor
+    watches exactly the splits the pipeline ships. Smoothing is over the
+    UNION vocabulary (full outer join of the two count tables; absent
+    terms keep their +1 mass) — both engines sum the identical term set;
+    the KL terms are libm ln (→ round 4, the entropy convention).
+
+    Scale: tokenize-explode is map-only; two stacked map-combined
+    aggregates on (split, term); the scalar marginals broadcast back.
+    Nothing holds state beyond the (bounded) vocabulary aggregate."""
+    from ..functions.text import tokens
+    from ..operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.when(hash_bucket("doc_id") < 8000, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    c = t.groupBy("split", "term").agg(F.count(F.lit(1)).alias("c"))
+    tr = c.where(F.col("split") == "train").select("term", F.col("c").alias("ct"))
+    va = c.where(F.col("split") == "val").select("term", F.col("c").alias("cv"))
+    v = (
+        tr.join(va, "term", "full_outer")
+        .select(
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cv"), F.lit(0)).alias("cv"),
+        )
+    )
+    m = v.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cv").alias("nv"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    dd = v.crossJoin(F.broadcast(m)).select(
+        "nt",
+        "nv",
+        "vocab",
+        ((F.col("ct") + 1.0) / (F.col("nt") + F.col("vocab"))).alias("p"),
+        ((F.col("cv") + 1.0) / (F.col("nv") + F.col("vocab"))).alias("q"),
+    )
+    return dd.agg(
+        F.max("nt").alias("n_train_tokens"),
+        F.max("nv").alias("n_val_tokens"),
+        F.max("vocab").alias("vocab_size"),
+        rnd_nz(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 4).alias(
+            "kl_train_val"
+        ),
+        rnd_nz(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 4).alias(
+            "kl_val_train"
+        ),
+    )

@@ -54,6 +54,7 @@ ENTRIES = [
     "pack_sequences_512",
     "oov_rate_top_vocab",
     "tfidf_top_terms",
+    "vocab_kl_train_val",
     "dedup_retention_summary",
     "inverted_index_postings",
     "bm25_keyword_search",

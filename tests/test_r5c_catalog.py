@@ -223,3 +223,13 @@ def test_chi2_null_calibration(spark, sf_dir):
     assert r["chi2"] >= 0.0
     if r["dof"] == 4:
         assert r["chi2"] < 18.5
+
+
+def test_vocab_kl_nonnegative_and_near_zero_on_random_split(spark, sf_dir):
+    # Gibbs' inequality: KL >= 0 always; and a hash split of the same
+    # corpus should sit near zero (smoothed, finite-sample) — far from
+    # the O(1) values a genuinely shifted source pair would show
+    r = QUERIES["vocab_kl_train_val"](spark, sf_dir).collect()[0]
+    assert r["kl_train_val"] >= 0.0 and r["kl_val_train"] >= 0.0
+    assert r["kl_train_val"] < 0.5 and r["kl_val_train"] < 0.5
+    assert r["vocab_size"] > 0
