@@ -23,46 +23,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r04), so insertion order
-# decides which queries get correctness rows. r5 prefix: the 8 entries
-# new this round (the two approximate-path mechanism twins + six
-# pipeline/behavioral operators), then the 5 entries whose CODE changed
-# this round (changed code outranks unchanged re-proofs: the q5 join
-# reorder, the bucketed-table lifecycle rework, the widened sketch flag,
-# and two streaming entries through the UTC-pinned _events_stream), then
-# the re-proof rotation CLAUDE.md staged: all 35 oracle-checked entries
-# whose latest driver proof is r2 (none reads events), one r3 events
-# streaming re-proof, one rows-only refresh. 8+5+35+1+1 = 50. After a
-# green r5 every oracle-checked entry's latest proof is r3 or newer.
+# (verified key-by-key against CORRECTNESS_r01..r05), so insertion order
+# decides which queries get correctness rows. r6 prefix: the entries that
+# landed AFTER the r5 prefix froze and have never received a driver
+# correctness row (the eval/audit wave, catalog/temporal.py,
+# catalog/ml_prep.py, both recall@10 audits, both store-balance
+# monitors), then the 6 entries whose CODE changed late in r5 but were
+# not in the r5 prefix (the exact-integer-units revenue fix and two
+# oracle guards). 47 post-freeze + 6 changed = 53 candidates for 50
+# slots; deferred to r7 are approx_topk_event_types,
+# dedup_threshold_sweep, and trimmed_stats_by_type — the three whose
+# mechanism sibling is already r5-green (approx_stats_events, the r4/r5
+# dedup trio, the percentile aggs) so they carry the least ungraded
+# risk. 44+6 = 50.
 _DRIVER_PRIORITY = [
-    # new in r5: mechanism twins for the approximate scale paths, BPE
-    # pair counting, char-entropy quality, gaps-and-islands change log,
-    # keep-best-canonical dedup policy
-    "similarity_join_lsh_oracle", "knn_ivf_oracle", "bpe_pair_counts",
-    "char_entropy_quality", "event_type_change_log", "dedup_keep_best_doc",
-    "cumulative_distinct_users", "bigram_lm_cross_entropy",
-    # code changed in r5 → driver re-proof before anything unchanged
-    "q5_nation_revenue", "bucketed_join_revenue", "approx_stats_events",
-    "stream_tumbling_event_counts", "stream_session_user_totals",
-    # re-proof: the 35 oracle-checked entries last proven in r2
-    "chunk_dedup_summary", "chunk_documents_tokens", "date_funcs_orders",
-    "decontaminate_benchmark", "dedup_components", "dedup_distinct_pairs",
-    "embedding_quantize_int8", "filter_caseins_topk", "html_to_markdown",
-    "knn_int8_rerank", "math_funcs_lineitem", "multimodal_byte_stats",
-    "multimodal_frame_sample", "multimodal_resize", "pii_redaction",
-    "q14_economy_revenue_share", "q4_priority_with_late_items",
-    "q6_revenue_forecast", "repetition_filter", "reproject_mercator",
-    "sample_deterministic_orders", "set_except_keys",
-    "set_intersect_nations", "set_union_keys", "simhash_poly_signature",
-    "sketch_bloom_join_counts", "sketch_cms_priority_counts",
-    "skewed_agg_salted", "spatial_join_blocked", "spatial_join_overlap",
-    "split_train_val_test", "stratified_sample_embeddings",
-    "string_funcs_part", "tfidf_top_terms", "topk_offset_orders",
-    # re-proof: the stateful-streaming r3 green (reads events through its
-    # own facade path) and the highest-value rows-only refresh (its exact
-    # twin minhash_neardup_oracle stays green)
-    "stream_stateful_running_totals",
-    "minhash_lsh_neardup",
+    # never driver-graded: recall@10 audits of both ANN paths vs exact
+    # brute force, NDCG with label relevance, store-balance monitors
+    "ann_recall_at_10", "ivf_recall_at_10", "retrieval_ndcg_labels",
+    "lsh_bucket_balance", "ivf_cell_balance",
+    # never driver-graded: the ml_eval.py audit wave (all events-based)
+    "vocab_kl_train_val", "chi2_type_by_arm", "roc_auc_purchase_vs_view",
+    "calibration_bins_decile", "user_behavior_entropy",
+    "assoc_rules_event_pairs", "activity_islands_daily",
+    # never driver-graded: temporal / ml_prep / streaming / relational
+    # additions from the r5 build wave
+    "zscore_norms_by_label", "pagerank_one_iter", "ewma_value_by_user",
+    "attribution_last_touch", "scd2_intervals_user_type",
+    "wilson_ctr_bound", "cooccurrence_pmi_topk", "phrase_merge_apply",
+    "pca_power_iteration", "ngram_containment_topk",
+    "matryoshka_rerank_16", "hard_negative_mining",
+    "parallel_moments_merge", "mixture_temperature_schedule",
+    "stream_topk_types_per_window", "user_event_sequences",
+    "udaf_cents_total_by_type", "udtf_trigram_counts",
+    "kmeans_two_iterations", "graph_triangle_count",
+    "recursive_cte_chain_totals", "variant_props_stats",
+    "multimodal_audio_windows", "try_funcs_dirty_data",
+    "stream_late_data_drop", "markov_transition_matrix",
+    "target_encoding_smoothed", "psi_split_drift",
+    "incremental_dedup_merge", "dp_noisy_type_counts",
+    "ab_test_two_proportions", "spatial_grid_density",
+    # code changed late-r5, not in the r5 prefix → re-proof outranks
+    # unchanged entries (exact-units revenue fix; NULLIF / 0.0 guards)
+    "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
+    "sql_surface_pricing", "zipf_slope_unigrams", "repetition_filter",
 ]
 
 

@@ -1907,7 +1907,8 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN t ct ON ct.split = 'cur'
       WHERE r.split = 'ref')
     SELECT bucket,
-           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           FLOOR(p_ref * 1e6 + 0.5) / 1e6 AS p_ref,
+           FLOOR(p_cur * 1e6 + 0.5) / 1e6 AS p_cur,
            ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) + 0.0 AS psi_term
     FROM m
     """,
@@ -1923,8 +1924,11 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so membership is a Knuth multiplicative scramble mod 97 mod 2 —
     identical exact-integer arithmetic on both engines, decorrelated from
     key order, provably < 2^63 under ANSI mode.
-    Distribution ratios are count ratios (exact division) rounded late;
-    ln terms carry the −0.0 guard (differences straddle zero)."""
+    Distribution ratios are count ratios (exact division) — dyadic
+    denominators make exact 7-decimal ties possible, so they take the
+    floor-round form on both engines (the q5/rolling_1h convention); the
+    ln-derived psi_term stays on ROUND (irrational, no representable
+    tie) with the −0.0 guard (differences straddle zero)."""
     o = _t(spark, sf_dir, "orders")
     b = o.select(
         F.when((F.col("o_orderkey") * 2654435761) % 97 % 2 == 0, F.lit("ref"))
@@ -1955,7 +1959,7 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_cur = F.col("n_cur").cast("double") / F.col("cur")
     return r.select(
         "bucket",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
+        floor_round(p_ref, 6).alias("p_ref"),
+        floor_round(p_cur, 6).alias("p_cur"),
         rnd_nz((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )

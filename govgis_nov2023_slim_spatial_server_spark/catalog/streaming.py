@@ -405,31 +405,52 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     all process a single availableNow batch where nothing is ever late.
     Input files are staged under /tmp with forced mtimes (file order =
     processing order) and removed after the drain; the result lives in
-    the memory sink, not the files."""
+    the memory sink, not the files. Staging is Spark-side: a global
+    row_number rank (one window task — same total order the oracle's
+    ROW_NUMBER uses; this is harness staging, not a scale path) feeds
+    three filtered single-file writes, so no table ever materializes on
+    the driver. Split sizes are guarded: fewer than 150 events would
+    make the late/tail slices overlap, so that fails loudly instead of
+    silently double-counting rows the oracle counts once."""
+    import glob
     import os
     import shutil
     import tempfile
 
-    import pandas as pd
+    from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    pdf = ev.orderBy("ts", "event_id").toPandas()
+    n = ev.count()
+    if n < 150:
+        raise AssertionError(
+            f"stream_late_data_drop needs >= 150 events for disjoint "
+            f"late(100)/bulk/tail(50) splits; got {n}"
+        )
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint(eager=True)
     # THREE micro-batches, not two: Spark's late-row filter uses the
     # watermark as of the PREVIOUS batch (it lags one trigger — verified
     # empirically: with stragglers in batch 1 the filter watermark is
     # still the epoch and numRowsDroppedByWatermark stays 0). Bulk in
     # batch 0 establishes the watermark, a small recent tail in batch 1
     # activates it for filtering, the stragglers in batch 2 hit it.
-    late, bulk, tail = pdf.iloc[:100], pdf.iloc[100:-50], pdf.iloc[-50:]
+    splits = [
+        ("a_bulk", (F.col("rn") > 100) & (F.col("rn") <= n - 50)),
+        ("b_tail", F.col("rn") > n - 50),
+        ("c_late", F.col("rn") <= 100),
+    ]
     d = tempfile.mkdtemp(prefix="stream_late_")
     try:
-        bulk.to_parquet(os.path.join(d, "a_bulk.parquet"), index=False)
-        tail.to_parquet(os.path.join(d, "b_tail.parquet"), index=False)
-        late.to_parquet(os.path.join(d, "c_late.parquet"), index=False)
         now = 1_700_000_000
-        os.utime(os.path.join(d, "a_bulk.parquet"), (now, now))
-        os.utime(os.path.join(d, "b_tail.parquet"), (now + 100, now + 100))
-        os.utime(os.path.join(d, "c_late.parquet"), (now + 200, now + 200))
+        for i, (fname, pred) in enumerate(splits):
+            stage = os.path.join(d, f"_stage_{fname}")
+            ranked.where(pred).drop("rn").coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{fname}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now + 100 * i, now + 100 * i))
         schema = spark.read.parquet(os.path.join(d, "a_bulk.parquet")).schema
         src = (
             spark.readStream.schema(schema)

@@ -438,7 +438,11 @@ def recursive_cte_chain_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     most one frontier). Spark supports only UNION ALL recursion (no cycle
     dedup), so the walk follows the acyclic rn+1 successor — cycle-free by
     construction. Cents are exact integers, so the fold is
-    order-independent and hash-comparable."""
+    order-independent and hash-comparable. The final total is read back
+    as max_by(cum, rn) — the cum at the deepest walked link — NOT
+    MAX(cum), which only coincides with the final running total when
+    every per-event value is non-negative (a refund-style negative cents
+    would make the running sum non-monotone)."""
     e = _t(spark, sf_dir, "events")
     view = f"__events_rec_{abs(hash(sf_dir)) % 10_000}"
     e.createOrReplaceTempView(view)
@@ -456,7 +460,8 @@ def recursive_cte_chain_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM walk w JOIN seq s
             ON s.user_id = w.user_id AND s.rn = w.rn + 1 AND s.rn <= 10
         )
-        SELECT user_id, MAX(rn) AS n_walked, MAX(cum) AS total_cents
+        SELECT user_id, MAX(rn) AS n_walked,
+               max_by(cum, rn) AS total_cents
         FROM walk GROUP BY user_id
         """
     )

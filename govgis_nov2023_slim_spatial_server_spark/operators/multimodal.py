@@ -150,7 +150,11 @@ def audio_window_stats(
             ids, widx, nsamp, sums, peaks = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 samples = np.frombuffer(payload, dtype=np.uint8)
-                for w in range(0, max((len(samples) + window - 1) // window, 1)):
+                # An empty payload emits ZERO windows (ceil(0/w) = 0) —
+                # matching the oracle's generate_series fan-out; a
+                # synthesized zero-sample window would double-count rows
+                # if testdata ever ships an empty document.
+                for w in range((len(samples) + window - 1) // window):
                     chunk = samples[w * window : (w + 1) * window]
                     ids.append(doc_id)
                     widx.append(w)

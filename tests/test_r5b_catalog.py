@@ -661,3 +661,100 @@ def test_grid_density_partitions_all_geometries(spark, sf_dir):
         # extent bounds: x ∈ [-125, -74], y ∈ [24, 45] by construction
         assert -126 <= r["cell_x"] <= -73
         assert 23 <= r["cell_y"] <= 46
+
+
+# -- r6 advice regressions -------------------------------------------------
+
+
+def _oracle_rows(sql: str, view: str, path: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM read_parquet('{path}')")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_audio_windows_empty_payload_emits_no_rows(spark, tmp_path):
+    """An empty document must fan out to ZERO windows on both engines
+    (ceil(0/256) = 0) — the synthesized zero-sample window the operator
+    used to emit would double the row count vs the oracle."""
+    import pandas as pd
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["", "abc"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [0, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = _run(spark, str(tmp_path), "multimodal_audio_windows").collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    want = _oracle_rows(
+        ORACLES["multimodal_audio_windows"],
+        "documents",
+        str(tmp_path / "documents.parquet"),
+    )
+    assert len(rows) == len(want) == 1
+
+
+def test_recursive_cte_final_total_with_negative_cents(spark, tmp_path):
+    """Refund-style negative values make the running sum non-monotone;
+    the walked total must still equal the oracle's plain SUM (max_by at
+    the deepest link, not MAX of the running column)."""
+    import pandas as pd
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    vals = [5.00, -3.25, 1.00, -4.50, 2.00]
+    df = pd.DataFrame(
+        {
+            "event_id": range(1, len(vals) + 1),
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(len(vals))],
+            "user_id": [1] * len(vals),
+            "event_type": ["purchase"] * len(vals),
+            "value": vals,
+            "props": ['{"k": 1}'] * len(vals),
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    (got,) = _run(spark, str(tmp_path), "recursive_cte_chain_totals").collect()
+    want = _oracle_rows(
+        ORACLES["recursive_cte_chain_totals"],
+        "events",
+        str(tmp_path / "events.parquet"),
+    )
+    assert (got["user_id"], got["n_walked"], got["total_cents"]) == want[0]
+    # the true final total: 500 - 325 + 100 - 450 + 200 = 25 cents, while
+    # MAX(cum) over the walk would have reported 500
+    assert got["total_cents"] == 25
+
+
+def test_stream_late_data_drop_guards_tiny_tables(spark, tmp_path):
+    """<150 events would make the late/tail staging files overlap; the
+    entry must fail loudly instead of silently double-counting."""
+    import pandas as pd
+    import pytest as _pytest
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": range(1, 121),
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(120)],
+            "user_id": [1] * 120,
+            "event_type": ["view"] * 120,
+            "value": [1.0] * 120,
+            "props": ['{"k": 1}'] * 120,
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    with _pytest.raises(AssertionError, match="150"):
+        _run(spark, str(tmp_path), "stream_late_data_drop")
