@@ -338,6 +338,115 @@ def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle document-frequency cap: a shingle present in more than this
+# many documents is dropped BEFORE any shingle self-join. On natural text a
+# stop-shingle ("of the same") appears in nearly every document and the
+# equi-join fan-out on it is df² — quadratic in corpus size; capping df
+# bounds every shingle's contribution at cap² candidate pairs, which is
+# what keeps the inverted-index formulation near-linear at 100 TB. The cap
+# is an ABSOLUTE df (the production form: a stop list is a property of the
+# language, not of the corpus size).
+_SHINGLE_DF_CAP = 50
+
+# DuckDB twin of _capped_shingle_hashes (string shingles; Spark keys by
+# xxhash64 — identical membership assuming no 64-bit collisions, the same
+# convention ngram_containment_topk documents). Expects a CTE `sh` with
+# (doc_id, s list) in scope.
+_CAPPED_EX_SQL = f"""
+      exx AS (SELECT doc_id, unnest(s) AS shs FROM sh),
+      keepsh AS (SELECT shs FROM exx GROUP BY shs
+                 HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+      kept AS (SELECT exx.doc_id, exx.shs FROM exx
+               JOIN keepsh ON keepsh.shs = exx.shs)
+"""
+
+
+def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
+    """Exploded (doc_id, sh) hashed-shingle pairs with stop-shingles
+    (document frequency > _SHINGLE_DF_CAP) removed. Shingles are distinct
+    per document (word_shingles dedupes), so COUNT(*) per shingle IS the
+    document frequency. The df table never leaves the cluster: one
+    aggregate over the exploded pairs, then an equi-join back on the
+    8-byte key — two shuffles on `sh`, both AQE-coalesced, no collect."""
+    ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shs")).select(
+        "doc_id", F.xxhash64("shs").alias("sh")
+    )
+    keep = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    return ex.join(keep, "sh")
+
+
+@query(
+    "ngram_containment_capped",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    {_CAPPED_EX_SQL},
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b
+        ON a.shs = b.shs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+           FLOOR(CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz)
+                 * 10000.0 + 0.5) / 10000.0 AS containment
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.id_a
+    JOIN sz sb ON sb.doc_id = p.id_b
+    ORDER BY CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz) DESC,
+             p.id_a, p.id_b
+    LIMIT 50
+    """,
+)
+def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_containment_topk` with the 100 TB lever ENGAGED: shingles
+    above the stop-shingle document-frequency cap are dropped before the
+    self-join (see _SHINGLE_DF_CAP — the fan-out bound that keeps the
+    inverted index near-linear on natural text). Containment is computed
+    on the CAPPED shingle sets on both engines — numerator and
+    denominator see the same universe, so the measure stays a true
+    containment of the retained (discriminative) shingles rather than a
+    mixed-universe ratio.
+
+    Pair generation, ordering, and floor-rounding follow the uncapped
+    entry exactly; set sizes are re-counted after the cap (a doc whose
+    shingles are all stop-shingles simply cannot appear in any pair)."""
+    d = _t(spark, sf_dir, "documents")
+    kept = _capped_shingle_hashes(ensure_min_partitions(d))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "sh")
+    b = kept.select(F.col("doc_id").alias("id_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+    )
+    cont = F.col("shared").cast("double") / F.least("sz_a", "sz_b")
+    return (
+        pairs.orderBy(cont.desc(), "id_a", "id_b")
+        .limit(50)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            floor_round(cont, 4).alias("containment"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Matryoshka (truncated-dimension) retrieval funnel
 # --------------------------------------------------------------------------
@@ -868,10 +977,14 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting on the shingle-overlap graph
 # --------------------------------------------------------------------------
 
-_EDGE_SQL = f"""
+# Overlap-graph edges from the CAPPED shingle universe (same
+# stop-shingle df pruning as ngram_containment_capped — the wedge join
+# downstream amplifies any edge fan-out, so the cap matters twice here).
+_EDGE_SQL = """
       SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a, sh b
-      WHERE a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) >= 3
+      FROM kept a JOIN kept b
+        ON a.shs = b.shs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
 
 
@@ -879,6 +992,7 @@ _EDGE_SQL = f"""
     "graph_triangle_count",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
+    {_CAPPED_EX_SQL},
     e AS ({_EDGE_SQL}),
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -908,15 +1022,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the wedge join is the known hot spot (high-degree nodes);
     the standard mitigation (degree-ordered orientation, which this
     already half-applies via u<v) keeps wedge counts near-linear for
-    power-law graphs."""
+    power-law graphs. Edge candidates come from the CAPPED shingle
+    universe (_capped_shingle_hashes): a stop-shingle would inflate both
+    the candidate-pair fan-out AND node degrees, and the wedge join is
+    quadratic in degree — the df cap is applied before either join."""
     d = _t(spark, sf_dir, "documents")
-    sh = ensure_min_partitions(d).select(
-        "doc_id", word_shingles("text", 3).alias("s")
-    )
     # 8-byte hashed shingle keys (same rationale as ngram_containment_topk)
-    ex = sh.select("doc_id", F.explode("s").alias("shs")).select(
-        "doc_id", F.xxhash64("shs").alias("sh")
-    )
+    ex = _capped_shingle_hashes(ensure_min_partitions(d))
     pa = ex.select(F.col("doc_id").alias("u"), "sh")
     pb = ex.select(F.col("doc_id").alias("v"), "sh")
     edges = (

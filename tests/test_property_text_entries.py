@@ -29,6 +29,8 @@ ENTRIES = [
     "phrase_merge_apply",
     "cooccurrence_pmi_topk",
     "ngram_containment_topk",
+    "ngram_containment_capped",
+    "graph_triangle_count",
     "char_entropy_quality",
     "udtf_trigram_counts",
     # wider documents family: tokenization/counting/scoring parity on

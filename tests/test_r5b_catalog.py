@@ -392,12 +392,22 @@ def test_kmeans_two_iterations_partitions_and_improves(spark, sf_dir):
 
 
 def test_triangle_count_matches_python_bruteforce(spark, sf_dir):
+    from govgis_nov2023_slim_spatial_server_spark.catalog.ml_prep import _SHINGLE_DF_CAP
     from govgis_nov2023_slim_spatial_server_spark.functions.hashes import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
     sh = {
         r["doc_id"]: set(r["s"])
         for r in d.select("doc_id", word_shingles("text", 3).alias("s")).collect()
+    }
+    # mirror the stop-shingle df cap the edge build applies
+    df_count: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    sh = {
+        k: {g for g in s if df_count[g] <= _SHINGLE_DF_CAP}
+        for k, s in sh.items()
     }
     ids = sorted(sh)
     edges = set()
@@ -758,3 +768,48 @@ def test_stream_late_data_drop_guards_tiny_tables(spark, tmp_path):
     df.to_parquet(tmp_path / "events.parquet", index=False)
     with _pytest.raises(AssertionError, match="150"):
         _run(spark, str(tmp_path), "stream_late_data_drop")
+
+
+# -- ngram_containment_capped ----------------------------------------------
+
+
+def _hot_shingle_docs(tmp_path):
+    """Corpus where one shingle ('hot stop shingle') appears in 60 docs
+    (df > _SHINGLE_DF_CAP=50) while each doc also carries a unique tail;
+    two extra docs share only rare shingles. The hot shingle must
+    contribute NO pairs after the cap."""
+    import pandas as pd
+
+    texts = [f"hot stop shingle unique{i} tail{i} word{i}" for i in range(60)]
+    texts += ["rare alpha beta gamma delta", "rare alpha beta gamma epsilon"]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_capped_containment_drops_stop_shingle_pairs(spark, tmp_path):
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES
+
+    _hot_shingle_docs(tmp_path)
+    rows = _run(spark, str(tmp_path), "ngram_containment_capped").collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in rows}
+    # only the two rare-shingle docs pair up; the 60 hot-shingle docs
+    # would form C(60,2)=1770 pairs without the cap
+    assert set(got) == {(61, 62)}
+    want = _oracle_rows(
+        ORACLES["ngram_containment_capped"],
+        "documents",
+        str(tmp_path / "documents.parquet"),
+    )
+    assert len(want) == 1 and (want[0][0], want[0][1]) == (61, 62)
+    assert abs(got[(61, 62)] - want[0][3]) < 1e-9
+    # uncapped twin DOES see the stop-shingle pile-up
+    uncapped = _run(spark, str(tmp_path), "ngram_containment_topk").collect()
+    assert len(uncapped) == 50  # top-k saturates on hot pairs
