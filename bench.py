@@ -48,6 +48,14 @@ HEADLINE = [
     "q6_revenue_forecast",
     "vector_centroids_by_label",
     "grouping_sets_status_priority",
+    # r6 additions (VERDICT r5 #6): the heaviest post-r5 entries — the
+    # graded perf number should cover the operators most likely to
+    # regress, not just the r1 set
+    "ann_recall_at_10",
+    "kmeans_two_iterations",
+    "bigram_lm_cross_entropy",
+    "ngram_containment_topk",
+    "ngram_containment_capped",
 ]
 
 
@@ -163,6 +171,11 @@ def main() -> None:
     # quiet or busy moment in either direction.
     load_factor = round(statistics.median(canaries) / CANARY_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
+    # the headline set GREW in r6 (+5 queries) — "value" totals the full
+    # set, so publish the r1–r5 subset total too for round-over-round
+    # like-for-like comparison
+    r5_set = HEADLINE[: HEADLINE.index("ann_recall_at_10")]
+    total_r5_set = round(sum(timings[n] for n in r5_set), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -175,6 +188,8 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "value_r5_headline_set": total_r5_set,
+                "headline_added_r6": HEADLINE[HEADLINE.index("ann_recall_at_10"):],
                 "queries": timings,
                 "queries_spread": spread,
                 "reps": reps,

@@ -8,6 +8,28 @@ import sys
 sys.path.insert(0, ".")
 
 
+def _first_sentence(doc: str) -> str:
+    """First FULL sentence of the docstring, newlines collapsed — the
+    first-physical-line extraction truncated multi-line opening sentences
+    mid-clause (VERDICT r5 #8). Sentence end = '. ' / '.\\n' / final '.',
+    ignoring periods inside e.g./i.e. and decimals."""
+    text = " ".join(
+        ln.strip() for ln in doc.strip().split("\n\n")[0].splitlines()
+    ).strip()
+    i = 0
+    while True:
+        j = text.find(".", i)
+        if j == -1:
+            return text.replace("|", "\\|")
+        nxt = text[j + 1 : j + 2]
+        prev = text[max(0, j - 3) : j].lower()
+        if (nxt == "" or nxt == " ") and not prev.endswith(("e.g", "i.e")) and not (
+            nxt.isdigit() or (j > 0 and text[j - 1].isdigit() and nxt.isdigit())
+        ):
+            return text[:j].replace("|", "\\|")
+        i = j + 1
+
+
 def main() -> None:
     from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
 
@@ -34,7 +56,7 @@ def main() -> None:
     for mod in modules:
         for name in sorted(by_module.get(mod, [])):
             fn = QUERIES[name]
-            doc = (fn.__doc__ or "").strip().split("\n")[0].rstrip(".")
+            doc = _first_sentence(fn.__doc__ or "")
             flag = "✓" if name in ORACLES else "rows-only"
             out.append(f"| `{name}` | {mod} | {flag} | {doc} |")
     with open("CATALOG.md", "w") as f:

@@ -61,10 +61,18 @@ QUERIES_UNDER_TEST = {
     "ann_recall_at_10": (["embeddings"], "docs"),
     "retrieval_ndcg_labels": (["embeddings"], "docs"),
     "lsh_bucket_balance": (["embeddings"], "docs"),
+    # r6: the df-capped containment variant (compare α against the
+    # uncapped row, especially under --hot-shingle), the SCD-2 window
+    # chain, and the PCA power-iteration matvec
+    "ngram_containment_capped": (["documents"], "docs"),
+    "scd2_intervals_user_type": (["events"], "fact"),
+    "pca_power_iteration": (["embeddings"], "docs"),
 }
 
 
-def _replicate(spark, table: str, out_dir: str, reps: int) -> None:
+def _replicate(
+    spark, table: str, out_dir: str, reps: int, hot_shingle: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
@@ -86,6 +94,22 @@ def _replicate(spark, table: str, out_dir: str, reps: int) -> None:
                     ),
                 )
             p = p.withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000))
+            if hot_shingle:
+                # inject a shared (UNsuffixed) preamble into 5% of docs in
+                # every replica: its shingles' document frequency grows N×
+                # with the corpus — the stop-shingle regime the df cap
+                # exists for. Applied identically at 1× and N×, so α still
+                # compares like with like.
+                p = p.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 20 == 0,
+                        F.concat(
+                            F.lit("zz hot stop shingle run zz "),
+                            F.col("text"),
+                        ),
+                    ).otherwise(F.col("text")),
+                )
         elif table == "embeddings":
             if r > 0:
                 flip = r % 64
@@ -137,6 +161,12 @@ def main() -> None:
         default=None,
         help="comma-separated query-name substrings; measure only matches",
     )
+    ap.add_argument(
+        "--hot-shingle",
+        action="store_true",
+        help="give 5%% of documents a shared preamble whose shingle df "
+        "grows Nx — the adversarial regime for uncapped shingle joins",
+    )
     args = ap.parse_args()
     if args.only:
         pats = [p.strip() for p in args.only.split(",") if p.strip()]
@@ -160,7 +190,7 @@ def main() -> None:
     ]
     dirs = {1: os.path.join(WORK, "x1")}
     for t in tables:
-        _replicate(spark, t, dirs[1], 1)
+        _replicate(spark, t, dirs[1], 1, hot_shingle=args.hot_shingle)
     for t in tables:
         reps = args.docs_reps if t in ("documents", "embeddings") else args.fact_reps
         key = ("docs", args.docs_reps) if t in ("documents", "embeddings") else (
@@ -169,7 +199,7 @@ def main() -> None:
         )
         d = os.path.join(WORK, f"{key[0]}_x{key[1]}")
         dirs[key] = d
-        _replicate(spark, t, d, reps)
+        _replicate(spark, t, d, reps, hot_shingle=args.hot_shingle)
 
     print(f"# corpora under {WORK}")
     results = []
