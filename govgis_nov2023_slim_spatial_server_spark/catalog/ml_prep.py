@@ -365,19 +365,23 @@ def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
     """Exploded (doc_id, sh) hashed-shingle pairs with stop-shingles
     (document frequency > _SHINGLE_DF_CAP) removed. Shingles are distinct
     per document (word_shingles dedupes), so COUNT(*) per shingle IS the
-    document frequency. The df table never leaves the cluster: one
-    aggregate over the exploded pairs, then an equi-join back on the
-    8-byte key — two shuffles on `sh`, both AQE-coalesced, no collect."""
+    document frequency. Pruning is a broadcast ANTI-join against the HOT
+    set (df > cap) — the asymmetry matters: the keep set is corpus-sized
+    (≈ every distinct shingle) while the hot set is bounded by language
+    statistics (the stop-shingles), so the anti-join stays map-side where
+    an inner join against the keep set would shuffle the whole exploded
+    table a second time. One aggregate shuffle on `sh` to find the hot
+    set; everything else is map-only."""
     ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shs")).select(
         "doc_id", F.xxhash64("shs").alias("sh")
     )
-    keep = (
+    hot = (
         ex.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _SHINGLE_DF_CAP)
+        .where(F.col("df") > _SHINGLE_DF_CAP)
         .select("sh")
     )
-    return ex.join(keep, "sh")
+    return ex.join(F.broadcast(hot), "sh", "left_anti")
 
 
 @query(

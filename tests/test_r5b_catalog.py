@@ -813,3 +813,13 @@ def test_capped_containment_drops_stop_shingle_pairs(spark, tmp_path):
     # uncapped twin DOES see the stop-shingle pile-up
     uncapped = _run(spark, str(tmp_path), "ngram_containment_topk").collect()
     assert len(uncapped) == 50  # top-k saturates on hot pairs
+
+
+def test_capped_containment_prunes_via_broadcast_anti_join(spark, sf_dir):
+    """The df cap must be a broadcast ANTI-join against the (small) hot
+    set — an inner join against the corpus-sized keep set would shuffle
+    the exploded table twice."""
+    plan = _plan(spark, sf_dir, "ngram_containment_capped")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

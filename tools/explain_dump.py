@@ -67,6 +67,8 @@ NOTES = {
     "ann_recall_at_10": "ground truth computed ONLY for the probe sample (probes broadcast, corpus never shuffled); LSH side joins on bucket; the recall join carries ≤ probes·k rows.",
     "ivf_recall_at_10": "per-probe searches filter on the broadcast-argmin cluster id (directory pruning at scale via write_ivf); exact side broadcasts probes; recall join ≤ probes·k rows.",
     "retrieval_ndcg_labels": "probe sample broadcast; local_topk_prune cuts the window input to ≤ P·k rows; label marginals a 10-row broadcast — eval cost is probe-bounded.",
+    "ngram_containment_capped": "stop-shingle df cap BEFORE the self-join via broadcast ANTI-join against the small hot set (df > cap) — one map-combined df aggregate, prune stays map-side; every shingle's pair fan-out bounded by cap² (SCALING.md run 5: linear candidate growth where uncapped is →quadratic).",
+    "spatial_join_exact": "filter-and-refine: grid-cell blocked bbox EQUI-join (no nested loop), then the polygon×polygon ArrowEval refine runs only on candidate pairs.",
 }
 
 
