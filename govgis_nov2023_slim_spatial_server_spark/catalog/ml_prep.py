@@ -949,7 +949,12 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_iter1"))
     # M-step: per-dim mean quantized to the shared 1/1024 grid (bounded
-    # k×dim collect — same driver-state pattern as the IVF seeds)
+    # k×dim collect — same driver-state pattern as the IVF seeds).
+    # Generalizing to N iterations: loop assign→collect→assign, but
+    # localCheckpoint each assignment first — without it every iteration
+    # re-plans the WHOLE lineage from the scan, so plan size (and
+    # recompute on failure) grows linearly with iteration count. The
+    # two-iteration unroll here deliberately skips that machinery.
     m = (
         a1.select("cid", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cid", "pos")

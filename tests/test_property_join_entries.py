@@ -44,6 +44,7 @@ ENTRIES = [
     "spatial_point_filter",
     "spatial_join_overlap",
     "spatial_join_blocked",
+    "spatial_join_exact",
     "spatial_grid_density",
 ]
 
