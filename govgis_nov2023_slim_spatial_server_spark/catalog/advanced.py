@@ -662,15 +662,37 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/R² between quantity and price — the feature-relationship scan
     an EDA/feature-selection pass runs per segment.
 
-    Both engines use the population covariance estimators; partition-order
-    summation differs only in the last ulp (ROUND 4 absorbs it; rnd_nz
-    guards the near-zero correlations from the ±0.0 split). Scale shape:
-    single map-combining agg, constant state per group."""
+    Spark's native corr/regr_slope/regr_r2 HARD-ERROR under ANSI mode on
+    a zero-variance group (DIVIDE_BY_ZERO — found by the random-lineitem
+    property gate on an all-identical group), so the estimators are
+    assembled from the division-free co-moments (covar_pop / var_pop /
+    stddev_pop) with guarded divisions mirroring DuckDB's NULL semantics
+    exactly: corr NULL if either variance is 0; slope NULL iff var(x)=0;
+    r² NULL if var(x)=0 and 1.0 if var(y)=0. Partition-order summation
+    differs only in the last ulp (ROUND 4 absorbs it; rnd_nz guards the
+    near-zero correlations from the ±0.0 split). Scale shape: still ONE
+    map-combining agg, constant state per group."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        rnd_nz(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        rnd_nz(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    x, y = "l_quantity", "l_extendedprice"
+    agg = li.groupBy("l_returnflag").agg(
+        F.var_pop(x).alias("__vx"),
+        F.var_pop(y).alias("__vy"),
+        F.covar_pop(x, y).alias("__cxy"),
+        F.stddev_pop(x).alias("__sx"),
+        F.stddev_pop(y).alias("__sy"),
+    )
+    vx, vy = F.col("__vx"), F.col("__vy")
+    cxy = F.col("__cxy")
+    corr = F.when((vx > 0) & (vy > 0), cxy / (F.col("__sx") * F.col("__sy")))
+    slope = F.when(vx > 0, cxy / vx)
+    r2 = F.when(
+        vx > 0, F.when(vy == 0, F.lit(1.0)).otherwise((cxy * cxy) / (vx * vy))
+    )
+    return agg.select(
+        "l_returnflag",
+        rnd_nz(corr, 4).alias("corr_qty_price"),
+        rnd_nz(slope, 4).alias("slope"),
+        F.round(r2, 4).alias("r2"),
     )
 
 

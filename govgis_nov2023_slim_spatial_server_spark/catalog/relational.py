@@ -1313,8 +1313,11 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for HLL at rsd=0.01 — a ~10-sigma margin; the rsd is a standard
     deviation, not a worst-case bound, so the margin is chosen wide
     enough that a tail draw on regenerated testdata is beyond-astronomical
-    rather than merely unlikely; 5% for the p50, whose rank-accuracy
-    1e-4 IS a deterministic guarantee). The flags
+    rather than merely unlikely; for the p50 the bound is membership in
+    the [lower-middle, upper-middle] order-statistic interval — the form
+    GK's rank guarantee actually takes, since the sketch returns an
+    element while the exact median interpolates — union the 5% relative
+    band for dense groups). The flags
     are order-independent, so the oracle states them as 1 literals
     (emitted as BIGINT, a driver-proven output type, rather than BOOLEAN);
     the tight-tolerance assertions live in pytest, not the hash gate.
@@ -1328,6 +1331,17 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("__u_approx"),
         F.percentile("value", F.lit(0.5)).alias("__p50"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("__p50_approx"),
+        # order statistics adjacent to the true median: GK returns an
+        # ACTUAL element, so on a small even-sized group the exact
+        # (interpolated) median can sit far from ANY element — e.g. two
+        # values {0.01, 0.02} interpolate to 0.015, 33% from either — and
+        # a value-relative tolerance alone is simply a false claim (found
+        # by the random-events property gate). The honest bound: the
+        # sketch median lies within [lower-middle, upper-middle] (exact
+        # for n ≤ accuracy), widened by the 5% relative band for dense
+        # many-row groups where rank slack of n/accuracy crosses elements.
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("__p50_lo"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value DESC)").alias("__p50_hi"),
     )
     return a.select(
         "event_type",
@@ -1338,8 +1352,14 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("users_ok"),
         F.round("__p50", 4).alias("p50_exact"),
         (
-            F.abs(F.col("__p50_approx") - F.col("__p50"))
-            <= 0.05 * F.abs(F.col("__p50"))
+            (
+                (F.col("__p50_approx") >= F.col("__p50_lo"))
+                & (F.col("__p50_approx") <= F.col("__p50_hi"))
+            )
+            | (
+                F.abs(F.col("__p50_approx") - F.col("__p50"))
+                <= 0.05 * F.abs(F.col("__p50"))
+            )
         ).cast("long").alias("p50_ok"),
     )
 
@@ -1719,7 +1739,10 @@ def data_quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
 
     def _viol(col):
-        return F.sum(F.when(col, 1).otherwise(0)).cast("long")
+        # count-of-matches, not SUM(CASE): on an EMPTY table SUM is NULL
+        # while the oracle's COUNT(*) FILTER is 0 — an empty snapshot has
+        # zero violations, not unknown violations
+        return F.count(F.when(col, 1)).cast("long")
 
     # four rules = ONE scan pass (a single conditional aggregate), then a
     # 1-row stack-unpivot to the per-rule layout

@@ -130,6 +130,20 @@ def load_tables(
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every driver table as a temp view for the spark.sql path."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    """Register every driver table PRESENT in ``sf_dir`` as a temp view
+    for the spark.sql path. Tables whose parquet file is absent are
+    skipped rather than registered broken — a partial database (the
+    property harnesses write single tables; production datasets routinely
+    lack optional tables) can still serve SQL over what it has, and a
+    query touching a missing table fails at analysis with TABLE_NOT_FOUND
+    either way."""
+    import os
+
+    for name in DRIVER_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        else:
+            # drop any stale same-name view from a previous registration —
+            # silently serving another directory's data would be worse
+            # than TABLE_NOT_FOUND
+            spark.catalog.dropTempView(name)

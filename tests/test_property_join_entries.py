@@ -45,6 +45,14 @@ ENTRIES = [
     "spatial_join_overlap",
     "spatial_join_blocked",
     "spatial_join_exact",
+    # r6 coverage expansion: remaining multi-table oracle entries
+    "agg_distinct_stats",
+    "agg_rollup_region_nation",
+    "filter_caseins_topk",
+    "data_quality_checks_orders",
+    "reproject_mercator",
+    "spatial_knn_rect_centroids",
+    "sketch_bloom_join_counts",
     "spatial_grid_density",
 ]
 

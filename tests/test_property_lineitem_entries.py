@@ -26,6 +26,9 @@ ENTRIES = [
     "case_when_discount_buckets",
     "parallel_moments_merge",
     "try_funcs_dirty_data",
+    # r6 coverage expansion
+    "sql_surface_pricing",
+    "stats_corr_regression",
 ]
 
 FLAGS = ["A", "N", "R"]

@@ -40,6 +40,15 @@ ENTRIES = [
     "sample_deterministic_orders",
     "date_funcs_orders",
     "order_date_spine_counts",
+    # r6 coverage expansion: remaining orders-only oracle entries
+    "collect_sorted_priorities",
+    "split_train_val_test",
+    "skewed_agg_salted",
+    "table_checksum_orders",
+    "column_profile_orders",
+    "set_ops_all_variants",
+    "revenue_share_window",
+    "sketch_cms_priority_counts",
 ]
 
 STATUSES = ["O", "F", "P"]

@@ -57,6 +57,13 @@ ENTRIES = [
     "assoc_rules_event_pairs",
     "activity_islands_daily",
     "chi2_type_by_arm",
+    # r6 coverage expansion: remaining events-only oracle entries
+    "sliding_window_1h_30m",
+    "asof_join_purchase_signup",
+    "time_hierarchy_rollup",
+    "resample_ffill_15m",
+    "approx_stats_events",
+    "join_range_events_orders",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

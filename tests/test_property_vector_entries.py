@@ -56,6 +56,10 @@ ENTRIES = [
     "embedding_near_dup_blocked",
     "knn_int8_rerank",
     "stratified_sample_embeddings",
+    # r6 coverage expansion: embeddings-based graph/dedup/mixture entries
+    "pagerank_one_iter",
+    "dedup_components",
+    "domain_mixture_weights",
 ]
 
 
