@@ -70,6 +70,8 @@ ENTRIES = [
     "simhash_poly_signature",
     "minhash_neardup_oracle",
     "quality_curriculum_buckets",
+    "dedup_keep_best_doc",
+    "flagship_hybrid_search",
     "weighted_sample_by_quality",
 ]
 
@@ -93,6 +95,22 @@ def _write_docs(doc_tokens, dirname: str) -> None:
         }
     )
     df.to_parquet(os.path.join(dirname, "documents.parquet"), index=False)
+    # aligned embeddings (vec_id == doc_id): deterministic unit-ish
+    # vectors seeded per doc, few labels so blocking groups collide —
+    # lets the documents⋈embeddings entries (dedup_keep_best_doc) run on
+    # the same random corpus
+    import numpy as np
+
+    n = len(doc_tokens)
+    rng = np.random.default_rng(20240301)
+    emb = rng.normal(0.0, 0.125, size=(n, 64)).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(1, n + 1),
+            "embedding": [e.tolist() for e in emb],
+            "label": (np.arange(1, n + 1) % 3).astype(np.int32),
+        }
+    ).to_parquet(os.path.join(dirname, "embeddings.parquet"), index=False)
 
 
 def _normalize(rows):
@@ -119,9 +137,10 @@ def test_text_entry_matches_its_oracle_on_random_docs(spark, entry, doc_tokens):
             [tuple(r) for r in QUERIES[entry](spark, d).collect()]
         )
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
-        )
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
         want = _normalize(con.execute(ORACLES[entry]).fetchall())
         con.close()
         assert got == want
