@@ -1,0 +1,71 @@
+"""Proof ledger: per-entry latest driver-correctness round, computed from
+CORRECTNESS_r*.json — the input to each round's _DRIVER_PRIORITY rotation
+(CLAUDE.md "Driver correctness gate"). Prints:
+
+- entries never driver-graded (highest priority next round),
+- the staleness histogram (latest proof round -> count),
+- the oldest-proof entries in catalog order (the re-proof queue),
+- rows-only entries and their last refresh.
+
+Usage:
+    python tools/proof_ledger.py [--assume-next-green]
+
+--assume-next-green treats the CURRENT first-50 prefix as already proven
+in round N+1 (what the ledger looks like if the staged prefix goes green)
+— the view to use when staging the round AFTER next.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from collections import Counter
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assume-next-green", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    oracles = entry.oracle_sql()
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.split("_r")[1].split(".")[0])
+        rounds.append(rnd)
+        for k, row in json.load(open(f)).items():
+            # a graded row counts as a proof whether hash- or rows-only;
+            # FAILED rows count too (the failure was seen and fixed — the
+            # fix outranks re-proofs via the code-change rule instead)
+            latest[k] = rnd
+    cur = max(rounds) if rounds else 0
+    if args.assume_next_green:
+        for k in qs[:50]:
+            latest[k] = cur + 1
+
+    never = [n for n in qs if n not in latest]
+    hist = Counter(latest[n] for n in qs if n in latest)
+    print(f"catalog: {len(qs)} entries, {len(oracles)} oracles")
+    print(f"graded rounds seen: {rounds}")
+    print(f"never driver-graded ({len(never)}): {never}")
+    print("staleness histogram:", dict(sorted(hist.items())))
+
+    oldest = sorted((n for n in qs if n in latest), key=lambda n: latest[n])
+    print("\nre-proof queue (oldest first):")
+    for n in oldest:
+        if latest[n] >= cur + (1 if args.assume_next_green else 0):
+            break
+        tag = "" if n in oracles else "  [rows-only]"
+        print(f"  r{latest[n]}  {n}{tag}")
+
+
+if __name__ == "__main__":
+    main()
