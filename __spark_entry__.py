@@ -23,49 +23,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r05), so insertion order
-# decides which queries get correctness rows. r6 prefix: the entries that
-# landed AFTER the r5 prefix froze and have never received a driver
-# correctness row (the eval/audit wave, catalog/temporal.py,
-# catalog/ml_prep.py, both recall@10 audits, both store-balance
-# monitors), then the 6 entries whose CODE changed late in r5 but were
-# not in the r5 prefix (the exact-integer-units revenue fix and two
-# oracle guards). 47 post-freeze + 6 changed = 53 candidates for 50
-# slots; deferred to r7 are approx_topk_event_types,
-# dedup_threshold_sweep, and trimmed_stats_by_type — the three whose
-# mechanism sibling is already r5-green (approx_stats_events, the r4/r5
-# dedup trio, the percentile aggs) so they carry the least ungraded
-# risk. 44+6 = 50.
+# (verified key-by-key against CORRECTNESS_r01..r06), so insertion order
+# decides which queries get correctness rows. r7 prefix, exactly as the
+# r6 verdict + CLAUDE.md staged it: the 5 entries that have NEVER been
+# driver-graded (2 r6-late arrivals + 3 deferred from r6 to fit 50),
+# the 3 entries whose CODE changed in r6 outside the r6 prefix (the
+# property-expansion bug fixes: guarded co-moment corr/regr, honest
+# order-statistic approx-percentile bound, count-of-matches on empty
+# snapshots), the 3 rows-only entries whose last driver row is r1, then
+# 39 of the 44 r3-proven oracle entries (staleness re-proof). Deferred
+# to r8: flagship_hybrid_search + knn_topk (entry() smoke + bench every
+# round), ngram_jaccard_topk + tumbling_window_1h (bench headliners,
+# property-tested, green scale twins), embedding_near_dup (blocked twin
+# r4-green) — r8 = those 5 + all 45 r4-proven. The r7 ADVICE fixes
+# (stream_late_data_drop n>150 guard, register_temp_views URI probe,
+# degenerate-ring skip) are behavior-neutral at graded scale; their
+# entries were r6-green and spatial_join_exact (the only one whose
+# output path changed) is in this prefix.
 _DRIVER_PRIORITY = [
-    # never driver-graded: recall@10 audits of both ANN paths vs exact
-    # brute force, NDCG with label relevance, store-balance monitors
-    "ann_recall_at_10", "ivf_recall_at_10", "retrieval_ndcg_labels",
-    "lsh_bucket_balance", "ivf_cell_balance",
-    # never driver-graded: the ml_eval.py audit wave (all events-based)
-    "vocab_kl_train_val", "chi2_type_by_arm", "roc_auc_purchase_vs_view",
-    "calibration_bins_decile", "user_behavior_entropy",
-    "assoc_rules_event_pairs", "activity_islands_daily",
-    # never driver-graded: temporal / ml_prep / streaming / relational
-    # additions from the r5 build wave
-    "zscore_norms_by_label", "pagerank_one_iter", "ewma_value_by_user",
-    "attribution_last_touch", "scd2_intervals_user_type",
-    "wilson_ctr_bound", "cooccurrence_pmi_topk", "phrase_merge_apply",
-    "pca_power_iteration", "ngram_containment_topk",
-    "matryoshka_rerank_16", "hard_negative_mining",
-    "parallel_moments_merge", "mixture_temperature_schedule",
-    "stream_topk_types_per_window", "user_event_sequences",
-    "udaf_cents_total_by_type", "udtf_trigram_counts",
-    "kmeans_two_iterations", "graph_triangle_count",
-    "recursive_cte_chain_totals", "variant_props_stats",
-    "multimodal_audio_windows", "try_funcs_dirty_data",
-    "stream_late_data_drop", "markov_transition_matrix",
-    "target_encoding_smoothed", "psi_split_drift",
-    "incremental_dedup_merge", "dp_noisy_type_counts",
-    "ab_test_two_proportions", "spatial_grid_density",
-    # code changed late-r5, not in the r5 prefix → re-proof outranks
-    # unchanged entries (exact-units revenue fix; NULLIF / 0.0 guards)
-    "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
-    "sql_surface_pricing", "zipf_slope_unigrams", "repetition_filter",
+    # never driver-graded (local-gate green; each r6-deferred one had a
+    # green mechanism sibling graded in r6)
+    "ngram_containment_capped", "spatial_join_exact",
+    "approx_topk_event_types", "dedup_threshold_sweep",
+    "trimmed_stats_by_type",
+    # code changed in r6 outside the r6 prefix (random-corpus property
+    # expansion found and fixed latent cross-engine bugs in all three)
+    "stats_corr_regression", "approx_stats_events",
+    "data_quality_checks_orders",
+    # rows-only entries whose last driver row is r1
+    "knn_lsh_approx", "knn_ivf_approx", "simhash_neardup",
+    # staleness re-proof: r3-proven oracle entries (39 of 44; the other
+    # 5 are covered by entry()/bench every round or have green twins and
+    # open r8)
+    "agg_cube_status_priority", "agg_distinct_stats",
+    "agg_rollup_region_nation", "argmax_order_per_status",
+    "bm25_keyword_search", "collection_funcs_lineitem",
+    "column_profile_orders", "distinct_multi_agg_orders",
+    "doc_length_outliers", "domain_mixture_weights",
+    "full_outer_join_counts", "funnel_view_click_purchase",
+    "fuzzy_match_levenshtein", "grouping_sets_status_priority",
+    "join_anti_customers_no_orders", "join_outer_order_counts",
+    "join_range_events_orders", "join_semi_customers_with_orders",
+    "map_funcs_events", "min_cost_supplier_per_nation",
+    "oov_rate_top_vocab", "pack_sequences_512",
+    "percentiles_by_status", "pivot_status_priority",
+    "q12_priority_by_year", "rolling_1h_user_stats",
+    "session_windows_30m", "sliding_window_1h_30m",
+    "stream_dedup_user_type", "stream_interval_join_pairs",
+    "stream_sliding_event_counts", "table_checksum_orders",
+    "time_hierarchy_rollup", "unpivot_lineitem_measures",
+    "vector_stats_by_label", "window_lag_lead_events",
+    "window_ntile_quartiles", "window_rank_orders_per_customer",
+    "window_running_total",
 ]
 
 

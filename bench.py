@@ -30,6 +30,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# CORE_SET = the original r1–r5 headline set; its total is published as
+# "value_core_set" every round for like-for-like round-over-round
+# comparison even as HEADLINE grows.
+CORE_SET_END = 17
+
 HEADLINE = [
     "flagship_hybrid_search",
     "knn_topk",
@@ -171,40 +176,45 @@ def main() -> None:
     # quiet or busy moment in either direction.
     load_factor = round(statistics.median(canaries) / CANARY_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
-    # the headline set GREW in r6 (+5 queries) — "value" totals the full
-    # set, so publish the r1–r5 subset total too for round-over-round
+    # the headline set has GROWN since r5 — "value" totals the full set,
+    # so publish the original-set total too for round-over-round
     # like-for-like comparison
-    r5_set = HEADLINE[: HEADLINE.index("ann_recall_at_10")]
-    total_r5_set = round(sum(timings[n] for n in r5_set), 3)
+    core_set = HEADLINE[:CORE_SET_END]
+    total_core_set = round(sum(timings[n] for n in core_set), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "value_r5_headline_set": total_r5_set,
-                "headline_added_r6": HEADLINE[HEADLINE.index("ann_recall_at_10"):],
-                "queries": timings,
-                "queries_spread": spread,
-                "reps": reps,
-                "spatial_store_build_sec": ingest_sec,
-                "canary_sec": {
-                    "samples": canaries,
-                    "ref_idle": CANARY_REF_SEC,
-                },
-                "load_factor": load_factor,
-                "load_degraded": load_factor > 1.2,
-                "value_load_normalized": round(total / max(1.0, load_factor), 3),
-                "sf": sf_val,
-            }
-        )
-    )
+    # Detail (per-query spread, canary samples, set membership) goes to
+    # STDERR beside the per-pass lines: the driver tails only the last
+    # ~2000 chars of stdout, and a detail-laden final line outgrew that in
+    # r6 (BENCH_r06 "parsed": null). The stdout line must stay < ~1.9 KB.
+    detail = {
+        "queries_spread": spread,
+        "headline_added": HEADLINE[CORE_SET_END:],
+        "canary_sec": {"samples": canaries, "ref_idle": CANARY_REF_SEC},
+    }
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "value_core_set": total_core_set,
+        "queries": timings,
+        "reps": reps,
+        "spatial_store_build_sec": ingest_sec,
+        "load_factor": load_factor,
+        "load_degraded": load_factor > 1.2,
+        "value_load_normalized": round(total / max(1.0, load_factor), 3),
+        "sf": sf_val,
+    }
+    line = json.dumps(result)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail again
+        result.pop("queries")
+        line = json.dumps(result)
+    print(line)
     spark.stop()
 
 

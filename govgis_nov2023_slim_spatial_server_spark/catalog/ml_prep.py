@@ -418,7 +418,14 @@ def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair generation, ordering, and floor-rounding follow the uncapped
     entry exactly; set sizes are re-counted after the cap (a doc whose
-    shingles are all stop-shingles simply cannot appear in any pair)."""
+    shingles are all stop-shingles simply cannot appear in any pair).
+
+    Expected to cost MORE than the uncapped twin at local bench scale
+    (the df-aggregate + anti-join exceed what the cap saves on the
+    shipped uniform corpus) — that is not a regression to optimize away:
+    the cap's regime is hot-shingle corpora, where SCALING.md run 5
+    measures uncapped candidate pairs growing 54x/378x at 20x/60x rows
+    while capped stays exactly linear."""
     d = _t(spark, sf_dir, "documents")
     kept = _capped_shingle_hashes(ensure_min_partitions(d))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

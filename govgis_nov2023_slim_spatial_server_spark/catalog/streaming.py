@@ -421,9 +421,12 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     n = ev.count()
-    if n < 150:
+    # strictly > 150: at exactly 150 the a_bulk split (100 < rn <= n-50)
+    # is EMPTY, batch 0 would establish no watermark, and the documented
+    # one-trigger watermark lag means the stragglers would NOT be dropped
+    if n <= 150:
         raise AssertionError(
-            f"stream_late_data_drop needs >= 150 events for disjoint "
+            f"stream_late_data_drop needs > 150 events for non-empty "
             f"late(100)/bulk/tail(50) splits; got {n}"
         )
     ranked = ev.withColumn(

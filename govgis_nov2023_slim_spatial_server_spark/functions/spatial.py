@@ -273,10 +273,16 @@ def polygons_intersect(
     geometry sitting wholly inside the other's HOLE correctly reports
     false). Non-convexity is free — both halves are ring-wise."""
     for ra in pa:
+        # drop zero-point rings (and polys whose rings are all empty):
+        # _poly_bounds on a zero-size stack raises, and ra[0][0] below
+        # needs a real representative vertex — degenerate WKB must refine
+        # to False, not crash the UDF
+        ra = [r for r in ra if r.shape[0] > 0]
         if not ra:
             continue
         bxa = _poly_bounds(ra)
         for rb in pb:
+            rb = [r for r in rb if r.shape[0] > 0]
             if not rb:
                 continue
             bxb = _poly_bounds(rb)

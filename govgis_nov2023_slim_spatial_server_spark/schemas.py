@@ -139,11 +139,22 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     either way."""
     import os
 
+    from pyspark.errors import AnalysisException
+
+    # the os.path.exists probe is only meaningful for plain local paths;
+    # an hdfs:// / s3:// / file:-URI sf_dir must go through spark.read
+    # (where PATH_NOT_FOUND surfaces as AnalysisException)
+    local_fs = "://" not in sf_dir and not sf_dir.startswith("file:")
     for name in DRIVER_TABLES:
-        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        else:
+        if local_fs and not os.path.exists(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ):
             # drop any stale same-name view from a previous registration —
             # silently serving another directory's data would be worse
             # than TABLE_NOT_FOUND
+            spark.catalog.dropTempView(name)
+            continue
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except AnalysisException:
             spark.catalog.dropTempView(name)

@@ -23,8 +23,9 @@ def _first_sentence(doc: str) -> str:
             return text.replace("|", "\\|")
         nxt = text[j + 1 : j + 2]
         prev = text[max(0, j - 3) : j].lower()
-        if (nxt == "" or nxt == " ") and not prev.endswith(("e.g", "i.e")) and not (
-            nxt.isdigit() or (j > 0 and text[j - 1].isdigit() and nxt.isdigit())
+        # decimals ("3.14") never match: their nxt is a digit, not ''/' '.
+        if (nxt == "" or nxt == " ") and not prev.endswith(
+            ("e.g", "i.e", "etc", "vs")
         ):
             return text[:j].replace("|", "\\|")
         i = j + 1
