@@ -151,6 +151,117 @@ def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def _rect_store(spark, n: int, id_name: str, seed: int, hot: bool, out: str):
+    """Deterministic synthetic rect store with WKB geometry: n rects of
+    side 0.3–0.7 at constant density 2 rects per unit² (the store AREA
+    grows with n — the 100 TB geography model: more coverage, same local
+    density). With ``hot``, 5% of rects are instead dropped into the ONE
+    grid cell [0,2)² regardless of n — the urban-skew regime where that
+    cell's candidate pairs grow quadratically while the rest stay linear
+    (the spatial analog of run 5's hot-shingle corpus)."""
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        make_box_wkb_udf,
+    )
+
+    L = math.sqrt(n / 2.0)
+
+    def u(k):  # deterministic uniform [0,1) per id, decorrelated by k
+        return (
+            F.pmod(F.hash(F.col(id_name) * 2654435761 + F.lit(seed * 7 + k)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+
+    df = spark.range(n).select(F.col("id").alias(id_name))
+    x0 = u(1) * F.lit(L)
+    y0 = u(2) * F.lit(L)
+    if hot:
+        in_hot = F.col(id_name) % 20 == 0
+        x0 = F.when(in_hot, u(1) * 1.3).otherwise(x0)
+        y0 = F.when(in_hot, u(2) * 1.3).otherwise(y0)
+    df = df.select(
+        id_name,
+        x0.alias("xmin"),
+        y0.alias("ymin"),
+        (x0 + 0.3 + u(3) * 0.4).alias("xmax"),
+        (y0 + 0.3 + u(4) * 0.4).alias("ymax"),
+    )
+    df = df.withColumn(
+        "geom_wkb",
+        make_box_wkb_udf()(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _spatial_mode(spark, repeats: int) -> None:
+    """Measure spatial_join_exact's mechanism (blocked bbox join + exact
+    polygon refine) at 1x/20x/60x rect stores: candidate-pair counts
+    (cell-join pairs = shuffle volume; bbox survivors = refine input) and
+    wall time, uniform and hot-cell regimes. VERDICT r6 #5."""
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        make_polys_intersect_udf,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+        grid_blocked_overlap_join,
+    )
+
+    base = 2000
+    rows = []
+    for hot in (False, True):
+        for mult in (1, 20, 60):
+            n = base * mult
+            l = _rect_store(spark, n, "lid", 11, hot, f"{WORK}/sl_{hot}_{mult}")
+            r = _rect_store(spark, n, "rid", 29, hot, f"{WORK}/sr_{hot}_{mult}")
+            cand = grid_blocked_overlap_join(l, r, cell=2.0)
+            n_bbox, t_blocked = 0, math.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                n_bbox = cand.count()
+                t_blocked = min(t_blocked, time.perf_counter() - t0)
+            if hot and mult > 1:
+                # run-5 convention: in the skew regime the scale-telling
+                # quantity is the candidate count (native, cheap); the
+                # refine wall-time at 60x hot is minutes of pure known
+                # Python work over the quadratic hot cell
+                t_exact, n_exact = math.inf, -1
+            else:
+                exact = cand.where(
+                    make_polys_intersect_udf()(
+                        F.col("geom_wkb"), F.col("geom_wkb_r")
+                    )
+                )
+                t_exact, n_exact = math.inf, 0
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    n_exact = exact.count()
+                    t_exact = min(t_exact, time.perf_counter() - t0)
+            rows.append((hot, mult, n, n_bbox, t_blocked, n_exact, t_exact))
+            print(
+                f"hot={hot} x{mult}: n={n} bbox_pairs={n_bbox} "
+                f"t_blocked={t_blocked:.2f}s exact_pairs={n_exact} "
+                f"t_exact={t_exact:.2f}s"
+            )
+    print("\n| regime | N | rects/side | bbox pairs | growth | t_blocked s | exact pairs | t_exact s |")
+    print("|---|---|---|---|---|---|---|---|")
+    base_pairs = {}
+    for hot, mult, n, n_bbox, t_b, n_ex, t_ex in rows:
+        if mult == 1:
+            base_pairs[hot] = n_bbox
+        g = n_bbox / max(1, base_pairs[hot])
+        te = "—" if t_ex == math.inf else f"{t_ex:.2f}"
+        ne = "—" if n_ex < 0 else str(n_ex)
+        print(
+            f"| {'hot-cell' if hot else 'uniform'} | {mult} | {n} | {n_bbox} "
+            f"| {g:.1f}x | {t_b:.2f} | {ne} | {te} |"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs-reps", type=int, default=20)
@@ -167,7 +278,23 @@ def main() -> None:
         help="give 5%% of documents a shared preamble whose shingle df "
         "grows Nx — the adversarial regime for uncapped shingle joins",
     )
+    ap.add_argument(
+        "--spatial",
+        action="store_true",
+        help="measure the spatial_join_exact mechanism on synthetic rect "
+        "stores (uniform + hot-cell regimes) instead of catalog queries",
+    )
     args = ap.parse_args()
+    if args.spatial:
+        from govgis_nov2023_slim_spatial_server_spark.session import get_spark
+
+        spark = get_spark(app_name="scale-rehearsal-spatial")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            _spatial_mode(spark, args.repeats)
+        finally:
+            shutil.rmtree(WORK, ignore_errors=True)
+        return
     if args.only:
         pats = [p.strip() for p in args.only.split(",") if p.strip()]
         global QUERIES_UNDER_TEST
