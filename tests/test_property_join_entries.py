@@ -54,6 +54,12 @@ ENTRIES = [
     "spatial_knn_rect_centroids",
     "sketch_bloom_join_counts",
     "spatial_grid_density",
+    # r7: the last fact-fact entry outside the property gate — bucketed
+    # write + shuffle-free join must equal the plain join on ANY database
+    # (incl. empty orders/lineitem, dangling keys); the bucketed layout
+    # is physical-plan-only, so this also guards the tmp-warehouse
+    # round-trip (pid-named tables, atexit cleanup)
+    "bucketed_join_revenue",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

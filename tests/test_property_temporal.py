@@ -128,6 +128,63 @@ def test_entry_matches_its_oracle_on_random_events(spark, entry, rows):
         assert got == want
 
 
+@st.composite
+def late_stream(draw):
+    """Event stream satisfying stream_late_data_drop's documented data
+    contract — the earliest 100 events (the stragglers) sit a full time
+    regime (≥ 5 h) below the bulk, so the batch-0 watermark provably
+    exceeds every straggler even through the one-trigger filter lag —
+    while everything else (user spread, ts ties, window occupancy, bulk
+    size, event_id/ts correlation) is adversarially random. Recent span
+    is capped at 2 h so no nonempty window's end can ever EQUAL the
+    final watermark (end == wm needs span > 2 h), keeping the emission
+    boundary away from engine-specific tie semantics the entry does not
+    claim."""
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=3600),
+        st.sampled_from(TYPES),
+        st.integers(min_value=1, max_value=49999),
+    )
+    old = draw(st.lists(ev, min_size=100, max_size=100))
+    recent_ev = st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=21600, max_value=28800),
+        st.sampled_from(TYPES),
+        st.integers(min_value=1, max_value=49999),
+    )
+    recent = draw(st.lists(recent_ev, min_size=51, max_size=120))
+    rows = old + recent
+    if draw(st.booleans()):  # decorrelate event_id from ts
+        rows = rows[::-1]
+    return rows
+
+
+@settings(
+    max_examples=3, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=late_stream())
+def test_stream_late_data_drop_matches_oracle_on_random_streams(spark, rows):
+    """REAL 3-micro-batch execution with genuinely late stragglers on a
+    random stream: the watermark must drop all 100 earliest events and
+    append mode must emit exactly the windows finalized below the final
+    watermark — matching the entry's own batch-SQL oracle row-for-row."""
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(rows, d)
+        got = _normalize(
+            [tuple(r) for r in QUERIES["stream_late_data_drop"](spark, d).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = _normalize(
+            con.execute(ORACLES["stream_late_data_drop"]).fetchall()
+        )
+        con.close()
+        assert got == want
+
+
 STREAM_ENTRIES = [
     "stream_tumbling_event_counts",
     "stream_sliding_event_counts",
