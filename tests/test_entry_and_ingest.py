@@ -57,3 +57,31 @@ def test_ingest_roundtrip(spark, tmp_path):
 def test_derive_bbox_idempotent(spark):
     df = make_layers_df(spark, n=10)
     assert derive_bbox(df) is df  # bbox already present → no-op
+
+
+def test_register_temp_views_file_uri_and_partial_db(spark, sf_dir, tmp_path):
+    """register_temp_views must work for a file:-URI sf_dir (the
+    os.path.exists shortcut is local-path-only — r6 ADVICE: an hdfs://
+    or s3:// dir would otherwise silently register nothing) and must
+    drop stale views for tables absent from a partial directory."""
+    from govgis_nov2023_slim_spatial_server_spark.schemas import register_temp_views
+
+    # full registration through a file: URI
+    register_temp_views(spark, "file://" + sf_dir)
+    assert spark.table("orders").count() > 0
+    assert spark.table("documents").count() > 0
+
+    # partial local dir: present table re-registered, absent ones dropped
+    import shutil
+
+    shutil.copy(f"{sf_dir}/orders.parquet", tmp_path / "orders.parquet")
+    register_temp_views(spark, str(tmp_path))
+    assert spark.table("orders").count() > 0
+    assert not spark.catalog.tableExists("documents")
+
+    # partial dir through a file: URI: absent tables must ALSO end up
+    # dropped (via the AnalysisException path, not the exists probe)
+    register_temp_views(spark, "file://" + sf_dir)  # re-register all
+    register_temp_views(spark, "file://" + str(tmp_path))
+    assert spark.table("orders").count() > 0
+    assert not spark.catalog.tableExists("documents")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
@@ -747,21 +748,25 @@ def test_recursive_cte_final_total_with_negative_cents(spark, tmp_path):
     assert got["total_cents"] == 25
 
 
-def test_stream_late_data_drop_guards_tiny_tables(spark, tmp_path):
-    """<150 events would make the late/tail staging files overlap; the
-    entry must fail loudly instead of silently double-counting."""
+@pytest.mark.parametrize("n", [120, 150])
+def test_stream_late_data_drop_guards_tiny_tables(spark, tmp_path, n):
+    """<150 events would make the late/tail staging files overlap, and
+    EXACTLY 150 would make the watermark-establishing bulk split empty
+    (so the one-trigger filter lag would never drop the stragglers);
+    the entry must fail loudly on both instead of silently passing a
+    stream that proves nothing."""
     import pandas as pd
     import pytest as _pytest
 
     base = pd.Timestamp("2024-03-01 00:00:00")
     df = pd.DataFrame(
         {
-            "event_id": range(1, 121),
-            "ts": [base + pd.Timedelta(seconds=i) for i in range(120)],
-            "user_id": [1] * 120,
-            "event_type": ["view"] * 120,
-            "value": [1.0] * 120,
-            "props": ['{"k": 1}'] * 120,
+            "event_id": range(1, n + 1),
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["view"] * n,
+            "value": [1.0] * n,
+            "props": ['{"k": 1}'] * n,
         }
     )
     df["ts"] = df["ts"].astype("datetime64[us]")
