@@ -954,9 +954,14 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = _assign_best(
         e, [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in seeds]
     )
-    n1 = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_iter1"))
     # M-step: per-dim mean quantized to the shared 1/1024 grid (bounded
-    # k×dim collect — same driver-state pattern as the IVF seeds).
+    # k×dim collect — same driver-state pattern as the IVF seeds). The
+    # SAME aggregation carries the iteration-1 member counts (cnt at
+    # pos 0 = rows per cid — embeddings are fixed-dim dense by table
+    # contract), so assignment 1 is computed exactly ONCE and n_iter1
+    # joins back as a k-entry literal map instead of a second pass over
+    # the corpus plus a join (measured: the former a1 checkpoint/
+    # recompute was ~0.5 s of the 2.4 s entry at sf0.1).
     # Generalizing to N iterations: loop assign→collect→assign, but
     # localCheckpoint each assignment first — without it every iteration
     # re-plans the WHOLE lineage from the scan, so plan size (and
@@ -966,25 +971,41 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         a1.select("cid", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cid", "pos")
         .agg(
-            (F.floor(F.avg(F.col("x").cast("double")) * 1024.0 + F.lit(0.5)) / 1024.0).alias("cx")
+            (F.floor(F.avg(F.col("x").cast("double")) * 1024.0 + F.lit(0.5)) / 1024.0).alias("cx"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .collect()
     )
     by_cid: dict[int, dict[int, float]] = {}
+    n1: dict[int, int] = {}
     for r in m:
         by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"]
+        if r["pos"] == 0:
+            n1[r["cid"]] = r["cnt"]
     cents1 = [
         (cid, [dims[i] for i in range(len(dims))])
         for cid, dims in sorted(by_cid.items())
     ]
-    a2 = _assign_best(e, cents1)
-    out = a2.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_iter2"),
-        F.round(F.avg("dist"), 4).alias("avg_dist2"),
+    n1_map = F.create_map(
+        *[
+            F.lit(x).cast("long")
+            for cid in sorted(n1)
+            for x in (cid, n1[cid])
+        ]
     )
+    a2 = _assign_best(e, cents1)
     return (
-        out.join(F.broadcast(n1), "cid")
-        .select("cid", "n_iter1", "n_iter2", "avg_dist2")
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_iter2"),
+            F.round(F.avg("dist"), 4).alias("avg_dist2"),
+        )
+        .select(
+            "cid",
+            F.element_at(n1_map, F.col("cid")).alias("n_iter1"),
+            "n_iter2",
+            "avg_dist2",
+        )
         .orderBy("cid")
     )
 
