@@ -67,6 +67,10 @@ QUERIES_UNDER_TEST = {
     "ngram_containment_capped": (["documents"], "docs"),
     "scd2_intervals_user_type": (["events"], "fact"),
     "pca_power_iteration": (["embeddings"], "docs"),
+    # r7: the two bench headliners without a SCALING row — the bounded
+    # driver-state iterative loop and the shifted-slice bigram LM
+    "kmeans_two_iterations": (["embeddings"], "docs"),
+    "bigram_lm_cross_entropy": (["documents"], "docs"),
 }
 
 
