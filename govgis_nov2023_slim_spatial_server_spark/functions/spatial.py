@@ -78,6 +78,9 @@ def wkb_point(x: float, y: float) -> bytes:
 
 def _read_header(buf: memoryview, off: int) -> tuple[str, int, int]:
     """Return (endianness char, base geometry type, new offset)."""
+    if off >= len(buf):  # buf[off] would raise IndexError, which the
+        # refine UDFs' (ValueError, struct.error) handlers don't convert
+        raise ValueError("truncated WKB: missing byte-order byte")
     byte_order = buf[off]
     endian = "<" if byte_order == 1 else ">"
     (gtype,) = struct.unpack_from(endian + "I", buf, off + 1)
@@ -112,11 +115,21 @@ def _parse_points(buf: memoryview, off: int, endian: str) -> tuple[np.ndarray, i
     return arr.reshape(npts, 2), off + npts * 16
 
 
-def _parse_geom(buf: memoryview, off: int) -> tuple[list[list[np.ndarray]], int]:
+def _parse_geom(
+    buf: memoryview, off: int, depth: int = 0
+) -> tuple[list[list[np.ndarray]], int]:
     """Parse one geometry at ``off`` → (polygons, new offset). Non-areal
     geometries (Point/LineString and their multis) become degenerate
     "polygons" — an UNCLOSED vertex array: correct for bounds, no interior
-    for containment."""
+    for containment.
+
+    ``depth`` bounds GEOMETRYCOLLECTION nesting: ~9 bytes per level of
+    crafted WKB would otherwise drive Python recursion past its limit,
+    and RecursionError is NOT in the (ValueError, struct.error) set the
+    refine UDFs convert to refine-to-False — malformed input must never
+    crash an executor task. Real data nests 1-2 levels; 32 is generous."""
+    if depth > 32:
+        raise ValueError("WKB geometry nesting exceeds depth 32")
     endian, base, off = _read_header(buf, off)
     if base == _WKB_POINT:
         x, y = struct.unpack_from(endian + "dd", buf, off)
@@ -133,7 +146,7 @@ def _parse_geom(buf: memoryview, off: int) -> tuple[list[list[np.ndarray]], int]
         off += 4
         polys: list[list[np.ndarray]] = []
         for _ in range(ngeom):
-            sub, off = _parse_geom(buf, off)
+            sub, off = _parse_geom(buf, off, depth + 1)
             polys.extend(sub)
         return polys, off
     raise ValueError(f"unsupported WKB geometry type {base}")
@@ -158,7 +171,10 @@ def wkb_bounds(wkb: bytes | None) -> tuple[float, float, float, float] | None:
         polys = parse_wkb_polygons(bytes(wkb))
     except (ValueError, struct.error):
         return None
-    pts = np.vstack([r for poly in polys for r in poly])
+    rings = [r for poly in polys for r in poly if r.shape[0] > 0]
+    if not rings:  # parseable but empty (0-ring polygon, empty collection)
+        return None
+    pts = np.vstack(rings)
     return (
         float(pts[:, 0].min()),
         float(pts[:, 1].min()),

@@ -183,3 +183,47 @@ def test_wkb_linestring_and_collections_tolerated():
     assert wkb_bounds(gc) == (0.0, 0.0, 9.0, 9.0)
     # truly malformed bytes still degrade to None, never raise
     assert wkb_bounds(b"\x01\xff\xff") is None
+
+
+def test_malformed_wkb_never_crashes_predicates():
+    """The refine UDFs convert parse failures to refine-to-False via
+    (ValueError, struct.error) — so the parser must only ever raise those
+    on ARBITRARY bytes: truncated buffers, huge claimed counts (frombuffer
+    must reject, never allocate), unknown types/endianness, and crafted
+    deep GEOMETRYCOLLECTION nesting (bounded at depth 32; RecursionError
+    would crash an executor task)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        point_in_polygon_wkb,
+        polygons_intersect_wkb,
+        wkb_bounds,
+        wkb_polygon,
+    )
+
+    square = wkb_polygon([[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]])
+
+    adversarial = [
+        b"",
+        b"\x01",
+        b"\x01\x03\x00\x00",  # truncated header
+        _struct.pack("<BI", 1, 3),  # polygon, no ring count
+        _struct.pack("<BII", 1, 3, 0xFFFFFFFF),  # 4G rings claimed
+        _struct.pack("<BIII", 1, 3, 1, 0xFFFFFFFF),  # 4G points claimed
+        _struct.pack("<BI", 1, 99),  # unknown geometry type
+        _struct.pack(">BI", 0, 3) + b"\x00" * 8,  # big-endian truncated
+        # 2000-deep nested GEOMETRYCOLLECTION (each level 9 bytes): must
+        # raise ValueError at the depth bound, not RecursionError
+        _struct.pack("<BII", 1, 7, 1) * 2000,
+    ]
+    rng = np.random.RandomState(99)
+    fuzz = [rng.bytes(int(rng.randint(1, 120))) for _ in range(300)]
+
+    for w in adversarial + fuzz:
+        # predicates must return a bool, never raise
+        assert polygons_intersect_wkb(w, square) in (True, False)
+        assert polygons_intersect_wkb(square, w) in (True, False)
+        assert point_in_polygon_wkb(w, 1.0, 1.0) in (True, False)
+        wkb_bounds(w)  # None or a tuple, never an exception
