@@ -118,3 +118,28 @@ def test_fingerprint_normalization(spark):
     df = spark.createDataFrame([(1, "Some Text"), (2, "some  text")], "id: long, t: string")
     vals = [r["fp"] for r in df.select(fingerprint_udf()(F.col("t")).alias("fp")).collect()]
     assert vals[0] == vals[1] == fingerprint_str("some text")
+
+
+def test_html_to_markdown_never_raises_on_pathological_input():
+    """The converter's contract is best-effort-never-raises (it runs in a
+    pandas UDF): deep nesting (recursion unwinds into the tag-strip
+    fallback), unclosed/mismatched tag soup, and random byte-soup strings
+    must all return a string."""
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.text import (
+        html_to_markdown_str,
+    )
+
+    deep = "<div>" * 5000 + "x" + "</div>" * 5000
+    out = html_to_markdown_str(deep)
+    assert isinstance(out, str) and "x" in out and "<div>" not in out
+
+    rng = np.random.RandomState(7)
+    frags = ["<b>", "</i>", "<li>", "<pre>", "&amp;", "<", ">", '"', "a ", "\n"]
+    for _ in range(200):
+        s = "".join(
+            frags[int(rng.randint(0, len(frags)))]
+            for _ in range(int(rng.randint(0, 60)))
+        )
+        assert html_to_markdown_str(s) is not None
