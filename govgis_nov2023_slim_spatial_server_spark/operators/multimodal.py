@@ -149,6 +149,10 @@ def audio_window_stats(
         for pdf in batches:
             ids, widx, nsamp, sums, peaks = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload = zero windows, like
+                    # the siblings' None guards and the oracle's NULL
+                    # fan-out (frombuffer(None) would raise TypeError)
+                    continue
                 samples = np.frombuffer(payload, dtype=np.uint8)
                 # An empty payload emits ZERO windows (ceil(0/w) = 0) —
                 # matching the oracle's generate_series fan-out; a

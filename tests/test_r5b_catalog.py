@@ -690,18 +690,20 @@ def _oracle_rows(sql: str, view: str, path: str):
 def test_audio_windows_empty_payload_emits_no_rows(spark, tmp_path):
     """An empty document must fan out to ZERO windows on both engines
     (ceil(0/256) = 0) — the synthesized zero-sample window the operator
-    used to emit would double the row count vs the oracle."""
+    used to emit would double the row count vs the oracle. A NULL text
+    (→ NULL payload) must likewise emit zero windows, not crash the
+    mapInPandas worker (np.frombuffer(None) raises TypeError)."""
     import pandas as pd
 
     from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES
 
     pd.DataFrame(
         {
-            "doc_id": [1, 2],
-            "text": ["", "abc"],
-            "lang": ["en", "en"],
-            "source": ["s", "s"],
-            "n_chars": [0, 3],
+            "doc_id": [1, 2, 3],
+            "text": ["", "abc", None],
+            "lang": ["en", "en", "en"],
+            "source": ["s", "s", "s"],
+            "n_chars": [0, 3, 0],
         }
     ).to_parquet(tmp_path / "documents.parquet", index=False)
     rows = _run(spark, str(tmp_path), "multimodal_audio_windows").collect()
