@@ -379,3 +379,41 @@ def test_degenerate_wkb_refines_false_not_crash():
     # zero-ring polygon too
     no_rings = struct.pack("<BII", 1, 3, 0)
     assert polygons_intersect_wkb(no_rings, square) is False
+
+
+def test_point_containment_matches_exact_integer_reference():
+    """Direct randomized check of `_polys_contain_point` (the even-odd
+    ray-cast behind every spatial refine) against the exact integer
+    reference: random degenerate-rich polygons x random integer points.
+    Points lying EXACTLY on a boundary segment are excluded — the
+    float ray-cast does not promise a side for on-edge points (the
+    refine pipeline never sees them: boundary hits are caught by the
+    segment-intersection phase first)."""
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        _polys_contain_point,
+    )
+
+    def on_boundary(rings, x, y):
+        for ring in rings:
+            for p, q in zip(ring[:-1], ring[1:]):
+                if _ref_orient(p, q, (x, y)) == 0 and _ref_on_seg(p, q, (x, y)):
+                    return True
+            if len(ring) < 4 or ring[0] != ring[-1]:  # degenerate: vertex set
+                if (x, y) in ring:
+                    return True
+        return False
+
+    rng = np.random.RandomState(4321)
+    checked = inside_n = 0
+    for trial in range(600):
+        poly = _gen_poly(rng, 0, 0)
+        x, y = int(rng.randint(-5, 6)), int(rng.randint(-5, 6))
+        if on_boundary(poly, x, y):
+            continue
+        want = _ref_point_in_rings(poly, x, y)
+        got = _polys_contain_point([_np_poly(poly)], float(x), float(y))
+        assert got == want, (trial, poly, (x, y), want, got)
+        checked += 1
+        inside_n += want
+    assert checked > 400  # boundary exclusions must not hollow the test
+    assert inside_n > 30  # and both outcomes must actually occur
