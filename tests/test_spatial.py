@@ -227,3 +227,20 @@ def test_malformed_wkb_never_crashes_predicates():
         assert polygons_intersect_wkb(square, w) in (True, False)
         assert point_in_polygon_wkb(w, 1.0, 1.0) in (True, False)
         wkb_bounds(w)  # None or a tuple, never an exception
+
+
+def test_mercator_roundtrip_randomized():
+    """Forward→inverse identity over the full valid domain (web-mercator
+    clips latitude at ±85.051129°): 2000 random points, 1e-9° tolerance
+    (≈ 0.1 mm) — catches any drift in the hand-rolled ln/tan/atan/exp
+    forms that three fixed points cannot."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    lons = rng.uniform(-180.0, 180.0, 2000)
+    lats = rng.uniform(-85.0, 85.0, 2000)
+    for lon, lat in zip(lons, lats):
+        x, y = lonlat_to_mercator(float(lon), float(lat))
+        lon2, lat2 = mercator_to_lonlat(x, y)
+        assert abs(lon2 - lon) < 1e-9
+        assert abs(lat2 - lat) < 1e-9
