@@ -8,11 +8,18 @@ CORRECTNESS_r*.json — the input to each round's _DRIVER_PRIORITY rotation
 - rows-only entries and their last refresh.
 
 Usage:
-    python tools/proof_ledger.py [--assume-next-green]
+    python tools/proof_ledger.py [--assume-next-green] [--check-prefix]
 
 --assume-next-green treats the CURRENT first-50 prefix as already proven
 in round N+1 (what the ledger looks like if the staged prefix goes green)
 — the view to use when staging the round AFTER next.
+
+--check-prefix audits the CURRENT first-50 prefix against the ledger:
+every never-driver-graded entry MUST be in it (exit 1 otherwise — there
+is never a reason to leave an ungraded entry out), and every entry
+OLDER than the prefix's freshest member that was left out is listed for
+conscious confirmation (deferrals are legitimate — bench/entry()-covered
+entries, code-changed jumps — but must be deliberate, not missed).
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ sys.path.insert(0, ".")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--assume-next-green", action="store_true")
+    ap.add_argument("--check-prefix", action="store_true")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -65,6 +73,27 @@ def main() -> None:
             break
         tag = "" if n in oracles else "  [rows-only]"
         print(f"  r{latest[n]}  {n}{tag}")
+
+    if args.check_prefix:
+        prefix = set(qs[:50])
+        missing_never = [n for n in never if n not in prefix]
+        freshest_in = max((latest[n] for n in qs[:50] if n in latest), default=0)
+        deferred = [
+            (latest[n], n)
+            for n in qs[50:]
+            if n in latest and latest[n] < freshest_in
+        ]
+        print(f"\nprefix check: freshest prefix member proof = r{freshest_in}")
+        if deferred:
+            print("deferred-older entries (confirm each is deliberate):")
+            for rnd, n in sorted(deferred):
+                print(f"  r{rnd}  {n}")
+        else:
+            print("no entry older than the prefix's freshest member is left out")
+        if missing_never:
+            print(f"FAIL: never-graded entries outside the prefix: {missing_never}")
+            sys.exit(1)
+        print("OK: all never-graded entries are in the prefix")
 
 
 if __name__ == "__main__":
