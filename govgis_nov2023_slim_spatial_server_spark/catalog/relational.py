@@ -627,7 +627,12 @@ def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from a string column with typed cast."""
+    """JSON path extraction from a string column with typed cast.
+
+    `props` is valid JSON by table contract; outside it the engines
+    diverge by design (Spark's get_json_object nulls malformed input,
+    DuckDB's json_extract_string errors) — the dirty-data-tolerant
+    surface is `try_funcs_dirty_data`, not this entry."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
