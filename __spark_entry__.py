@@ -23,58 +23,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r06), so insertion order
-# decides which queries get correctness rows. r7 prefix, exactly as the
-# r6 verdict + CLAUDE.md staged it: the 5 entries that have NEVER been
-# driver-graded (2 r6-late arrivals + 3 deferred from r6 to fit 50),
-# the 3 entries whose CODE changed in r6 outside the r6 prefix (the
-# property-expansion bug fixes: guarded co-moment corr/regr, honest
-# order-statistic approx-percentile bound, count-of-matches on empty
-# snapshots), the 3 rows-only entries whose last driver row is r1, then
-# 39 of the 44 r3-proven oracle entries (staleness re-proof). Deferred
-# to r8: flagship_hybrid_search + knn_topk (entry() smoke + bench every
-# round), ngram_jaccard_topk + tumbling_window_1h (bench headliners,
-# property-tested, green scale twins), embedding_near_dup (blocked twin
-# r4-green) — r8 = those 5 + all 45 r4-proven. The r7 ADVICE fixes
-# (stream_late_data_drop n>150 guard, register_temp_views URI probe,
-# degenerate-ring skip) are behavior-neutral at graded scale; their
-# entries were r6-green and spatial_join_exact (the only one whose
-# output path changed) is in this prefix.
+# (verified key-by-key against CORRECTNESS_r01..r07), so insertion order
+# decides which queries get correctness rows. r8 prefix, EXACTLY as the
+# r7 verdict + CLAUDE.md staged it (CLAUDE.md "r8 PREFIX" is the single
+# source of truth; confirmed vs the post-r7 ledger via
+# `tools/proof_ledger.py --assume-next-green`): the 5 r3-proven entries
+# deferred from r7 (flagship/knn_topk covered by entry()+bench every
+# round, ngram_jaccard_topk/tumbling_window_1h bench headliners,
+# embedding_near_dup's blocked twin r4-green), then ALL 43 r4-proven
+# entries (the final staleness-re-proof leg — after a green r8 no
+# entry's latest proof predates r5), then the 2 entries whose CODE
+# changed in r7 (kmeans_two_iterations: single-pass M-step;
+# multimodal_audio_windows: NULL-payload guard). Code changed in r8
+# jumps this queue as always.
 _DRIVER_PRIORITY = [
-    # never driver-graded (local-gate green; each r6-deferred one had a
-    # green mechanism sibling graded in r6)
-    "ngram_containment_capped", "spatial_join_exact",
-    "approx_topk_event_types", "dedup_threshold_sweep",
-    "trimmed_stats_by_type",
-    # code changed in r6 outside the r6 prefix (random-corpus property
-    # expansion found and fixed latent cross-engine bugs in all three)
-    "stats_corr_regression", "approx_stats_events",
-    "data_quality_checks_orders",
-    # rows-only entries whose last driver row is r1
-    "knn_lsh_approx", "knn_ivf_approx", "simhash_neardup",
-    # staleness re-proof: r3-proven oracle entries (39 of 44; the other
-    # 5 are covered by entry()/bench every round or have green twins and
-    # open r8)
-    "agg_cube_status_priority", "agg_distinct_stats",
-    "agg_rollup_region_nation", "argmax_order_per_status",
-    "bm25_keyword_search", "collection_funcs_lineitem",
-    "column_profile_orders", "distinct_multi_agg_orders",
-    "doc_length_outliers", "domain_mixture_weights",
-    "full_outer_join_counts", "funnel_view_click_purchase",
-    "fuzzy_match_levenshtein", "grouping_sets_status_priority",
-    "join_anti_customers_no_orders", "join_outer_order_counts",
-    "join_range_events_orders", "join_semi_customers_with_orders",
-    "map_funcs_events", "min_cost_supplier_per_nation",
-    "oov_rate_top_vocab", "pack_sequences_512",
-    "percentiles_by_status", "pivot_status_priority",
-    "q12_priority_by_year", "rolling_1h_user_stats",
-    "session_windows_30m", "sliding_window_1h_30m",
-    "stream_dedup_user_type", "stream_interval_join_pairs",
-    "stream_sliding_event_counts", "table_checksum_orders",
-    "time_hierarchy_rollup", "unpivot_lineitem_measures",
-    "vector_stats_by_label", "window_lag_lead_events",
-    "window_ntile_quartiles", "window_rank_orders_per_customer",
-    "window_running_total",
+    # r3-proven, deferred from the r7 prefix
+    "flagship_hybrid_search", "knn_topk", "embedding_near_dup",
+    "ngram_jaccard_topk", "tumbling_window_1h",
+    # staleness re-proof: all 43 r4-proven entries
+    "knn_lsh_oracle", "similarity_join_topk",
+    "embedding_near_dup_blocked", "minhash_neardup_oracle",
+    "fingerprint_dup_groups", "token_counts", "doc_quality",
+    "lang_id_stopwords", "inverted_index_postings",
+    "corpus_stats_documents", "bigram_top_counts",
+    "quality_curriculum_buckets", "dedup_retention_summary",
+    "exists_correlated_bigqty", "scalar_subquery_above_avg",
+    "cross_join_region_nation", "having_populous_nations",
+    "collect_sorted_priorities", "case_when_discount_buckets",
+    "explode_embedding_dims", "vector_centroids_by_label",
+    "knn_euclidean", "dot_product_ranking", "char_ngram_counts",
+    "stopword_ratio_en", "kmeans_assign_step",
+    "mad_totalprice_by_status", "bitwise_aggs_orders",
+    "token_length_histogram", "weighted_sample_by_quality",
+    "json_extract_events", "dedup_first_event_per_key",
+    "asof_join_purchase_signup", "window_percent_rank_prices",
+    "user_retention_cohorts", "set_ops_all_variants",
+    "null_safe_join_counts", "resample_ffill_15m",
+    "order_date_spine_counts", "rank_with_ties_topk",
+    "revenue_share_window", "spatial_point_filter",
+    "spatial_knn_rect_centroids",
+    # code changed in r7 (jump the queue per the rotation rule)
+    "kmeans_two_iterations", "multimodal_audio_windows",
 ]
 
 

@@ -1002,7 +1002,15 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "cid",
-            F.element_at(n1_map, F.col("cid")).alias("n_iter1"),
+            # try_element_at, not element_at: under ANSI a missing key is
+            # a hard MAP_KEY_DOES_NOT_EXIST error. The covering invariant
+            # (every a2 cid appeared in a1) holds for dense fixed-dim
+            # embeddings, but a cid with zero iteration-1 members must
+            # degrade to the oracle's correlated-COUNT answer (0), not
+            # crash the job.
+            F.coalesce(
+                F.try_element_at(n1_map, F.col("cid")), F.lit(0).cast("long")
+            ).alias("n_iter1"),
             "n_iter2",
             "avg_dist2",
         )

@@ -156,5 +156,16 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
             continue
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        except AnalysisException:
+        except AnalysisException as exc:
+            # Only a genuinely-absent path means "skip the view" — any
+            # other analysis error (corrupt footer, schema conflict) on a
+            # present table must surface now as the real error rather
+            # than re-appear later as a misleading TABLE_NOT_FOUND.
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
             spark.catalog.dropTempView(name)

@@ -55,6 +55,11 @@ def main() -> None:
             # fix outranks re-proofs via the code-change rule instead)
             latest[k] = rnd
     cur = max(rounds) if rounds else 0
+    # --check-prefix must audit the prefix against the REAL ledger even
+    # when --assume-next-green mutates the working copy (r7 ADVICE: the
+    # mutated view inflates freshest_in and mislabels every out-of-prefix
+    # entry as deferred-older).
+    graded = dict(latest)
     if args.assume_next_green:
         for k in qs[:50]:
             latest[k] = cur + 1
@@ -76,12 +81,13 @@ def main() -> None:
 
     if args.check_prefix:
         prefix = set(qs[:50])
-        missing_never = [n for n in never if n not in prefix]
-        freshest_in = max((latest[n] for n in qs[:50] if n in latest), default=0)
+        never_graded = [n for n in qs if n not in graded]
+        missing_never = [n for n in never_graded if n not in prefix]
+        freshest_in = max((graded[n] for n in qs[:50] if n in graded), default=0)
         deferred = [
-            (latest[n], n)
+            (graded[n], n)
             for n in qs[50:]
-            if n in latest and latest[n] < freshest_in
+            if n in graded and graded[n] < freshest_in
         ]
         print(f"\nprefix check: freshest prefix member proof = r{freshest_in}")
         if deferred:
