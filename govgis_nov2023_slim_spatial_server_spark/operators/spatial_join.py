@@ -19,6 +19,18 @@ broadcast that stops fitting long before 100 TB. Blocking fixes the shape:
 
 Cell size trades explode factor (≈ (w/cell+1)·(h/cell+1) rows per rect)
 against per-cell pair density; pick it near the median rectangle size.
+
+Hot-cell skew (a dense urban cell whose candidate block is quadratic while
+the rest of the map is linear) is handled by AQE skew-join splitting, and
+since SCALING.md run 9 that is MEASURED, not claimed: at the 20× hot-cell
+rehearsal point the split fires (2 `AQEShuffleRead … skewed` nodes in the
+final adaptive plan) and cuts the join+refine wall time 5.3× (169 s →
+32 s) with bit-identical output. Tuning surface: AQE's skew detection is
+BYTE-based (`skewedPartitionThresholdInBytes`, default 256m) — a hot cell
+that is byte-small but compute-heavy (the exact-refine UDF rides in the
+join stage, so refine cost per byte is high) needs the threshold lowered
+to be seen; at 100 TB a genuinely hot cell is hundreds of GB and clears
+the production defaults on its own.
 """
 
 from __future__ import annotations

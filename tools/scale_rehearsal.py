@@ -266,6 +266,118 @@ def _spatial_mode(spark, repeats: int) -> None:
         )
 
 
+def _skew_aqe_mode(spark, repeats: int) -> None:
+    """Verify the SCALING run-7 mitigation claim EMPIRICALLY: AQE skew-join
+    splitting actually fires on the hot-cell spatial regime and actually
+    parallelizes the hot cell's join+refine work (VERDICT r7 #3 — the one
+    claimed-not-measured scale assertion).
+
+    Setup: hot-cell rect stores at the 20x point (40k rects/side; 5% of
+    each side lands in the single grid cell [0,2)^2, so ONE cell key holds
+    a ~2000x2000 candidate block -> one skewed shuffle partition that
+    serializes ~4.7M candidate pairs AND their exact polygon refine on one
+    task while 31 cores idle). Measured: wall time of the full
+    join+exact-refine count with spark.sql.adaptive.skewJoin.enabled off
+    vs on, plus the executed adaptive plan's AQEShuffleRead annotation
+    proving the split happened.
+
+    Threshold note (the honest part): at rehearsal scale the hot partition
+    is ~1 MB — far under the production default
+    skewedPartitionThresholdInBytes=256m, so with stock thresholds AQE
+    correctly declines to split (the partition is not a problem at this
+    byte size; it is a problem here only because the refine cost per byte
+    is high). Both runs therefore share scaled-down thresholds
+    (threshold=128k, factor=2, advisory=64k) and differ ONLY in
+    skewJoin.enabled — isolating the split's effect. At 100 TB the same
+    hot cell is hundreds of GB and clears the production defaults on its
+    own.
+    """
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        make_polys_intersect_udf,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+        grid_blocked_overlap_join,
+    )
+
+    n = 2000 * 20
+    l = _rect_store(spark, n, "lid", 11, True, f"{WORK}/skl")
+    r = _rect_store(spark, n, "rid", 29, True, f"{WORK}/skr")
+
+    shared = {
+        # no side broadcasts at 100 TB; force the shuffled join shape
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scaled-down skew thresholds (see docstring) — shared by BOTH
+        # runs so enabled-vs-disabled is the only difference
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.shuffle.partitions": "200",
+    }
+    saved = {k: spark.conf.get(k, None) for k in shared}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", None
+    )
+    results = []
+    try:
+        for k, v in shared.items():
+            spark.conf.set(k, v)
+        for enabled in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            t_best, n_exact, agg = math.inf, 0, None
+            for _ in range(repeats):
+                # a FRESH DataFrame per repeat: re-collecting the same
+                # object reuses the join stage's shuffle files, so every
+                # repeat after the first skips the work being measured
+                # (observed: 20s first run, 0.04s repeats)
+                agg = (
+                    grid_blocked_overlap_join(l, r, cell=2.0)
+                    .where(
+                        make_polys_intersect_udf()(
+                            F.col("geom_wkb"), F.col("geom_wkb_r")
+                        )
+                    )
+                    .groupBy()
+                    .count()
+                )
+                t0 = time.perf_counter()
+                n_exact = agg.collect()[0][0]
+                dt = time.perf_counter() - t0
+                print(f"#   skewJoin={enabled} rep: {dt:.2f}s")
+                t_best = min(t_best, dt)
+            # the executed (final adaptive) plan of the action just run:
+            # AQEShuffleRead prints its partition-spec kind — a skew split
+            # shows as "skewed" (with coalesced segments alongside)
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            skew_reads = sum(
+                1
+                for line in plan.splitlines()
+                if "AQEShuffleRead" in line and "skewed" in line
+            )
+            results.append((enabled, n_exact, t_best, skew_reads))
+            print(
+                f"skewJoin={enabled}: exact_pairs={n_exact} "
+                f"t_best={t_best:.2f}s skewed_AQEShuffleReads={skew_reads}"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    print("\n| skewJoin | exact pairs | wall s (best) | skewed AQEShuffleReads |")
+    print("|---|---|---|---|")
+    for enabled, n_exact, t_best, skew_reads in results:
+        print(f"| {enabled} | {n_exact} | {t_best:.2f} | {skew_reads} |")
+    if len(results) == 2:
+        off, on = results
+        if off[1] != on[1]:
+            print(f"WARNING: result mismatch off={off[1]} on={on[1]}")
+        print(f"speedup: {off[2] / on[2]:.2f}x; split fired: {on[3] > 0}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs-reps", type=int, default=20)
@@ -288,14 +400,23 @@ def main() -> None:
         help="measure the spatial_join_exact mechanism on synthetic rect "
         "stores (uniform + hot-cell regimes) instead of catalog queries",
     )
+    ap.add_argument(
+        "--skew-aqe",
+        action="store_true",
+        help="measure AQE skew-join splitting on the hot-cell spatial "
+        "regime: wall time + plan proof, skewJoin off vs on (VERDICT r7 #3)",
+    )
     args = ap.parse_args()
-    if args.spatial:
+    if args.spatial or args.skew_aqe:
         from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
         spark = get_spark(app_name="scale-rehearsal-spatial")
         spark.sparkContext.setLogLevel("ERROR")
         try:
-            _spatial_mode(spark, args.repeats)
+            if args.spatial:
+                _spatial_mode(spark, args.repeats)
+            if args.skew_aqe:
+                _skew_aqe_mode(spark, args.repeats)
         finally:
             shutil.rmtree(WORK, ignore_errors=True)
         return
