@@ -5,6 +5,14 @@ Validation semantics preserved: EPSG normalization to 4326 with lon/lat
 range checks (reference backend/models.py:45-64), limit ∈ [1,10] default 5,
 skip ≥ 0 (reference backend/models.py:23-25,89-95), errors returned in-band
 (reference backend/app.py:51-53).
+
+CRS coverage seam: 4326↔3857 reproject natively (hand-rolled web-mercator
+math); any OTHER EPSG pair follows the reference's pyproj path when pyproj
+is installed, and otherwise fails the request's pydantic validation with a
+clean "unsupported CRS pair" ValueError (functions/spatial.reproject_point)
+— e.g. a state-plane `input_point` the reference would reproject is
+rejected here unless pyproj is present. This is the one reference behavior
+gated on an optional dependency (PARITY.md O21).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from govgis_nov2023_slim_spatial_server_spark.api.mcp import gis_layer_search, markdownify_all_strings
-from govgis_nov2023_slim_spatial_server_spark.api.models import SemanticSearchRequest
+from govgis_nov2023_slim_spatial_server_spark.api.models import Point, SemanticSearchRequest
 from govgis_nov2023_slim_spatial_server_spark.api.search import SearchService
 from govgis_nov2023_slim_spatial_server_spark.fixtures.embedder import FakeEmbedder
 from govgis_nov2023_slim_spatial_server_spark.fixtures.layers import make_layers_df
@@ -87,6 +87,29 @@ def test_mcp_tool_search(spark):
     assert resp.error is None
     assert len(resp.layers) == 3
     assert all("<p>" not in (l.description or "") for l in resp.layers)
+
+
+def test_non_native_epsg_point_error_shape():
+    """The CRS seam (PARITY.md O21): without pyproj, an input_point in any
+    CRS pair other than 4326<->3857 must fail request validation with the
+    clean "unsupported CRS pair" error — not a crash deeper in the plan.
+    With pyproj installed the same request follows the reference's
+    reprojection path instead (skipped: nothing to assert about error
+    shape there)."""
+    try:
+        import pyproj  # noqa: F401
+
+        pytest.skip("pyproj installed: non-native EPSG reprojects fine")
+    except ImportError:
+        pass
+    # EPSG:26915 (NAD83 / UTM zone 15N) — a state-plane-style CRS the
+    # reference's pyproj path would accept
+    with pytest.raises(Exception) as exc_info:
+        SemanticSearchRequest(
+            request_string="soil survey",
+            input_point=Point(longitude=500000.0, latitude=4649776.0, epsg=26915),
+        )
+    assert "unsupported CRS pair 26915->4326" in str(exc_info.value)
 
 
 def test_fastapi_gated(spark):
