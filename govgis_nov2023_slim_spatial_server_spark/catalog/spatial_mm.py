@@ -271,6 +271,84 @@ def spatial_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_join_hot_cell",
+    """
+    WITH r AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 20 = 0 THEN (c_custkey % 13) * 0.125
+                  ELSE ((c_custkey * 7) % 101) * 0.5 END AS xmin,
+             CASE WHEN c_custkey % 20 = 0 THEN (c_custkey % 11) * 0.125
+                  ELSE ((c_custkey * 11) % 97) * 0.5 END AS ymin,
+             0.5 + (c_custkey % 3) * 0.25 AS side
+      FROM customer),
+    b AS (
+      SELECT k, xmin, ymin, xmin + side AS xmax, ymin + side AS ymax FROM r)
+    SELECT a.k AS c_custkey, COUNT(*) AS n_overlaps
+    FROM b a JOIN b b2
+      ON a.k < b2.k
+     AND a.xmin <= b2.xmax AND b2.xmin <= a.xmax
+     AND a.ymin <= b2.ymax AND b2.ymin <= a.ymax
+    GROUP BY a.k
+    """,
+)
+def spatial_join_hot_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEWED spatial join, graded: every 20th customer rect drops
+    into the single grid cell at the origin (the dense-urban-cell regime
+    of SCALING.md runs 7/9) while the rest spread uniformly, then the
+    full blocked-join + exact-polygon-refine pipeline runs the self-join
+    overlap count. Grades the blocking machinery exactly where skew
+    stresses it: one cell key carries a quadratic candidate block, rects
+    span cells, and the canonical-cell predicate must still emit each
+    pair exactly once. The oracle is the direct inequality self-join.
+
+    Scale story: the hot cell's candidate block is the join's true output
+    in a dense region (run 7: 33-36% of its candidates are genuine
+    overlaps), so the engine-side mitigation is parallelization — AQE
+    skew-join splitting, MEASURED in SCALING.md run 9 (split fires, 2
+    skewed AQEShuffleReads, 5.3x wall on the 20x hot-cell rehearsal with
+    bit-identical output). Here the hot block stays small enough
+    (5% of customers) that the graded gate runs it unsplit."""
+    from ..operators.spatial_join import grid_blocked_overlap_join
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hot = (k % 20) == 0
+    # all constants are binary-exact (0.125/0.25/0.5 multiples): DuckDB
+    # evaluates fractional literals in exact DECIMAL while Spark uses
+    # double, so a non-representable constant (0.1) makes exact-touch
+    # pairs diverge between the engines (found by the first gate run of
+    # this entry: 8 touch pairs on key 0 existed only in decimal)
+    xmin = F.when(hot, (k % 13).cast("double") * 0.125).otherwise(
+        ((k * 7) % 101).cast("double") * 0.5
+    )
+    ymin = F.when(hot, (k % 11).cast("double") * 0.125).otherwise(
+        ((k * 11) % 97).cast("double") * 0.5
+    )
+    side = F.lit(0.5) + (k % 3).cast("double") * 0.25
+    rects = c.select(
+        k.alias("k"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + side).alias("xmax"),
+        (ymin + side).alias("ymax"),
+    ).withColumn(
+        "geom_wkb",
+        make_box_wkb_udf()(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )
+    return (
+        grid_blocked_overlap_join(rects, rects, cell=2.0)
+        .where(F.col("k") < F.col("k_r"))
+        .where(
+            make_polys_intersect_udf()(F.col("geom_wkb"), F.col("geom_wkb_r"))
+        )
+        .groupBy(F.col("k").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@query(
     "reproject_mercator",
     """
     SELECT c_custkey,

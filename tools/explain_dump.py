@@ -69,6 +69,7 @@ NOTES = {
     "retrieval_ndcg_labels": "probe sample broadcast; local_topk_prune cuts the window input to ≤ P·k rows; label marginals a 10-row broadcast — eval cost is probe-bounded.",
     "ngram_containment_capped": "stop-shingle df cap BEFORE the self-join via broadcast ANTI-join against the small hot set (df > cap) — one map-combined df aggregate, prune stays map-side; every shingle's pair fan-out bounded by cap² (SCALING.md run 5: linear candidate growth where uncapped is →quadratic).",
     "spatial_join_exact": "filter-and-refine: grid-cell blocked bbox EQUI-join (no nested loop), then the polygon×polygon ArrowEval refine runs only on candidate pairs.",
+    "spatial_join_hot_cell": "skewed SELF-join via the same blocked equi-join: one cell key carries the quadratic hot block. At sf0.01 the exploded side fits broadcast so Catalyst correctly picks BroadcastHashJoin (no shuffle at all); above the broadcast threshold the same plan becomes the sort-merge shuffle whose hot partition AQE skew-split parallelizes — refine rides in the join stage either way (SCALING.md run 9: split fires, 5.3× wall).",
 }
 
 

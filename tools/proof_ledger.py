@@ -37,6 +37,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--assume-next-green", action="store_true")
     ap.add_argument("--check-prefix", action="store_true")
+    ap.add_argument(
+        "--defer",
+        default="",
+        help="comma-separated never-graded entries DELIBERATELY left out "
+        "of the prefix (e.g. a verdict froze the prefix before the entry "
+        "landed — r8: spatial_join_hot_cell); listed, not failed",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -81,8 +88,17 @@ def main() -> None:
 
     if args.check_prefix:
         prefix = set(qs[:50])
+        deferred_new = {n.strip() for n in args.defer.split(",") if n.strip()}
         never_graded = [n for n in qs if n not in graded]
-        missing_never = [n for n in never_graded if n not in prefix]
+        missing_never = [
+            n for n in never_graded if n not in prefix and n not in deferred_new
+        ]
+        acknowledged = [n for n in never_graded if n in deferred_new]
+        if acknowledged:
+            print(
+                "never-graded but deliberately deferred (--defer): "
+                f"{acknowledged}"
+            )
         freshest_in = max((graded[n] for n in qs[:50] if n in graded), default=0)
         deferred = [
             (graded[n], n)
