@@ -270,8 +270,36 @@ def _ring_segments_intersect(ra: np.ndarray, rb: np.ndarray) -> bool:
     return bool((proper | touch).any())
 
 
+def _ring_is_rect(r: np.ndarray) -> bool:
+    """True iff the ring is a NON-DEGENERATE axis-aligned rectangle
+    boundary: 5 points, closed, edges alternating horizontal/vertical
+    (either order, either winding), both side lengths nonzero. For such a
+    ring the even-odd point set is exactly the filled bbox, so
+    rect×rect ST_Intersects reduces to interval overlap — the provably
+    exact fast path below. The alternation + nonzero-length requirements
+    reject spike/retrace rings (e.g. h,v,v,h traversals), whose even-odd
+    interior is NOT the bbox; anything rejected takes the general path.
+    Scalar comparisons only: this runs per candidate pair, and numpy
+    temporaries are what make the general path ~100 µs/pair."""
+    if r.shape[0] != 5:
+        return False
+    x0, y0 = r[0, 0], r[0, 1]
+    x1, y1 = r[1, 0], r[1, 1]
+    x2, y2 = r[2, 0], r[2, 1]
+    x3, y3 = r[3, 0], r[3, 1]
+    if x0 != r[4, 0] or y0 != r[4, 1]:
+        return False
+    if y0 == y1 and x1 == x2 and y2 == y3 and x3 == x0:
+        return x0 != x1 and y1 != y2  # h,v,h,v
+    if x0 == x1 and y1 == y2 and x2 == x3 and y3 == y0:
+        return y0 != y1 and x1 != x2  # v,h,v,h
+    return False
+
+
 def _poly_bounds(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
-    pts = np.vstack(rings)
+    # no vstack copy for the dominant single-ring case (this runs per
+    # candidate pair in the refine loop)
+    pts = rings[0] if len(rings) == 1 else np.vstack(rings)
     return (
         float(pts[:, 0].min()),
         float(pts[:, 1].min()),
@@ -309,6 +337,19 @@ def polygons_intersect(
                 or bxb[1] > bxa[3]
             ):
                 continue
+            # rect×rect fast path: both sides a single non-degenerate
+            # axis-aligned rectangle ring ⇒ the even-odd point set IS the
+            # filled bbox, and the bboxes overlap (checked above) ⇒
+            # intersect. Exact, not approximate — and ~100 µs/pair cheaper
+            # than the segment/containment machinery, which dominates
+            # store-vs-store joins where geometries are rectangle tiles.
+            if (
+                len(ra) == 1
+                and len(rb) == 1
+                and _ring_is_rect(ra[0])
+                and _ring_is_rect(rb[0])
+            ):
+                return True
             for ring_a in ra:
                 for ring_b in rb:
                     if _ring_segments_intersect(ring_a, ring_b):
