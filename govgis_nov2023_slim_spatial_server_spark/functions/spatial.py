@@ -447,14 +447,41 @@ def make_point_intersects_udf(lon: float, lat: float):
 def make_polys_intersect_udf():
     """Exact refinement for polygon×polygon joins: Arrow-batched pandas
     UDF over TWO WKB columns. Runs after the coarse bbox/grid join, so
-    per-row cost is paid only on candidate pairs."""
+    per-row cost is paid only on candidate pairs.
+
+    Parse results are memoized PER BATCH: in a blocked join every
+    geometry appears in as many candidate rows as it has cell partners
+    (a hot cell repeats each member hundreds of times), so re-parsing
+    per pair is pure waste; batch scope (10k rows by default) bounds the
+    memo's memory without any eviction machinery. The
+    (ValueError, struct.error) → False contract of
+    ``polygons_intersect_wkb`` is preserved: unparseable bytes memoize a
+    False sentinel and the pair refines to False."""
 
     @pandas_udf(BooleanType())
     def _intersects(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [polygons_intersect_wkb(a, b) for a, b in zip(wa, wb)],
-            dtype=bool,
-        )
+        cache: dict = {}
+
+        def _parsed(w):
+            if w is None:
+                return None
+            b = bytes(w)
+            p = cache.get(b)
+            if p is None:
+                try:
+                    p = parse_wkb_polygons(b)
+                except (ValueError, struct.error):
+                    p = False
+                cache[b] = p
+            return p
+
+        out = np.zeros(len(wa), dtype=bool)
+        for i, (a, b) in enumerate(zip(wa, wb)):
+            pa = _parsed(a)
+            pb = _parsed(b)
+            if pa and pb:
+                out[i] = polygons_intersect(pa, pb)
+        return pd.Series(out)
 
     return _intersects
 
