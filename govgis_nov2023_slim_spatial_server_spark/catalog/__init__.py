@@ -3,6 +3,7 @@ __spark_entry__.py exposes to the driver."""
 
 from . import (  # noqa: F401
     advanced,
+    geo_analytics,
     ml_eval,
     ml_prep,
     pipeline,

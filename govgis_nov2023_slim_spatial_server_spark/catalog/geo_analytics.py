@@ -1,0 +1,432 @@
+"""Spatial ANALYTICS queries — the areal-measurement / geo-indexing layer
+on top of the predicate entries in catalog/spatial_mm.py.
+
+The reference (a PostGIS-backed spatial server) gets ST_Area, ST_Centroid,
+ST_DWithin, ST_Extent and tile indexing for free from PostGIS; this module
+re-expresses them Spark-first over the engine's own WKB store (reference
+backend/load_data.py:152-168 for the geometry column; backend/models.py
+167-174 for the one predicate it ships — these entries are the rest of the
+areal toolbox a user of a spatial server reaches for next).
+
+Geometry store: deterministic per-customer polygons on a binary-exact
+coordinate lattice (all parameters are 0.25/1.25/1.5-multiples of small
+ints, so every derived coordinate is a dyadic rational that both Spark and
+DuckDB represent exactly — the r8 convention that defused the
+decimal-vs-double divergence class; see CLAUDE.md). Odd keys build an
+L-shaped hexagon, even keys a donut (rect shell + rect hole), so the
+shoelace/centroid path is exercised with holes and non-convexity, not just
+rectangles. The Spark side runs the REAL stack — WKB encode → bbox derive →
+parse → shoelace; the oracle replays the identical arithmetic closed-form.
+
+Exactness: every shoelace term on this lattice is exactly representable in
+float64 (few-bit dyadic rationals), so sums are order-independent and the
+final divisions are single IEEE ops — raw doubles hash identically with no
+rounding. The libm-dependent entries (mercator tile-y, haversine) instead
+emit only DISCRETE outputs (tile ids, counts, member keys) and a lattice
+margin test (tests/test_geo_analytics.py) proves every boundary decision
+sits ≥1e-6 away from the cut, far beyond any cross-engine libm ulp drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from ..functions.spatial import make_area_centroid_udf, wkb_polygon
+from ..schemas import load_table
+from ..sources.ingest import derive_bbox
+from ._registry import query
+
+# --------------------------------------------------------------------------
+# Deterministic polygon store (binary-exact lattice)
+# --------------------------------------------------------------------------
+
+_GEO_PARAM_SQL = """
+      SELECT c_custkey AS k,
+             c_nationkey,
+             CAST(-125.0 + (c_custkey % 40) * 1.5 AS DOUBLE) AS x0,
+             CAST(24.0 + (c_custkey % 16) * 1.25 AS DOUBLE)  AS y0,
+             CAST(1.0 + (c_custkey % 7) * 0.25 AS DOUBLE)    AS w,
+             CAST(1.0 + (c_custkey % 5) * 0.25 AS DOUBLE)    AS h
+      FROM customer
+"""
+
+# Vertex expression lattices (open rings; the SQL shoelace wraps around).
+# Orientation matches the WKB encoder below: shells CCW (positive signed
+# area), donut hole CW (negative) — so the oracle's raw signed sum equals
+# the UDF's orientation-normalized shell-minus-holes total.
+_L_VERTS = [
+    ("x0", "y0"),
+    ("x0 + w", "y0"),
+    ("x0 + w", "y0 + h * 0.5"),
+    ("x0 + w * 0.5", "y0 + h * 0.5"),
+    ("x0 + w * 0.5", "y0 + h"),
+    ("x0", "y0 + h"),
+]
+_SHELL_VERTS = [
+    ("x0", "y0"),
+    ("x0 + w", "y0"),
+    ("x0 + w", "y0 + h"),
+    ("x0", "y0 + h"),
+]
+_HOLE_VERTS = [  # clockwise: negative shoelace = subtracted from the shell
+    ("x0 + w * 0.25", "y0 + h * 0.25"),
+    ("x0 + w * 0.25", "y0 + h * 0.75"),
+    ("x0 + w * 0.75", "y0 + h * 0.75"),
+    ("x0 + w * 0.75", "y0 + h * 0.25"),
+]
+
+
+def _shoelace_sql(verts: list[tuple[str, str]]) -> tuple[str, str, str]:
+    """SQL for the ring's signed shoelace sums: (2A, Sx, Sy) where
+    2A = Σ(xᵢyᵢ₊₁ − xᵢ₊₁yᵢ), Sx = Σ(xᵢ+xᵢ₊₁)·crossᵢ, Sy likewise — the
+    exact arithmetic functions/spatial.polygons_area_centroid performs on
+    the parsed rings (term order is irrelevant: every term is an exact
+    dyadic rational on this lattice)."""
+    a2, sx, sy = [], [], []
+    n = len(verts)
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[(i + 1) % n]
+        cross = f"(({xi}) * ({yj}) - ({xj}) * ({yi}))"
+        a2.append(cross)
+        sx.append(f"(({xi}) + ({xj})) * {cross}")
+        sy.append(f"(({yi}) + ({yj})) * {cross}")
+    return " + ".join(a2), " + ".join(sx), " + ".join(sy)
+
+
+_L_A2, _L_SX, _L_SY = _shoelace_sql(_L_VERTS)
+_S_A2, _S_SX, _S_SY = _shoelace_sql(_SHELL_VERTS)
+_H_A2, _H_SX, _H_SY = _shoelace_sql(_HOLE_VERTS)
+
+
+def make_shape_wkb_udf():
+    """pandas UDF: (key, x0, y0, w, h) → polygon WKB. Odd keys: L-shaped
+    hexagon (CCW). Even keys: donut — CCW rect shell + CW rect hole. The
+    Python floats here are the same exact dyadic values the oracle's SQL
+    arithmetic produces, so the geometry is bit-identical across engines."""
+
+    @pandas_udf(BinaryType())
+    def _shape(
+        keys: pd.Series, x0s: pd.Series, y0s: pd.Series, ws: pd.Series, hs: pd.Series
+    ) -> pd.Series:
+        out = []
+        for k, x0, y0, w, h in zip(keys, x0s, y0s, ws, hs):
+            x0, y0, w, h = float(x0), float(y0), float(w), float(h)
+            if int(k) % 2 == 1:
+                rings = [
+                    [
+                        (x0, y0),
+                        (x0 + w, y0),
+                        (x0 + w, y0 + h * 0.5),
+                        (x0 + w * 0.5, y0 + h * 0.5),
+                        (x0 + w * 0.5, y0 + h),
+                        (x0, y0 + h),
+                    ]
+                ]
+            else:
+                rings = [
+                    [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)],
+                    [
+                        (x0 + w * 0.25, y0 + h * 0.25),
+                        (x0 + w * 0.25, y0 + h * 0.75),
+                        (x0 + w * 0.75, y0 + h * 0.75),
+                        (x0 + w * 0.75, y0 + h * 0.25),
+                    ],
+                ]
+            out.append(wkb_polygon(rings))
+        return pd.Series(out, dtype=object)
+
+    return _shape
+
+
+_geo_store_cache: dict = {}
+
+
+def _geo_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon store (c_custkey, c_nationkey, geom_wkb, bbox), built once
+    per session and materialized — the ingest-once / query-many split of
+    sources/ingest.py (same pattern as spatial_mm._spatial_layers)."""
+    key = (id(spark), sf_dir)
+    if key not in _geo_store_cache:
+        c = load_table(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+        x0 = F.lit(-125.0) + (k % 40).cast("double") * 1.5
+        y0 = F.lit(24.0) + (k % 16).cast("double") * 1.25
+        w = F.lit(1.0) + (k % 7).cast("double") * 0.25
+        h = F.lit(1.0) + (k % 5).cast("double") * 0.25
+        params = c.select(
+            "c_custkey",
+            "c_nationkey",
+            x0.alias("x0"),
+            y0.alias("y0"),
+            w.alias("w"),
+            h.alias("h"),
+        )
+        wkb = params.select(
+            "c_custkey",
+            "c_nationkey",
+            make_shape_wkb_udf()(
+                F.col("c_custkey"), F.col("x0"), F.col("y0"), F.col("w"), F.col("h")
+            ).alias("geom_wkb"),
+        )
+        _geo_store_cache[key] = derive_bbox(wkb).localCheckpoint(eager=True)
+    return _geo_store_cache[key]
+
+
+# --------------------------------------------------------------------------
+# ST_Area / ST_Centroid
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spatial_area_centroid",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    l AS (
+      SELECT k, {_L_A2} AS a2, {_L_SX} AS sx, {_L_SY} AS sy
+      FROM p WHERE k % 2 = 1
+    ),
+    d AS (
+      SELECT k, ({_S_A2}) + ({_H_A2}) AS a2,
+                ({_S_SX}) + ({_H_SX}) AS sx,
+                ({_S_SY}) + ({_H_SY}) AS sy
+      FROM p WHERE k % 2 = 0
+    ),
+    u AS (SELECT * FROM l UNION ALL SELECT * FROM d)
+    SELECT k AS c_custkey,
+           a2 / 2.0 AS area,
+           sx / (3.0 * a2) AS cx,
+           sy / (3.0 * a2) AS cy
+    FROM u
+    """,
+)
+def spatial_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area + ST_Centroid over the WKB store (PostGIS areal parity the
+    reference inherits from PostGIS and backend/models.py never has to
+    implement): parse each geometry once, emit shoelace area and centroid —
+    holes subtracted (even keys are donuts), non-convexity handled (odd
+    keys are L-shapes). Map-only: at 100 TB this is one scan-side pandas
+    UDF pass, no shuffle at all. Raw doubles are hash-safe because every
+    coordinate is lattice-dyadic (module docstring); the oracle replays the
+    identical shoelace closed-form per shape."""
+    store = _geo_store(spark, sf_dir)
+    ac = make_area_centroid_udf()(F.col("geom_wkb")).alias("ac")
+    return store.select("c_custkey", ac).select(
+        "c_custkey",
+        F.col("ac.area").alias("area"),
+        F.col("ac.cx").alias("cx"),
+        F.col("ac.cy").alias("cy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Web-mercator tile pyramid (slippy-map z/x/y + quadkey)
+# --------------------------------------------------------------------------
+
+_TILE_Z = 6
+_N_TILES = float(1 << _TILE_Z)
+
+
+def _tile_cols(cx, cy):
+    """Slippy-map tile indices at zoom 6 from lon/lat (OSM tile scheme —
+    the same spherical-mercator math as functions/spatial.reproject, here
+    as native columns so the whole assignment stays in codegen)."""
+    pi = F.lit(math.pi)
+    tx = F.floor((cx + F.lit(180.0)) / F.lit(360.0) * F.lit(_N_TILES))
+    lat_rad = cy * pi / F.lit(180.0)
+    merc = F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+    ty = F.floor((F.lit(1.0) - merc / pi) / F.lit(2.0) * F.lit(_N_TILES))
+    return tx, ty
+
+
+def _quadkey_col(tx, ty):
+    digits = [
+        (
+            F.shiftright(tx, i).bitwiseAND(F.lit(1))
+            + F.shiftright(ty, i).bitwiseAND(F.lit(1)) * F.lit(2)
+        ).cast("string")
+        for i in range(_TILE_Z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+_QUADKEY_SQL = " || ".join(
+    f"CAST(((tile_x >> {i}) & 1) + 2 * ((tile_y >> {i}) & 1) AS VARCHAR)"
+    for i in range(_TILE_Z - 1, -1, -1)
+)
+
+
+@query(
+    "spatial_tile_quadkey",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    c AS (SELECT k, x0 + w * 0.5 AS cx, y0 + h * 0.5 AS cy FROM p),
+    t AS (
+      SELECT k,
+             CAST(FLOOR((cx + 180.0) / 360.0 * 64.0) AS BIGINT) AS tile_x,
+             CAST(FLOOR((1.0 - ln(tan(cy * pi() / 180.0)
+                              + 1.0 / cos(cy * pi() / 180.0)) / pi())
+                        / 2.0 * 64.0) AS BIGINT) AS tile_y
+      FROM c
+    )
+    SELECT tile_x, tile_y, {_QUADKEY_SQL} AS quadkey,
+           COUNT(*) AS n_geoms, MIN(k) AS min_key
+    FROM t
+    GROUP BY tile_x, tile_y
+    """,
+)
+def spatial_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid precompute: assign every geometry (by bbox center) to
+    its zoom-6 web-mercator slippy-map tile and quadkey — the z/x/y
+    partitioning every tile server / vector-tile build / Bing-style
+    quadkey index runs before rendering or spatial shuffling. At 100 TB the
+    tile id IS the partition key: the groupBy shuffles O(rows) once into
+    O(tiles) balanced cells (tile splitting handles hot cities — the same
+    lever as the grid-blocked join). tile_x is pure exact arithmetic;
+    tile_y passes through tan/ln (libm), so the lattice margin test proves
+    every lattice latitude lands ≥1e-6 of a tile fraction away from any
+    boundary — cross-engine ulp drift cannot flip a FLOOR."""
+    store = _geo_store(spark, sf_dir)
+    cx = (F.col("bbox.xmin") + F.col("bbox.xmax")) / F.lit(2.0)
+    cy = (F.col("bbox.ymin") + F.col("bbox.ymax")) / F.lit(2.0)
+    tx, ty = _tile_cols(cx, cy)
+    t = store.select(
+        F.col("c_custkey").alias("k"), tx.alias("tile_x"), ty.alias("tile_y")
+    )
+    return (
+        t.withColumn("quadkey", _quadkey_col(F.col("tile_x"), F.col("tile_y")))
+        .groupBy("tile_x", "tile_y", "quadkey")
+        .agg(F.count(F.lit(1)).alias("n_geoms"), F.min("k").alias("min_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ST_DWithin (haversine great-circle distance)
+# --------------------------------------------------------------------------
+
+_PROBES = [(1, -100.0, 30.0), (2, -80.0, 40.0), (3, -120.0, 35.0)]
+_PROBES_SQL = ", ".join(f"({i}, {lon}, {lat})" for i, lon, lat in _PROBES)
+
+
+def _haversine_km(plon, plat, cx, cy):
+    """Great-circle distance in km (haversine, R=6371) as a native column —
+    term-for-term the oracle's SQL text, so the only cross-engine delta is
+    libm ulps (absorbed by the lattice margin test on the radius cuts)."""
+    pi = F.lit(math.pi)
+    s1 = F.sin((plat - cy) * pi / F.lit(360.0))
+    s2 = F.sin((plon - cx) * pi / F.lit(360.0))
+    a = s1 * s1 + F.cos(cy * pi / F.lit(180.0)) * F.cos(plat * pi / F.lit(180.0)) * (
+        s2 * s2
+    )
+    return F.lit(12742.0) * F.asin(F.sqrt(a))
+
+
+_HAVERSINE_SQL = (
+    "12742.0 * asin(sqrt("
+    "sin((plat - cy) * pi() / 360.0) * sin((plat - cy) * pi() / 360.0)"
+    " + cos(cy * pi() / 180.0) * cos(plat * pi() / 180.0)"
+    " * (sin((plon - cx) * pi() / 360.0) * sin((plon - cx) * pi() / 360.0))))"
+)
+
+
+@query(
+    "spatial_dwithin_haversine",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    c AS (SELECT k, x0 + w * 0.5 AS cx, y0 + h * 0.5 AS cy FROM p),
+    probes AS (SELECT * FROM (VALUES {_PROBES_SQL}) AS v(probe_id, plon, plat)),
+    d AS (SELECT probe_id, k, {_HAVERSINE_SQL} AS d_km FROM probes CROSS JOIN c)
+    SELECT probe_id,
+           COUNT(CASE WHEN d_km <= 600.0 THEN 1 END)  AS n_600,
+           COUNT(CASE WHEN d_km <= 1500.0 THEN 1 END) AS n_1500,
+           MIN(CASE WHEN d_km <= 600.0 THEN k END)    AS min_key_600
+    FROM d
+    GROUP BY probe_id
+    """,
+)
+def spatial_dwithin_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin on the sphere — the 'near me within R' predicate a
+    spatial server answers constantly (PostGIS ST_DWithin(geography) /
+    ST_DistanceSphere): per probe point, how many store geometries sit
+    within 600 km / 1500 km great-circle distance of it, plus the lowest
+    member key. The probe side broadcasts (3 rows) so the 'join' is a
+    map-side pass over the store — at 100 TB this is a scan with zero
+    shuffle before the 3-group aggregate; a probe side too big to
+    broadcast switches to the grid-blocked equi-join (spatial_join_blocked)
+    with the radius converted to a cell halo. Outputs are deliberately
+    DISCRETE (counts + keys): haversine crosses libm, and the lattice
+    margin test proves no store-probe distance sits within 1e-6 km of
+    either radius cut."""
+    store = _geo_store(spark, sf_dir)
+    centers = store.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("bbox.xmin") + F.col("bbox.xmax")) / F.lit(2.0)).alias("cx"),
+        ((F.col("bbox.ymin") + F.col("bbox.ymax")) / F.lit(2.0)).alias("cy"),
+    )
+    probes = spark.createDataFrame(_PROBES, "probe_id int, plon double, plat double")
+    d = centers.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "k",
+        _haversine_km(F.col("plon"), F.col("plat"), F.col("cx"), F.col("cy")).alias(
+            "d_km"
+        ),
+    )
+    return d.groupBy("probe_id").agg(
+        F.count(F.when(F.col("d_km") <= 600.0, 1)).alias("n_600"),
+        F.count(F.when(F.col("d_km") <= 1500.0, 1)).alias("n_1500"),
+        F.min(F.when(F.col("d_km") <= 600.0, F.col("k"))).alias("min_key_600"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ST_Extent dissolve (grouped bounding box + total area)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spatial_dissolve_extent",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL})
+    SELECT n.n_name AS n_name,
+           COUNT(*) AS n_geoms,
+           MIN(p.x0) AS xmin,
+           MIN(p.y0) AS ymin,
+           MAX(p.x0 + p.w) AS xmax,
+           MAX(p.y0 + p.h) AS ymax,
+           SUM(0.75 * p.w * p.h) AS total_area
+    FROM p JOIN nation n ON p.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def spatial_dissolve_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped dissolve — ST_Extent + summed ST_Area per nation: the
+    aggregate a GIS layer catalog publishes per region (extent rectangle
+    for zoom-to-fit, total covered area for stats). The Spark side measures
+    area through the REAL parse path (WKB → shoelace UDF) and the extent
+    from the ingest-derived bbox struct; the oracle uses the closed form
+    (both shapes cover exactly 3/4 of their w×h rect: the L cuts one
+    quadrant, the donut's hole is w/2 × h/2). min/max/sum over exact
+    dyadic doubles are order-independent, so no rounding is needed. The
+    nation dim auto-broadcasts; one low-cardinality shuffle."""
+    store = _geo_store(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    ac = make_area_centroid_udf()(F.col("geom_wkb")).alias("ac")
+    return (
+        store.select("c_custkey", "c_nationkey", "bbox", ac)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_geoms"),
+            F.min("bbox.xmin").alias("xmin"),
+            F.min("bbox.ymin").alias("ymin"),
+            F.max("bbox.xmax").alias("xmax"),
+            F.max("bbox.ymax").alias("ymax"),
+            F.sum("ac.area").alias("total_area"),
+        )
+    )

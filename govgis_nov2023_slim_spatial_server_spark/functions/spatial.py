@@ -365,6 +365,69 @@ def polygons_intersect(
     return False
 
 
+def polygons_area_centroid(
+    polys: list[list[np.ndarray]],
+) -> tuple[float, float | None, float | None]:
+    """Planar area and centroid — ST_Area / ST_Centroid parity (PostGIS
+    areal semantics: ring 0 of each polygon is the shell, later rings are
+    holes subtracted from it; a MULTIPOLYGON sums its members).
+
+    Shoelace per ring: 2A = Σ(xᵢyᵢ₊₁ − xᵢ₊₁yᵢ), centroid numerators
+    Sx = Σ(xᵢ+xᵢ₊₁)(xᵢyᵢ₊₁ − xᵢ₊₁yᵢ) (Sy likewise), cx = Sx / (3·2A).
+    Each ring's contribution is orientation-normalized (shell → +|·|,
+    hole → −|·|) so encoded winding order doesn't matter.
+
+    Exactness contract (what makes the DuckDB oracle entries hashable):
+    on coordinates that are dyadic rationals with few fraction bits
+    (the catalog's key-derived 0.25-multiple lattice, and any integer
+    grid), every product and sum here is exactly representable in
+    float64, so the sums are order-independent and bit-identical to any
+    other correct evaluation; the two final divisions are single IEEE
+    ops. Verified against an exact Fraction-arithmetic reference in
+    tests/test_spatial.py.
+
+    Degenerate input (unclosed point/linestring pseudo-rings, spike
+    rings, empty geometry) yields zero area and a NULL centroid.
+    """
+    a2_total = sx_total = sy_total = 0.0
+    for rings in polys:
+        for i, r in enumerate(rings):
+            if r.shape[0] < 4 or not np.array_equal(r[0], r[-1]):
+                continue  # not a closed ring: no interior, no area
+            x, y = r[:-1, 0], r[:-1, 1]
+            x1 = np.roll(x, -1)
+            y1 = np.roll(y, -1)
+            cross = x * y1 - x1 * y
+            a2 = float(cross.sum())
+            sx = float(((x + x1) * cross).sum())
+            sy = float(((y + y1) * cross).sum())
+            is_shell = i == 0
+            if (a2 < 0.0) == is_shell:  # normalize: shell +, hole −
+                a2, sx, sy = -a2, -sx, -sy
+            a2_total += a2
+            sx_total += sx
+            sy_total += sy
+    if a2_total == 0.0:
+        return 0.0, None, None
+    return a2_total / 2.0, sx_total / (3.0 * a2_total), sy_total / (3.0 * a2_total)
+
+
+def wkb_area_centroid(
+    wkb: bytes | None,
+) -> tuple[float | None, float | None, float | None]:
+    """ST_Area + ST_Centroid over a WKB column value; malformed bytes and
+    NULL yield an all-NULL row (same in-band error contract as the refine
+    predicates — never a worker crash)."""
+    if wkb is None:
+        return None, None, None
+    try:
+        polys = parse_wkb_polygons(bytes(wkb))
+    except (ValueError, struct.error):
+        return None, None, None
+    area, cx, cy = polygons_area_centroid(polys)
+    return area, cx, cy
+
+
 def polygons_intersect_wkb(wa: bytes | None, wb: bytes | None) -> bool:
     """Exact ST_Intersects(polygonA, polygonB) over WKB — the refine step
     after a bbox-overlap join (filter-and-refine; this never sees pairs
@@ -420,6 +483,31 @@ def make_box_wkb_udf():
         )
 
     return _box
+
+
+def make_area_centroid_udf():
+    """pandas UDF: WKB binary → struct<area double, cx double, cy double>
+    (ST_Area / ST_Centroid in one parse — a query computing both should
+    not decode the geometry twice)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("area", DoubleType(), True),
+            StructField("cx", DoubleType(), True),
+            StructField("cy", DoubleType(), True),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _area_centroid(wkbs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for w in wkbs:
+            area, cx, cy = wkb_area_centroid(w)
+            rows.append({"area": area, "cx": cx, "cy": cy})
+        return pd.DataFrame(rows, columns=["area", "cx", "cy"])
+
+    return _area_centroid
 
 
 def bbox_contains_point(bbox: Column | str, lon: float, lat: float) -> Column:

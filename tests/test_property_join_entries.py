@@ -65,6 +65,13 @@ ENTRIES = [
     # (random dbs have ≤15 keys so the hot branch rarely fires; the graded
     # corpora exercise it — keys are dense 0..N-1 with N ≥ 150)
     "spatial_join_hot_cell",
+    # r8 catalog growth: the geo-analytics layer (customer/nation only, so
+    # random dbs cover it fully) — shoelace area/centroid with holes, tile
+    # pyramid, haversine DWithin, grouped extent dissolve
+    "spatial_area_centroid",
+    "spatial_tile_quadkey",
+    "spatial_dwithin_haversine",
+    "spatial_dissolve_extent",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]
