@@ -252,6 +252,62 @@ def test_haversine_radius_margin_over_full_lattice():
 # ---------------------------------------------------------------------------
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_area_centroid_plan_is_map_only(spark, sf_dir):
+    """The 100 TB claim in the docstring: one scan-side ArrowEval pass,
+    no Exchange anywhere."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        spatial_area_centroid,
+    )
+
+    plan = _plan(spatial_area_centroid(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_dissolve_plan_prunes_udf_struct_and_broadcasts_nation(spark, sf_dir):
+    """Catalyst must prune the area/centroid struct to .area alone (cx/cy
+    never materialize) and the nation dim must broadcast."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        spatial_dissolve_extent,
+    )
+
+    plan = _plan(spatial_dissolve_extent(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # struct pruning: the aggregate consumes an extracted .area field, and
+    # no plan node projects the cx field out of the UDF result
+    assert ".cx" not in plan
+
+
+def test_dwithin_plan_broadcasts_probes(spark, sf_dir):
+    """The probe side (3 rows) must broadcast — the store never shuffles
+    before the 3-group aggregate."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        spatial_dwithin_haversine,
+    )
+
+    plan = _plan(spatial_dwithin_haversine(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only Exchange is the final probe_id aggregate (3 groups)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tile_quadkey_plan_is_native_single_shuffle(spark, sf_dir):
+    """Tile math and quadkey interleave stay in native projections (no
+    Python eval) and the only Exchange is the map-combined tile-key agg."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        spatial_tile_quadkey,
+    )
+
+    plan = _plan(spatial_tile_quadkey(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_quadkey_bit_interleave(spark):
     from pyspark.sql import functions as F
 

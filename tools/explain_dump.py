@@ -70,6 +70,10 @@ NOTES = {
     "ngram_containment_capped": "stop-shingle df cap BEFORE the self-join via broadcast ANTI-join against the small hot set (df > cap) — one map-combined df aggregate, prune stays map-side; every shingle's pair fan-out bounded by cap² (SCALING.md run 5: linear candidate growth where uncapped is →quadratic).",
     "spatial_join_exact": "filter-and-refine: grid-cell blocked bbox EQUI-join (no nested loop), then the polygon×polygon ArrowEval refine runs only on candidate pairs.",
     "spatial_join_hot_cell": "skewed SELF-join via the same blocked equi-join: one cell key carries the quadratic hot block. At sf0.01 the exploded side fits broadcast so Catalyst correctly picks BroadcastHashJoin (no shuffle at all); above the broadcast threshold the same plan becomes the sort-merge shuffle whose hot partition AQE skew-split parallelizes — refine rides in the join stage either way (SCALING.md run 9: split fires, 5.3× wall).",
+    "spatial_area_centroid": "map-only: scan → 2-column project → ONE ArrowEval (parse+shoelace) → project; no Exchange anywhere — at 100 TB this is a pure scan-side pass.",
+    "spatial_tile_quadkey": "tile math (incl. the mercator tan/ln) and the quadkey bit-interleave are all codegen projections; the only Exchange is the map-combined HashAggregate on the tile key — the tile id IS the partition key.",
+    "spatial_dwithin_haversine": "3-row probe side broadcast (IdentityBroadcastMode BroadcastNestedLoopJoin = a map-side pass over the store); haversine is one codegen project; partial count/min run before the 3-group Exchange.",
+    "spatial_dissolve_extent": "Catalyst prunes the UDF struct to .area alone (_extract_area) — cx/cy never materialize; nation broadcast with PushedFilters; extent min/max + area sum in one map-combined HashAggregate.",
 }
 
 
