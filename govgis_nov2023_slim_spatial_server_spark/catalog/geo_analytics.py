@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
-from ..functions.spatial import make_area_centroid_udf, wkb_polygon
+from ..functions.spatial import (
+    make_area_centroid_udf,
+    make_points_in_polys_udf,
+    wkb_polygon,
+)
+from ..operators.spatial_join import grid_blocked_overlap_join
 from ..schemas import load_table
 from ..sources.ingest import derive_bbox
 from ._registry import query
@@ -381,6 +386,90 @@ def spatial_dwithin_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("d_km") <= 600.0, 1)).alias("n_600"),
         F.count(F.when(F.col("d_km") <= 1500.0, 1)).alias("n_1500"),
         F.min(F.when(F.col("d_km") <= 600.0, F.col("k"))).alias("min_key_600"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Points-in-polygons join (ST_Contains aggregation)
+# --------------------------------------------------------------------------
+
+# Point lattice: ODD multiples of 1/32. Every polygon edge coordinate is an
+# EVEN multiple of 1/32 (x0/y0 are 1.5- and 1.25-multiples = 48/32, 40/32
+# steps; w·{0.25,0.5,0.75,1} offsets are ≥2/32 steps), so no point can ever
+# sit ON an edge — strict interior/exterior everywhere, and on rectilinear
+# edges the ray-cast's crossing arithmetic is exact dyadic, so the even-odd
+# verdict equals the closed-form containment the oracle states.
+# (tests/test_geo_analytics.py proves the parity claim by enumeration.)
+_PTS_SQL = """
+      SELECT o_orderkey AS pid,
+             CAST(-124.96875 + (o_orderkey % 480) * 0.125 AS DOUBLE) AS px,
+             CAST(24.03125 + (o_orderkey % 168) * 0.125 AS DOUBLE)   AS py
+      FROM orders WHERE o_orderkey % 8 = 0
+"""
+
+
+def _order_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+    k = F.col("o_orderkey")
+    px = F.lit(-124.96875) + (k % 480).cast("double") * 0.125
+    py = F.lit(24.03125) + (k % 168).cast("double") * 0.125
+    return o.select(k.alias("pid"), px.alias("px"), py.alias("py"))
+
+
+@query(
+    "spatial_points_in_polygons",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    pts AS ({_PTS_SQL})
+    SELECT p.k AS c_custkey, COUNT(*) AS n_points
+    FROM p JOIN pts
+      ON pts.px > p.x0 AND pts.px < p.x0 + p.w
+     AND pts.py > p.y0 AND pts.py < p.y0 + p.h
+    WHERE CASE WHEN p.k % 2 = 1
+           THEN NOT (pts.px > p.x0 + p.w * 0.5 AND pts.py > p.y0 + p.h * 0.5)
+           ELSE NOT (pts.px > p.x0 + p.w * 0.25 AND pts.px < p.x0 + p.w * 0.75
+                 AND pts.py > p.y0 + p.h * 0.25 AND pts.py < p.y0 + p.h * 0.75)
+          END
+    GROUP BY p.k
+    """,
+)
+def spatial_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical GIS aggregation — points-in-polygons (ST_Contains
+    join): how many events/assets fall inside each district polygon. Runs
+    the full 100 TB shape end-to-end: points enter the grid-blocked
+    equi-join as zero-area rectangles (operators/spatial_join.py — shuffled
+    hash join on the cell key, never a nested loop), then the vectorized
+    even-odd refine (one WKB parse per polygon per batch, all its candidate
+    points ray-cast in one numpy call) decides exact containment, and a
+    per-polygon count aggregates. The oracle replays containment in closed
+    form — valid because the point lattice (odd 1/32-multiples) is disjoint
+    from every polygon edge lattice (even 1/32-multiples): every point is
+    strictly inside or outside, where even-odd and the rectangle algebra
+    agree exactly."""
+    store = _geo_store(spark, sf_dir)
+    polys = store.select(
+        "c_custkey",
+        "geom_wkb",
+        F.col("bbox.xmin").alias("xmin"),
+        F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"),
+        F.col("bbox.ymax").alias("ymax"),
+    )
+    pts = _order_points(spark, sf_dir).select(
+        "pid",
+        F.col("px").alias("xmin"),
+        F.col("py").alias("ymin"),
+        F.col("px").alias("xmax"),
+        F.col("py").alias("ymax"),
+    )
+    pairs = grid_blocked_overlap_join(polys, pts, cell=4.0, suffix="_p")
+    contained = pairs.where(
+        make_points_in_polys_udf()(
+            F.col("geom_wkb"), F.col("xmin_p"), F.col("ymin_p")
+        )
+    )
+    return contained.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_points")
     )
 
 

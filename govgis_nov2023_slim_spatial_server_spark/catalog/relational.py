@@ -1991,3 +1991,60 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_round(p_cur, 6).alias("p_cur"),
         rnd_nz((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+@query(
+    "cdc_upsert_snapshot",
+    """
+    WITH snap AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    batch AS (
+      SELECT o_orderkey AS k, 'U' AS status,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) + 500 AS cents
+      FROM orders WHERE o_orderkey % 2 = 0),
+    m AS (
+      SELECT COALESCE(b.k, s.k) AS k,
+             COALESCE(b.cents, s.cents) AS cents,
+             CASE WHEN b.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+                  WHEN b.k IS NOT NULL THEN 'insert'
+                  ELSE 'carry' END AS action
+      FROM snap s FULL OUTER JOIN batch b ON s.k = b.k)
+    SELECT action, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM m GROUP BY action
+    """,
+)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) — the Delta/Iceberg-shape snapshot update
+    every warehouse ingest job runs: an incoming change batch is merged
+    into the existing snapshot by key — matched rows take the batch's
+    values (update), unmatched batch rows insert, untouched snapshot rows
+    carry over. Spark-first physical shape: ONE full-outer sort-merge join
+    on the key (exactly what a table-format MERGE plans under the hood),
+    with the action tag and value coalesce as map-side projections, then a
+    3-group scorecard aggregate — the per-action row/cents totals an
+    upsert job publishes for reconciliation. Snapshot and batch are
+    deterministic key-modulo slices of orders (batch rows get status 'U'
+    and +500 cents so updates are observable); all money is exact integer
+    cents (the _revenue_e4 discipline) so the totals hash bit-identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    snap = o.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("sk"), cents.alias("s_cents")
+    )
+    batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("bk"), (cents + F.lit(500)).alias("b_cents")
+    )
+    m = snap.join(batch, snap.sk == batch.bk, "full_outer").select(
+        F.coalesce("b_cents", "s_cents").alias("cents"),
+        F.when(F.col("bk").isNotNull() & F.col("sk").isNotNull(), "update")
+        .when(F.col("bk").isNotNull(), "insert")
+        .otherwise("carry")
+        .alias("action"),
+    )
+    return m.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -252,6 +252,75 @@ def test_haversine_radius_margin_over_full_lattice():
 # ---------------------------------------------------------------------------
 
 
+def test_points_in_polys_matches_scalar_raycast():
+    """The vectorized refine must agree with the scalar even-odd path on
+    random integer polygons (incl. holes, stars, degenerate spikes) and
+    random half-integer points — the operations are the same IEEE ops,
+    broadcast."""
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        _polys_contain_point,
+        points_in_polys,
+    )
+
+    rng = np.random.RandomState(77)
+    hits = total = 0
+    for _ in range(120):
+        polys = []
+        for _p in range(1 + (rng.rand() < 0.3)):
+            rings = [_gen_ring(rng, int(rng.randint(-4, 5)), int(rng.randint(-4, 5)), 5)]
+            if rng.rand() < 0.3:
+                hx, hy = int(rng.randint(-2, 2)), int(rng.randint(-2, 2))
+                rings.append(
+                    [(hx, hy), (hx + 1, hy), (hx + 1, hy + 1), (hx, hy + 1), (hx, hy)]
+                )
+            if rng.rand() < 0.2:  # degenerate spike "polygon"
+                p = (int(rng.randint(-4, 5)), int(rng.randint(-4, 5)))
+                rings = [[p, (p[0] + 2, p[1] + 1), p]]
+            polys.append([np.asarray(r, dtype=np.float64) for r in rings])
+        # half-integer points (off-vertex) plus a few exact vertices
+        pts = rng.randint(-12, 13, size=(40, 2)) / 2.0
+        lons, lats = pts[:, 0].copy(), pts[:, 1].copy()
+        got = points_in_polys(polys, lons, lats)
+        want = np.array(
+            [_polys_contain_point(polys, float(x), float(y)) for x, y in pts]
+        )
+        assert (got == want).all()
+        hits += int(got.sum())
+        total += len(pts)
+    assert 0 < hits < total  # both outcomes exercised
+
+
+def test_point_lattice_disjoint_from_polygon_edges():
+    """The oracle-exactness precondition of spatial_points_in_polygons:
+    every point coordinate is an ODD multiple of 1/32; every polygon edge
+    coordinate (x0, x0+w·{0.25,0.5,0.75,1}, y0, y0+h·{…}) is an EVEN
+    multiple of 1/32 — enumerated over the full modulo lattice."""
+    from fractions import Fraction
+
+    edge_x, edge_y = set(), set()
+    for i in range(40):
+        x0 = Fraction(-125) + Fraction(3, 2) * i
+        for m in range(7):
+            w = 1 + Fraction(1, 4) * m
+            for fr in (0, Fraction(1, 4), Fraction(1, 2), Fraction(3, 4), 1):
+                edge_x.add(x0 + w * fr)
+    for j in range(16):
+        y0 = Fraction(24) + Fraction(5, 4) * j
+        for m in range(5):
+            h = 1 + Fraction(1, 4) * m
+            for fr in (0, Fraction(1, 4), Fraction(1, 2), Fraction(3, 4), 1):
+                edge_y.add(y0 + h * fr)
+    for v in edge_x | edge_y:
+        t = v * 32
+        assert t.denominator == 1 and t.numerator % 2 == 0, v
+    for k in range(0, 4000, 8):
+        px = Fraction(-12496875, 100000) + Fraction(1, 8) * (k % 480)
+        py = Fraction(2403125, 100000) + Fraction(1, 8) * (k % 168)
+        for v in (px, py):
+            t = v * 32
+            assert t.denominator == 1 and t.numerator % 2 == 1, v
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -306,6 +375,32 @@ def test_tile_quadkey_plan_is_native_single_shuffle(spark, sf_dir):
     plan = _plan(spatial_tile_quadkey(spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_points_in_polygons_plan_is_blocked_equi_join(spark, sf_dir):
+    """The join must be an equi-join on the grid cell keys — never a
+    BroadcastNestedLoopJoin / CartesianProduct — and the refine UDF must
+    run join-side (after the cell match), not as a pre-join scan."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        spatial_points_in_polygons,
+    )
+
+    plan = _plan(spatial_points_in_polygons(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__cx" in plan and "__rcx" in plan  # the cell equi-keys
+    assert "ArrowEvalPython" in plan
+
+
+def test_cdc_upsert_plan_is_single_full_outer_join(spark, sf_dir):
+    from govgis_nov2023_slim_spatial_server_spark.catalog.relational import (
+        cdc_upsert_snapshot,
+    )
+
+    plan = _plan(cdc_upsert_snapshot(spark, sf_dir))
+    assert "FullOuter" in plan  # the MERGE shape: one key-equi full outer
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_quadkey_bit_interleave(spark):

@@ -72,6 +72,7 @@ ENTRIES = [
     "spatial_tile_quadkey",
     "spatial_dwithin_haversine",
     "spatial_dissolve_extent",
+    "spatial_points_in_polygons",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -49,6 +49,9 @@ ENTRIES = [
     "set_ops_all_variants",
     "revenue_share_window",
     "sketch_cms_priority_counts",
+    # r8: the MERGE INTO scorecard — full-outer coalesce on random key
+    # sets (incl. empty orders, batch-only keys, snapshot-only keys)
+    "cdc_upsert_snapshot",
 ]
 
 STATUSES = ["O", "F", "P"]

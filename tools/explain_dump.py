@@ -74,6 +74,8 @@ NOTES = {
     "spatial_tile_quadkey": "tile math (incl. the mercator tan/ln) and the quadkey bit-interleave are all codegen projections; the only Exchange is the map-combined HashAggregate on the tile key — the tile id IS the partition key.",
     "spatial_dwithin_haversine": "3-row probe side broadcast (IdentityBroadcastMode BroadcastNestedLoopJoin = a map-side pass over the store); haversine is one codegen project; partial count/min run before the 3-group Exchange.",
     "spatial_dissolve_extent": "Catalyst prunes the UDF struct to .area alone (_extract_area) — cx/cy never materialize; nation broadcast with PushedFilters; extent min/max + area sum in one map-combined HashAggregate.",
+    "spatial_points_in_polygons": "points enter the grid join as zero-area rects: EQUI-join on (cell_x, cell_y) (broadcast at this SF, shuffled hash above threshold — never a nested loop); the vectorized even-odd refine (one parse per polygon per batch) rides after the join; orders scan prunes to o_orderkey with the %8 filter pushed.",
+    "cdc_upsert_snapshot": "the MERGE INTO shape: ONE full-outer SortMergeJoin on the key, both scans pruned to 2 columns with the slice predicates pushed; action tag + value coalesce are map-side projections; 3-group map-combined scorecard agg.",
 }
 
 

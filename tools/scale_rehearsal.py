@@ -71,6 +71,14 @@ QUERIES_UNDER_TEST = {
     # driver-state iterative loop and the shifted-slice bigram LM
     "kmeans_two_iterations": (["embeddings"], "docs"),
     "bigram_lm_cross_entropy": (["documents"], "docs"),
+    # r8: the geo-analytics layer (customer-keyed polygon store). The
+    # store build (shape-WKB UDF + localCheckpoint) runs once per corpus
+    # and min-of-repeats excludes it — matching production's ingest-once /
+    # query-many split; what's measured is the per-query kernel (parse +
+    # shoelace ArrowEval, tile codegen + agg, broadcast haversine scan).
+    "spatial_area_centroid": (["customer"], "docs"),
+    "spatial_tile_quadkey": (["customer"], "docs"),
+    "spatial_dwithin_haversine": (["customer"], "docs"),
 }
 
 
@@ -133,6 +141,13 @@ def _replicate(
             p = p.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000)
             )
+        elif table == "customer":
+            # key-shifted copies: every key stays on the geo lattice (the
+            # store derives coordinates from key modulos), density per
+            # region grows N×
+            p = p.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(r * 1_000_000)
+            )
         elif table == "events":
             # shift BOTH ids: each replica is a fresh user population with
             # the same per-user chain structure (window state per user is
@@ -147,11 +162,31 @@ def _replicate(
     out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
 
 
+# Map-only outputs need forced evaluation: count() lets Catalyst prune a
+# deterministic UDF projection nobody consumes, so the kernel under test
+# never runs (caught on the first spatial_area_centroid rehearsal: 300k
+# geometries "parsed" in 0.07s marginal — the ArrowEval had been pruned).
+# Every other entry ends in an aggregate/top-k that consumes the computed
+# values, so count() drives the full plan there (same contract bench.py
+# documents).
+_FORCE_EVAL = {"spatial_area_centroid"}
+
+
 def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
     from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
 
     t0 = time.perf_counter()
-    n = QUERIES[name](spark, sf_dir).count()
+    df = QUERIES[name](spark, sf_dir)
+    if name in _FORCE_EVAL:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))").alias("h"),
+        ).collect()[0]
+        n = row["n"]
+    else:
+        n = df.count()
     return time.perf_counter() - t0, n
 
 
@@ -437,15 +472,15 @@ def main() -> None:
     needed = {t for tabs, _ in QUERIES_UNDER_TEST.values() for t in tabs}
     tables = [
         t
-        for t in ["documents", "embeddings", "orders", "lineitem", "events"]
+        for t in ["documents", "embeddings", "orders", "lineitem", "events", "customer"]
         if t in needed
     ]
     dirs = {1: os.path.join(WORK, "x1")}
     for t in tables:
         _replicate(spark, t, dirs[1], 1, hot_shingle=args.hot_shingle)
     for t in tables:
-        reps = args.docs_reps if t in ("documents", "embeddings") else args.fact_reps
-        key = ("docs", args.docs_reps) if t in ("documents", "embeddings") else (
+        reps = args.docs_reps if t in ("documents", "embeddings", "customer") else args.fact_reps
+        key = ("docs", args.docs_reps) if t in ("documents", "embeddings", "customer") else (
             "fact",
             args.fact_reps,
         )
