@@ -221,12 +221,19 @@ def test_malformed_wkb_never_crashes_predicates():
     rng = np.random.RandomState(99)
     fuzz = [rng.bytes(int(rng.randint(1, 120))) for _ in range(300)]
 
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        wkb_area_centroid,
+    )
+
     for w in adversarial + fuzz:
         # predicates must return a bool, never raise
         assert polygons_intersect_wkb(w, square) in (True, False)
         assert polygons_intersect_wkb(square, w) in (True, False)
         assert point_in_polygon_wkb(w, 1.0, 1.0) in (True, False)
         wkb_bounds(w)  # None or a tuple, never an exception
+        # r8 kernels share the same never-raise contract
+        area, cx, cy = wkb_area_centroid(w)
+        assert area is None or isinstance(area, float)
 
 
 def test_mercator_roundtrip_randomized():
