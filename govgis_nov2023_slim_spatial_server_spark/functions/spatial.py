@@ -421,7 +421,8 @@ def polygons_area_centroid(
     float64, so the sums are order-independent and bit-identical to any
     other correct evaluation; the two final divisions are single IEEE
     ops. Verified against an exact Fraction-arithmetic reference in
-    tests/test_spatial.py.
+    tests/test_geo_analytics.py (and fuzz-covered via wkb_area_centroid
+    in tests/test_spatial.py).
 
     Degenerate input (unclosed point/linestring pseudo-rings, spike
     rings, empty geometry) yields zero area and a NULL centroid.
