@@ -485,3 +485,52 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT n.n_name AS n_name, e.event_type AS event_type,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(e.value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join run BY THE STREAMING ENGINE — the
+    single most common production streaming shape (enrich an event stream
+    with a dimension table before aggregating), and the one join form the
+    stream-stream entries don't cover: the static side is a plain batch
+    DataFrame, joined stateless per micro-batch (Spark broadcasts it — a
+    map-side hash lookup riding the stream, no join state, no watermark
+    required on the dim). The enriched stream then aggregates per
+    (region, event_type) in complete mode and drains with availableNow,
+    so the result equals the batch join+GROUP BY the oracle states. At
+    100 TB/day the dim broadcast refreshes per micro-batch — the
+    slowly-changing upgrade is the scd2 build feeding this same join."""
+    ev = _events_stream(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    enriched = ev.join(nation, (F.col("user_id") % 25) == F.col("nk"))
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_enrich_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "n_name",
+        "event_type",
+        "n_events",
+        floor_round(F.col("sum_value"), 4).alias("sum_value"),
+    )

@@ -94,6 +94,17 @@ def _write_events(rows, dirname: str) -> None:
     )
     df["ts"] = df["ts"].astype("datetime64[us]")
     df.to_parquet(os.path.join(dirname, "events.parquet"), index=False)
+    # static dim for stream_static_enrich (a PARTIAL dim on purpose — only
+    # 6 of the 25 possible user_id%25 keys — so the inner join's dropped
+    # rows are exercised; invisible to other entries: the stream source's
+    # pathGlobFilter reads events.parquet only)
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(6), dtype="int32"),
+            "n_name": [f"NATION_{i}" for i in range(6)],
+        }
+    )
+    nation.to_parquet(os.path.join(dirname, "nation.parquet"), index=False)
 
 
 def _normalize(rows):
@@ -120,9 +131,10 @@ def test_entry_matches_its_oracle_on_random_events(spark, entry, rows):
             [tuple(r) for r in QUERIES[entry](spark, d).collect()]
         )
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
-        )
+        for t in ("events", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
         want = _normalize(con.execute(ORACLES[entry]).fetchall())
         con.close()
         assert got == want
@@ -186,6 +198,7 @@ def test_stream_late_data_drop_matches_oracle_on_random_streams(spark, rows):
 
 
 STREAM_ENTRIES = [
+    "stream_static_enrich",
     "stream_tumbling_event_counts",
     "stream_sliding_event_counts",
     "stream_session_user_totals",
@@ -212,9 +225,10 @@ def test_streaming_entry_matches_its_oracle_on_random_events(spark, entry, rows)
             [tuple(r) for r in QUERIES[entry](spark, d).collect()]
         )
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
-        )
+        for t in ("events", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
         want = _normalize(con.execute(ORACLES[entry]).fetchall())
         con.close()
         assert got == want
