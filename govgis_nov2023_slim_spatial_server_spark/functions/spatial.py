@@ -256,12 +256,23 @@ def points_in_polys(
             xs, ys = ring[:, 0], ring[:, 1]
             x1, y1 = xs[:-1][None, :], ys[:-1][None, :]
             x2, y2 = xs[1:][None, :], ys[1:][None, :]
-            lat_c, lon_c = lats[:, None], lons[:, None]
-            crosses = (y1 > lat_c) != (y2 > lat_c)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xint = x1 + (lat_c - y1) * (x2 - x1) / (y2 - y1)
-            hits = crosses & (lon_c < xint)
-            inside ^= (hits.sum(axis=1) % 2) == 1
+            n_edges = max(1, x1.shape[1])
+            # bound the (points × edges) broadcast temporaries: a hot
+            # polygon can meet 100k+ candidate points in one Arrow batch,
+            # and a detailed ring has 1000+ edges — unchunked that is an
+            # O(B·E) float64 allocation per operand (≈1 GB at 100k×1000).
+            # ~2M cells per chunk keeps peak memory < ~50 MB with
+            # identical per-cell arithmetic.
+            step = max(1, 2_000_000 // n_edges)
+            for lo in range(0, lons.shape[0], step):
+                hi = lo + step
+                lat_c = lats[lo:hi, None]
+                lon_c = lons[lo:hi, None]
+                crosses = (y1 > lat_c) != (y2 > lat_c)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x1 + (lat_c - y1) * (x2 - x1) / (y2 - y1)
+                hits = crosses & (lon_c < xint)
+                inside[lo:hi] ^= (hits.sum(axis=1) % 2) == 1
         out |= inside
     return out
 
