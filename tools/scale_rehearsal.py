@@ -79,6 +79,9 @@ QUERIES_UNDER_TEST = {
     "spatial_area_centroid": (["customer"], "docs"),
     "spatial_tile_quadkey": (["customer"], "docs"),
     "spatial_dwithin_haversine": (["customer"], "docs"),
+    # r8: the MERGE INTO shape — one full-outer SMJ on the key; both the
+    # snapshot and batch slices grow with the orders replication
+    "cdc_upsert_snapshot": (["orders"], "fact"),
 }
 
 
