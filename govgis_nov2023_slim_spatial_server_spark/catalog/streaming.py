@@ -79,12 +79,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session every window_start_s would shift by the zone offset vs the
     # UTC DuckDB oracle (the verified 28800 s failure mode)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # Layout-aware source: the file-source stream requires a DIRECTORY
+    # basePath, so when events.parquet is a Spark-written directory of
+    # part files, stream that directory itself; when it is the driver
+    # testdata's single file, stream sf_dir with a glob pinning the one
+    # file. The previous unconditional glob silently read ZERO rows on
+    # the directory layout — the part-*.parquet leaves fail the
+    # 'events.parquet' filename filter (caught by the r8 scale
+    # rehearsal, whose replicated corpora are df.write.parquet dirs).
+    if os.path.isdir(path):
+        src = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(src)
 
 

@@ -198,3 +198,31 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert out.count() == 80  # 50 would mean no resume; 130 would mean replay
     # exactly-once: every id appears once
     assert out.select("event_id").distinct().count() == 80
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """The r8 rehearsal bug: a Spark-written events.parquet is a DIRECTORY
+    of part files, and the old filename-glob source silently streamed zero
+    rows from it. Both layouts must now produce the batch answer."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+    import duckdb
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d)
+    # directory layout: multi-part Spark write
+    src.repartition(3).write.parquet(f"{d}/events.parquet")
+    assert os.path.isdir(f"{d}/events.parquet")
+    got = {
+        tuple(r)
+        for r in QUERIES["stream_tumbling_event_counts"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(ORACLES["stream_tumbling_event_counts"]).fetchall()}
+    con.close()
+    assert got and got == want

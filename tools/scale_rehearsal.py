@@ -82,6 +82,10 @@ QUERIES_UNDER_TEST = {
     # r8: the MERGE INTO shape — one full-outer SMJ on the key; both the
     # snapshot and batch slices grow with the orders replication
     "cdc_upsert_snapshot": (["orders"], "fact"),
+    # r8: REAL streaming execution under replication — availableNow drain
+    # of the stream-static enrich (dim broadcast per micro-batch); wall
+    # includes the streaming engine's batch planning overhead
+    "stream_static_enrich": (["events", "nation"], "fact"),
 }
 
 
@@ -93,6 +97,9 @@ def _replicate(
     from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
 
     df = load_table(spark, BASE, table)
+    if table == "nation":  # static dim: copy through unreplicated
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+        return
     parts = []
     for r in range(reps):
         p = df
@@ -475,7 +482,15 @@ def main() -> None:
     needed = {t for tabs, _ in QUERIES_UNDER_TEST.values() for t in tabs}
     tables = [
         t
-        for t in ["documents", "embeddings", "orders", "lineitem", "events", "customer"]
+        for t in [
+            "documents",
+            "embeddings",
+            "orders",
+            "lineitem",
+            "events",
+            "customer",
+            "nation",
+        ]
         if t in needed
     ]
     dirs = {1: os.path.join(WORK, "x1")}
