@@ -23,47 +23,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r07), so insertion order
-# decides which queries get correctness rows. r8 prefix, EXACTLY as the
-# r7 verdict + CLAUDE.md staged it (CLAUDE.md "r8 PREFIX" is the single
-# source of truth; confirmed vs the post-r7 ledger via
-# `tools/proof_ledger.py --assume-next-green`): the 5 r3-proven entries
-# deferred from r7 (flagship/knn_topk covered by entry()+bench every
-# round, ngram_jaccard_topk/tumbling_window_1h bench headliners,
-# embedding_near_dup's blocked twin r4-green), then ALL 43 r4-proven
-# entries (the final staleness-re-proof leg — after a green r8 no
-# entry's latest proof predates r5), then the 2 entries whose CODE
-# changed in r7 (kmeans_two_iterations: single-pass M-step;
-# multimodal_audio_windows: NULL-payload guard). Code changed in r8
-# jumps this queue as always.
+# (verified key-by-key against CORRECTNESS_r01..r08), so insertion order
+# decides which queries get correctness rows. r9 prefix, EXACTLY as the
+# post-r8 CLAUDE.md staged it (confirmed vs the post-r8 ledger via
+# `tools/proof_ledger.py --assume-next-green`): the 8 entries that have
+# never been driver-graded (all landed post-freeze in r8), then the 9
+# entries whose CODE changed in r8 (sql_surface_pricing:
+# register_temp_views swallows only PATH_NOT_FOUND; spatial_join_exact:
+# rect×rect fast path + single-ring _poly_bounds; the seven
+# `_events_stream` consumers: layout-aware stream source), then the
+# FIRST 33 of the remaining 44-entry r5-proven re-proof queue. The
+# queue's last 11 (skewed_agg_salted … multimodal_frame_sample) slide
+# to the r10 head. Entries NEW in r9 are deferred to r10 via
+# `proof_ledger.py --check-prefix --defer` (the r8 precedent). Code
+# changed in r9 jumps this queue as always.
 _DRIVER_PRIORITY = [
-    # r3-proven, deferred from the r7 prefix
-    "flagship_hybrid_search", "knn_topk", "embedding_near_dup",
-    "ngram_jaccard_topk", "tumbling_window_1h",
-    # staleness re-proof: all 43 r4-proven entries
-    "knn_lsh_oracle", "similarity_join_topk",
-    "embedding_near_dup_blocked", "minhash_neardup_oracle",
-    "fingerprint_dup_groups", "token_counts", "doc_quality",
-    "lang_id_stopwords", "inverted_index_postings",
-    "corpus_stats_documents", "bigram_top_counts",
-    "quality_curriculum_buckets", "dedup_retention_summary",
-    "exists_correlated_bigqty", "scalar_subquery_above_avg",
-    "cross_join_region_nation", "having_populous_nations",
-    "collect_sorted_priorities", "case_when_discount_buckets",
-    "explode_embedding_dims", "vector_centroids_by_label",
-    "knn_euclidean", "dot_product_ranking", "char_ngram_counts",
-    "stopword_ratio_en", "kmeans_assign_step",
-    "mad_totalprice_by_status", "bitwise_aggs_orders",
-    "token_length_histogram", "weighted_sample_by_quality",
-    "json_extract_events", "dedup_first_event_per_key",
-    "asof_join_purchase_signup", "window_percent_rank_prices",
-    "user_retention_cohorts", "set_ops_all_variants",
-    "null_safe_join_counts", "resample_ffill_15m",
-    "order_date_spine_counts", "rank_with_ties_topk",
-    "revenue_share_window", "spatial_point_filter",
-    "spatial_knn_rect_centroids",
-    # code changed in r7 (jump the queue per the rotation rule)
-    "kmeans_two_iterations", "multimodal_audio_windows",
+    # never driver-graded (landed post-freeze in r8)
+    "spatial_join_hot_cell", "spatial_area_centroid",
+    "spatial_tile_quadkey", "spatial_dwithin_haversine",
+    "spatial_dissolve_extent", "spatial_points_in_polygons",
+    "cdc_upsert_snapshot", "stream_static_enrich",
+    # code changed in r8 (jump the queue per the rotation rule)
+    "sql_surface_pricing", "spatial_join_exact",
+    "stream_tumbling_event_counts", "stream_interval_join_pairs",
+    "stream_dedup_user_type", "stream_sliding_event_counts",
+    "stream_session_user_totals", "stream_topk_types_per_window",
+    "stream_stateful_running_totals",
+    # staleness re-proof: first 33 of the r5-proven queue (oldest first)
+    "similarity_join_lsh_oracle", "knn_ivf_oracle",
+    "minhash_lsh_neardup", "simhash_poly_signature",
+    "embedding_quantize_int8", "knn_int8_rerank",
+    "dedup_components", "dedup_keep_best_doc",
+    "event_type_change_log", "cumulative_distinct_users",
+    "sample_deterministic_orders", "split_train_val_test",
+    "chunk_documents_tokens", "tfidf_top_terms",
+    "chunk_dedup_summary", "pii_redaction",
+    "decontaminate_benchmark", "stratified_sample_embeddings",
+    "bpe_pair_counts", "char_entropy_quality",
+    "bigram_lm_cross_entropy", "q5_nation_revenue",
+    "topk_offset_orders", "filter_caseins_topk",
+    "set_intersect_nations", "set_except_keys", "set_union_keys",
+    "string_funcs_part", "date_funcs_orders", "math_funcs_lineitem",
+    "dedup_distinct_pairs", "q4_priority_with_late_items",
+    "q14_economy_revenue_share",
 ]
 
 

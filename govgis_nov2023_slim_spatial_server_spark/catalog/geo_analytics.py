@@ -46,6 +46,7 @@ from ..operators.spatial_join import grid_blocked_overlap_join
 from ..schemas import load_table
 from ..sources.ingest import derive_bbox
 from ._registry import query
+from ._store_cache import MaterializedStoreCache
 
 # --------------------------------------------------------------------------
 # Deterministic polygon store (binary-exact lattice)
@@ -150,15 +151,16 @@ def make_shape_wkb_udf():
     return _shape
 
 
-_geo_store_cache: dict = {}
+_geo_store_cache = MaterializedStoreCache()
 
 
 def _geo_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon store (c_custkey, c_nationkey, geom_wkb, bbox), built once
     per session and materialized — the ingest-once / query-many split of
-    sources/ingest.py (same pattern as spatial_mm._spatial_layers)."""
-    key = (id(spark), sf_dir)
-    if key not in _geo_store_cache:
+    sources/ingest.py (same pattern as spatial_mm._spatial_layers).
+    Cached via MaterializedStoreCache (LRU + session-finalizer eviction)."""
+
+    def _build() -> DataFrame:
         c = load_table(spark, sf_dir, "customer")
         k = F.col("c_custkey")
         x0 = F.lit(-125.0) + (k % 40).cast("double") * 1.5
@@ -180,8 +182,9 @@ def _geo_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_custkey"), F.col("x0"), F.col("y0"), F.col("w"), F.col("h")
             ).alias("geom_wkb"),
         )
-        _geo_store_cache[key] = derive_bbox(wkb).localCheckpoint(eager=True)
-    return _geo_store_cache[key]
+        return derive_bbox(wkb).localCheckpoint(eager=True)
+
+    return _geo_store_cache.get_or_build(spark, sf_dir, _build)
 
 
 # --------------------------------------------------------------------------

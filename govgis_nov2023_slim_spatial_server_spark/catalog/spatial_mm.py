@@ -26,6 +26,7 @@ from ..operators.multimodal import extract_byte_stats, with_binary_payload
 from ..schemas import load_table
 from ..sources.ingest import derive_bbox
 from ._registry import query
+from ._store_cache import MaterializedStoreCache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,23 +60,25 @@ _CUST_RECT_SQL = """
 """
 
 
-_spatial_layers_cache: dict = {}
+_spatial_layers_cache = MaterializedStoreCache()
 
 
 def _spatial_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic layers store (WKB + derived bbox), built ONCE per session
     and materialized — mirroring production, where ingest (WKB encode +
     bbox derivation) runs once at write time and queries hit the prepared
-    store (the reference's load_data.py vs app.py split)."""
-    key = (id(spark), sf_dir)
-    if key not in _spatial_layers_cache:
+    store (the reference's load_data.py vs app.py split). Cached via
+    MaterializedStoreCache (LRU + session-finalizer eviction)."""
+
+    def _build() -> DataFrame:
         rects = _customer_rects(spark, sf_dir)
         wkb = rects.withColumn(
             "geom_wkb",
             make_box_wkb_udf()(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
         ).select("c_custkey", "geom_wkb")
-        _spatial_layers_cache[key] = derive_bbox(wkb).localCheckpoint(eager=True)
-    return _spatial_layers_cache[key]
+        return derive_bbox(wkb).localCheckpoint(eager=True)
+
+    return _spatial_layers_cache.get_or_build(spark, sf_dir, _build)
 
 
 @query(

@@ -596,11 +596,19 @@ def make_area_centroid_udf():
 
     @pandas_udf(schema)
     def _area_centroid(wkbs: pd.Series) -> pd.DataFrame:
-        rows = []
-        for w in wkbs:
-            area, cx, cy = wkb_area_centroid(w)
-            rows.append({"area": area, "cx": cx, "cy": cy})
-        return pd.DataFrame(rows, columns=["area", "cx", "cy"])
+        n = len(wkbs)
+        areas = np.full(n, np.nan, dtype=np.float64)
+        cxs = np.full(n, np.nan, dtype=np.float64)
+        cys = np.full(n, np.nan, dtype=np.float64)
+        for i, w in enumerate(wkbs):
+            a, cx, cy = wkb_area_centroid(w)
+            if a is not None:
+                areas[i] = a
+            if cx is not None:
+                cxs[i] = cx
+            if cy is not None:
+                cys[i] = cy
+        return pd.DataFrame({"area": areas, "cx": cxs, "cy": cys})
 
     return _area_centroid
 

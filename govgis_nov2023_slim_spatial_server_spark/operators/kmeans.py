@@ -41,15 +41,17 @@ def assign_nearest(
     from ..functions.hashes import _let
     from ..functions.vector import euclidean_distance
 
-    best = F.least(
-        *[
-            F.struct(
-                euclidean_distance(vec_col, vec).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    if not centroids:
+        raise ValueError("assign_nearest needs at least one centroid")
+    candidates = [
+        F.struct(
+            euclidean_distance(vec_col, vec).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, vec in centroids
+    ]
+    # F.least requires >=2 arguments; k=1 is the trivial assignment
+    best = candidates[0] if len(candidates) == 1 else F.least(*candidates)
     return df.select(
         id_col,
         vec_col,

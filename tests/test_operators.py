@@ -222,3 +222,61 @@ def test_lloyd_iterate_converges_on_separated_blobs(spark):
 
     # n_iter=0 is the identity on the seeds
     assert lloyd_iterate(df, seeds, n_iter=0) == sorted(seeds)
+
+
+def test_assign_nearest_single_centroid(spark):
+    """k=1 is the trivial assignment (F.least needs >=2 args — the k=1
+    path projects the lone candidate struct directly); k=0 raises."""
+    import pytest
+
+    from govgis_nov2023_slim_spatial_server_spark.operators.kmeans import (
+        assign_nearest,
+        lloyd_iterate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = assign_nearest(df, [(7, [0.0, 0.0])]).orderBy("vec_id").collect()
+    assert [r["cid"] for r in out] == [7, 7]
+    assert out[0]["dist"] == 0.0 and out[1]["dist"] == 5.0
+
+    # the full Lloyd loop also works at k=1 (centroid -> global mean)
+    (cid, vec) = lloyd_iterate(df, [(7, [9.0, 9.0])], n_iter=1)[0]
+    assert cid == 7 and abs(vec[0] - 1.5) < 0.001 and abs(vec[1] - 2.0) < 0.001
+
+    with pytest.raises(ValueError):
+        assign_nearest(df, [])
+
+
+def test_materialized_store_cache_bounds_and_session_eviction(spark):
+    """catalog/_store_cache.MaterializedStoreCache: LRU-bounded (property
+    harnesses iterating many sf_dirs must not accumulate checkpoint blocks
+    for the session lifetime) and rebuild-on-miss; a finalized session's
+    entries are evicted so a recycled id() can never alias a live entry."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog._store_cache import (
+        MaterializedStoreCache,
+    )
+
+    cache = MaterializedStoreCache(maxsize=2)
+    builds = []
+
+    def make(tag):
+        def _build():
+            builds.append(tag)
+            return spark.range(1).withColumn("tag", F.lit(tag))
+
+        return _build
+
+    a = cache.get_or_build(spark, "dir_a", make("a"))
+    assert cache.get_or_build(spark, "dir_a", make("a")) is a  # hit
+    cache.get_or_build(spark, "dir_b", make("b"))
+    cache.get_or_build(spark, "dir_c", make("c"))  # evicts dir_a (LRU)
+    assert len(cache) == 2
+    assert builds == ["a", "b", "c"]
+    cache.get_or_build(spark, "dir_a", make("a"))  # rebuilt after eviction
+    assert builds == ["a", "b", "c", "a"]
+
+    # session-finalizer eviction: simulate the session being GC'd
+    cache._evict_session(id(spark))
+    assert len(cache) == 0

@@ -90,6 +90,19 @@ def main() -> None:
         prefix = set(qs[:50])
         deferred_new = {n.strip() for n in args.defer.split(",") if n.strip()}
         never_graded = [n for n in qs if n not in graded]
+        # a misspelled or stale --defer name is otherwise silently ignored
+        # (safe — the real entry still fails the check — but the typo
+        # itself should be surfaced, and stale names from prior rounds
+        # should not linger in scripts)
+        unknown_defer = sorted(deferred_new - set(qs))
+        stale_defer = sorted(n for n in deferred_new & set(qs) if n in graded)
+        if unknown_defer:
+            print(f"WARN: --defer names not in the catalog: {unknown_defer}")
+        if stale_defer:
+            print(
+                "WARN: --defer names already driver-graded (stale defer): "
+                f"{stale_defer}"
+            )
         missing_never = [
             n for n in never_graded if n not in prefix and n not in deferred_new
         ]
