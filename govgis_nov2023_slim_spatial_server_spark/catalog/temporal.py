@@ -594,3 +594,178 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval union (continuous-time coverage)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interval_union_seconds",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM m),
+    agg AS (
+      SELECT user_id, isl, MIN(s) AS st, MAX(e) AS en
+      FROM g GROUP BY user_id, isl)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered_seconds,
+           CAST(MAX(en - st) AS BIGINT) AS longest_island_seconds
+    FROM agg GROUP BY user_id
+    """,
+)
+def interval_union_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping time intervals per user — each event opens a
+    5-minute activity interval [ts, ts+300s) and the query reports how much
+    wall-clock time the MERGED intervals actually cover (plus island count
+    and longest island). This is the continuous-time complement of
+    activity_islands_daily (which merges at day granularity): true "time
+    spent active" for engagement metrics, sessionized coverage for SLA
+    audits, and the dedup step any interval-fact table needs before
+    summing durations (naively summing per-event durations double-counts
+    every overlap).
+
+    The classic sweep, shuffled once: within each user's (start, event_id)
+    order, an interval starts a new island iff its start exceeds the
+    running max of all PREVIOUS interval ends (ROWS … 1 PRECEDING — the
+    current row must not see itself); a running SUM of those island-break
+    flags numbers the islands, and one groupBy collapses each island to
+    max(end) − min(start). Both windows and both aggregates key on
+    user_id, so the whole plan rides ONE hash exchange; per-user state is
+    a single running max — linear at 100 TB and skew-bounded by the
+    busiest user. Touching intervals (start == previous end) merge, which
+    is the right call for half-open [s, e) intervals. Timestamps reduce
+    to epoch seconds via the FLOOR(epoch)/cast-long pair the conventions
+    pin as bit-identical; everything downstream is exact int64.
+    """
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 300).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("pmax", F.max("e").over(w_prev))
+    g = m.withColumn(
+        "isl",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(
+                0
+            )
+        ).over(w_run),
+    )
+    islands = g.groupBy("user_id", "isl").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_seconds"),
+        F.max(F.col("en") - F.col("st")).alias("longest_island_seconds"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (LOCF)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg_value",
+    """
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_e4,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+      FROM events),
+    w AS (
+      SELECT user_id, v_e4, next_s - s AS dt
+      FROM o WHERE next_s IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS span_seconds,
+           CASE WHEN SUM(dt) > 0 THEN
+             FLOOR(CAST(SUM(v_e4 * dt) AS DOUBLE)
+                   / (10000.0 * CAST(SUM(dt) AS DOUBLE)) * 10000.0 + 0.5)
+               / 10000.0
+           END AS twa_value
+    FROM w GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's `value` signal under LOCF
+    (last-observation-carried-forward) — TimescaleDB's `time_weight
+    ('LOCF')` / Pinecone-style sensor rollup: a reading counts in
+    proportion to how LONG it was the current reading, not how often it
+    was sampled. The plain AVG is wrong whenever sampling is irregular
+    (a burst of identical readings should not outweigh one long-lived
+    reading); this is the canonical fix for billing meters, utilization
+    rollups, and sensor aggregation.
+
+    Each reading holds from its timestamp to the next one (LEAD over the
+    user window; the final reading has no successor and contributes no
+    weighted time — the [first, last] observation span convention). The
+    weighted mean is computed in EXACT integer units end-to-end (the
+    _revenue_e4 discipline): value → e4 int via half-up floor, weight =
+    whole seconds, SUM(v_e4·dt) and SUM(dt) are exact int64s (bounded:
+    |v_e4| < 10^7 at e4 scale, dt < 10^8 s, so even 10^4 events/user stay
+    < 2^63), and ONE double division at the end is correctly rounded —
+    bit-identical across engines, then floor-rounded to 4. Zero-span
+    users (all events in the same epoch second) yield NULL on both sides.
+    LEAD + final aggregate share the user_id exchange: one shuffle.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long").alias("v_e4"),
+        F.col("ts").cast("long").alias("s"),
+        F.lead(F.col("ts").cast("long")).over(w).alias("next_s"),
+    ).where(F.col("next_s").isNotNull())
+    seg = o.select("user_id", "v_e4", (F.col("next_s") - F.col("s")).alias("dt"))
+    a = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").alias("span_seconds"),
+        F.sum(F.col("v_e4") * F.col("dt")).alias("wsum"),
+    )
+    twa = F.when(
+        F.col("span_seconds") > 0,
+        F.floor(
+            F.col("wsum").cast("double")
+            / (10000.0 * F.col("span_seconds").cast("double"))
+            * 10000.0
+            + F.lit(0.5)
+        )
+        / 10000.0,
+    )
+    return a.select(
+        "user_id", "n_segments", "span_seconds", twa.alias("twa_value")
+    )

@@ -64,6 +64,12 @@ ENTRIES = [
     "resample_ffill_15m",
     "approx_stats_events",
     "join_range_events_orders",
+    # r9 catalog growth: continuous-time interval union (merged-coverage
+    # seconds — ts ties and touching intervals are the adversarial case)
+    # and the LOCF time-weighted average (zero-span users, same-second
+    # runs, single-event users must yield NULL/absent rows identically)
+    "interval_union_seconds",
+    "time_weighted_avg_value",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
