@@ -2048,3 +2048,80 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: the parts for which no other part
+    is at-least-as-cheap AND at-least-as-large with one strict improvement
+    — multi-criteria shortlisting (cheapest-per-capability products,
+    best-cost/quality training mixtures, non-dominated model checkpoints).
+    The naive formulation is the oracle's quadratic NOT EXISTS self-join;
+    the engine computes the identical set in O(n log n) without ANY join.
+
+    Distributed skyline, the canonical two-phase sweep:
+
+    1. LOCAL prune — within every input partition (window keyed on
+       spark_partition_id, so all partitions sweep in parallel), sort by
+       (price asc, size desc, partkey) and keep a row only if no PREVIOUS
+       row dominates it. The witness test is one running max of
+       struct(size, -price_cents): max_prev > (size, -price_cents) holds
+       iff some earlier row has strictly larger size, or equal size and
+       strictly lower price — exactly strict dominance given the sort
+       (every earlier row has price <= current, and equal-(price,size)
+       duplicates compare equal, so they correctly survive together).
+       Local skylines shrink a partition to O(log n) rows in expectation.
+    2. GLOBAL sweep — the same window over the surviving candidates in a
+       single partition. Correct because dominance is transitive: any
+       globally dominated row is dominated by some local survivor, and a
+       global-frontier row is undominated everywhere, so phase 1 can
+       never drop it. The single-partition window only ever sees the
+       union of tiny local skylines, not the input.
+
+    Price enters the dominance struct as exact half-up cents (int64) so
+    the negation/tie logic never touches float arithmetic; output keeps
+    the raw parquet doubles (no arithmetic ⇒ hash-exact).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+
+    def sweep(df: DataFrame, part_col) -> DataFrame:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(
+                F.col("__cents").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        witness = F.max(F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))).over(w)
+        cur = F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))
+        return df.withColumn("__m", witness).where(
+            F.col("__m").isNull() | ~(F.col("__m") > cur)
+        )
+
+    local = sweep(p.withColumn("__pid", F.spark_partition_id()), "__pid").drop(
+        "__pid", "__m"
+    )
+    glob = sweep(local.withColumn("__one", F.lit(1)), "__one")
+    return glob.select("p_partkey", "p_retailprice", "p_size")

@@ -73,6 +73,9 @@ ENTRIES = [
     "spatial_dwithin_haversine",
     "spatial_dissolve_extent",
     "spatial_points_in_polygons",
+    # r9: the skyline — random 8-part tables hit the duplicate-(price,size)
+    # and equal-on-one-axis tie cases the two-phase sweep must get right
+    "pareto_frontier_parts",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]
