@@ -548,3 +548,164 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         floor_round(F.col("sum_value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "stream_cdc_apply",
+    """
+    WITH last AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_e4,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(v_e4) AS BIGINT) AS sum_last_value_e4
+    FROM last WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY — the sink-side half of change-data-capture
+    that `cdc_upsert_snapshot` (batch MERGE) leaves open: a change feed
+    arrives in micro-batches and every batch is MERGEd into a persistent
+    keyed snapshot via foreachBatch, exactly how Structured Streaming
+    maintains a Delta/Iceberg mirror table in production. The events
+    stream is the change feed (key = user_id, version = (ts, event_id),
+    payload = event_type/value); after the availableNow drain the
+    snapshot must hold each user's LAST-writer row, which is what the
+    batch QUALIFY-style oracle states over the same events.
+
+    Per micro-batch (maxFilesPerTrigger=1 over three staged files sliced
+    by INGESTION order — event_id, not event time, so out-of-order
+    version arrivals really happen — forcing a genuinely incremental
+    ≥3-batch run at gate scale):
+    (1) batch-local last-writer-wins — one row_number window per key,
+    because a single CDC batch can carry several versions of a key;
+    (2) MERGE — ONE full-outer sort-merge join of the snapshot against
+    the batch on the key, taking the batch row iff its (ts, event_id)
+    version strictly exceeds the snapshot's (version comparison, NOT
+    arrival order: a late-arriving older change must lose, which the
+    pytest proves by replaying a shuffled feed); (3) the merged snapshot
+    is localCheckpointed — bounded lineage across arbitrarily many
+    batches, standing in for the table-format write a cluster does. At
+    100 TB the snapshot is a key-bucketed table and step 2 is the same
+    exchange-free SMJ per batch; state never lives on the driver. Money
+    stays exact e4 int64 end-to-end. The final scorecard (per-type user
+    count + last-value sum) is the reconciliation row an apply job
+    publishes after each drain.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long").alias("v_e4"),
+    )
+    n = ev.count()
+    # arrival order = INGESTION order (event_id), deliberately NOT the
+    # version order (ts, event_id): whenever event_id and ts are
+    # decorrelated, later batches carry older versions and the merge's
+    # version comparison — not arrival order — must decide the winner
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    ).localCheckpoint(eager=True)
+    b1, b2 = n // 3, (2 * n) // 3
+    slices = [
+        ("a_early", F.col("rn") <= b1, b1),
+        ("b_mid", (F.col("rn") > b1) & (F.col("rn") <= b2), b2 - b1),
+        ("c_late", F.col("rn") > b2, n - b2),
+    ]
+    state: dict = {"df": None, "batches": 0}
+
+    def apply_batch(bdf, batch_id):
+        state["batches"] += 1
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        b = (
+            bdf.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        s = state["df"]
+        if s is None:
+            merged = b
+        else:
+            bb = b.select(
+                F.col("user_id").alias("b_user_id"),
+                F.col("ts_us").alias("b_ts_us"),
+                F.col("event_id").alias("b_event_id"),
+                F.col("event_type").alias("b_event_type"),
+                F.col("v_e4").alias("b_v_e4"),
+            )
+            take_b = F.col("b_ts_us").isNotNull() & (
+                F.col("ts_us").isNull()
+                | (
+                    F.struct("b_ts_us", "b_event_id")
+                    > F.struct("ts_us", "event_id")
+                )
+            )
+            merged = s.join(
+                bb, s["user_id"] == bb["b_user_id"], "full_outer"
+            ).select(
+                F.coalesce("user_id", "b_user_id").alias("user_id"),
+                F.when(take_b, F.col("b_ts_us")).otherwise(F.col("ts_us")).alias("ts_us"),
+                F.when(take_b, F.col("b_event_id"))
+                .otherwise(F.col("event_id"))
+                .alias("event_id"),
+                F.when(take_b, F.col("b_event_type"))
+                .otherwise(F.col("event_type"))
+                .alias("event_type"),
+                F.when(take_b, F.col("b_v_e4")).otherwise(F.col("v_e4")).alias("v_e4"),
+            )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    d = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        now = 1_700_000_000
+        n_files = 0
+        for fname, pred, size in slices:
+            if size == 0:  # tiny corpora: skip empty slices
+                continue
+            stage = os.path.join(d, f"_stage_{fname}")
+            ranked.where(pred).drop("rn").coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{fname}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now + 100 * n_files,) * 2)
+            n_files += 1
+        schema = ranked.drop("rn").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        q = src.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+        q.awaitTermination()
+        if state["batches"] < n_files:
+            raise AssertionError(
+                f"CDC apply ran {state['batches']} batches for {n_files} staged "
+                f"files — maxFilesPerTrigger did not produce an incremental run"
+            )
+        out = (
+            state["df"]
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("v_e4").alias("sum_last_value_e4"),
+            )
+            .localCheckpoint(eager=True)  # outlive the staged inputs
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -70,6 +70,11 @@ ENTRIES = [
     # runs, single-event users must yield NULL/absent rows identically)
     "interval_union_seconds",
     "time_weighted_avg_value",
+    # r9: streaming foreachBatch CDC apply — random ts offsets are
+    # decorrelated from the sequential event_ids, so the staged
+    # ingestion-order micro-batches deliver genuinely out-of-order
+    # version arrivals
+    "stream_cdc_apply",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -161,3 +161,38 @@ def test_interval_union_single_exchange(spark, sf_dir):
     )
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_stream_cdc_apply_out_of_order_versions(spark, tmp_path):
+    """A later-ARRIVING batch carrying an OLDER version of a key must
+    lose the merge: event_id order (= staged arrival order) runs against
+    ts order here, so user 1's final row is the ts-latest value (2.0,
+    event 2) even though event 5 (value 9.0, much older ts) arrives two
+    batches later. User 2's insert arrives only in the last batch."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [  # (event_id, user_id, seconds, value)
+        (1, 1, 1000, 1.0),
+        (2, 1, 5000, 2.0),  # the true last writer for user 1
+        (3, 1, 3000, 3.0),
+        (4, 1, 4000, 4.0),
+        (5, 1, 10, 9.0),  # arrives LAST (highest event_id bucket), oldest ts
+        (6, 2, 7, 7.5),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[2]) for r in rows],
+            "event_type": ["view", "click", "view", "view", "error", "signup"],
+            "value": [r[3] for r in rows],
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    out = {
+        r["event_type"]: (r["n_users"], r["sum_last_value_e4"])
+        for r in QUERIES["stream_cdc_apply"](spark, str(tmp_path)).collect()
+    }
+    # user 1 -> ('click', 2.0) wins; user 2 -> ('signup', 7.5)
+    assert out == {"click": (1, 20000), "signup": (1, 75000)}
