@@ -40,6 +40,9 @@ from pyspark.sql.types import BinaryType
 from ..functions.spatial import (
     make_area_centroid_udf,
     make_points_in_polys_udf,
+    wkb_length_npoints,
+    wkb_linestring,
+    wkb_multilinestring,
     wkb_polygon,
 )
 from ..operators.spatial_join import grid_blocked_overlap_join
@@ -521,4 +524,122 @@ def spatial_dissolve_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bbox.ymax").alias("ymax"),
             F.sum("ac.area").alias("total_area"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST_Length over LINESTRING / MULTILINESTRING (linear geometry support)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spatial_linestring_length",
+    """
+    WITH params AS (
+      SELECT s_suppkey,
+             3 + (s_suppkey % 4) AS npts,
+             -120.0 + (s_suppkey % 30) * 1.5 AS x0,
+             30.0 + (s_suppkey % 12) * 1.25 AS y0,
+             0.5 + (s_suppkey % 3) * 0.25 AS step,
+             0.75 + (s_suppkey % 5) * 0.25 AS amp
+      FROM supplier),
+    pts AS (
+      SELECT s_suppkey, npts,
+             list_transform(range(0, npts), i -> x0 + i * step) AS xs,
+             list_transform(range(0, npts),
+                            i -> y0 + (i % 2) * amp + i * 0.125) AS ys
+      FROM params),
+    seg AS (
+      SELECT s_suppkey, npts,
+             list_transform(range(1, npts), i ->
+               sqrt((xs[CAST(i + 1 AS INT)] - xs[CAST(i AS INT)])
+                    * (xs[CAST(i + 1 AS INT)] - xs[CAST(i AS INT)])
+                  + (ys[CAST(i + 1 AS INT)] - ys[CAST(i AS INT)])
+                    * (ys[CAST(i + 1 AS INT)] - ys[CAST(i AS INT)]))) AS ls
+      FROM pts)
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'MULTILINESTRING'
+                ELSE 'LINESTRING' END AS geom_type,
+           CAST(npts + CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_points,
+           list_reduce(ls, (a, b) -> a + b) AS length
+    FROM seg
+    """,
+)
+def spatial_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Length + ST_NPoints over LINEAR geometries — the codec's third
+    geometry family after polygons and points (PostGIS parity: road/route
+    length rollups; a polygon's ST_Length is 0, perimeter is a different
+    function). Each supplier gets a deterministic zigzag polyline on the
+    binary-exact lattice (1.5/1.25/0.25/0.125 multiples — every coordinate
+    the key formula produces is the same double in both engines); EVEN
+    keys wrap the same vertex walk as a two-part MULTILINESTRING split at
+    vertex 1, which exercises the multi dispatch while keeping the
+    segment list identical (the shared split vertex is duplicated, hence
+    n_points + 1).
+
+    The WKB is built AND parsed through the real codec (encode UDF →
+    binary column → `wkb_length_npoints` decode UDF), not short-circuited
+    driver-side. Length is hash-exact with NO rounding: both engines sum
+    the identical per-segment sqrt list sequentially (IEEE sqrt is
+    correctly rounded; the fold starts 0.0+s1 = s1 = DuckDB list_reduce's
+    first-element init — the ewma discipline). Map-only plan: one scan,
+    two pandas UDFs, no exchange (plan-asserted in tests).
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey")
+    )
+
+    @pandas_udf(BinaryType())
+    def _make_line(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            npts = 3 + k % 4
+            x0 = -120.0 + (k % 30) * 1.5
+            y0 = 30.0 + (k % 12) * 1.25
+            step = 0.5 + (k % 3) * 0.25
+            amp = 0.75 + (k % 5) * 0.25
+            pts = [
+                (x0 + i * step, y0 + (i % 2) * amp + i * 0.125)
+                for i in range(npts)
+            ]
+            if k % 2 == 0:
+                out.append(wkb_multilinestring([pts[:2], pts[1:]]))
+            else:
+                out.append(wkb_linestring(pts))
+        return pd.Series(out, dtype=object)
+
+    length_schema = StructType(
+        [
+            StructField("length", DoubleType(), True),
+            StructField("n_points", LongType(), True),
+        ]
+    )
+
+    @pandas_udf(length_schema)
+    def _length(wkbs: pd.Series) -> pd.DataFrame:
+        lengths, counts = [], []
+        for w in wkbs:
+            ln, np_ = wkb_length_npoints(w)
+            lengths.append(ln)
+            counts.append(np_)
+        return pd.DataFrame({"length": lengths, "n_points": counts})
+
+    geom = s.select(
+        "s_suppkey",
+        _make_line(F.col("s_suppkey")).alias("geom_wkb"),
+    )
+    r = geom.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("MULTILINESTRING"))
+        .otherwise(F.lit("LINESTRING"))
+        .alias("geom_type"),
+        _length(F.col("geom_wkb")).alias("lnp"),
+    )
+    return r.select(
+        "s_suppkey", "geom_type", F.col("lnp.n_points").alias("n_points"),
+        F.col("lnp.length").alias("length")
     )

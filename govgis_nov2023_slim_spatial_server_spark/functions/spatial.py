@@ -76,6 +76,22 @@ def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
 
 
+def wkb_linestring(pts: list[tuple[float, float]]) -> bytes:
+    """Encode a polyline as little-endian WKB LINESTRING."""
+    out = [struct.pack("<BII", 1, _WKB_LINESTRING, len(pts))]
+    for x, y in pts:
+        out.append(struct.pack("<dd", x, y))
+    return b"".join(out)
+
+
+def wkb_multilinestring(lines: list[list[tuple[float, float]]]) -> bytes:
+    """Encode a list of polylines as little-endian WKB MULTILINESTRING."""
+    out = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines))]
+    for pts in lines:
+        out.append(wkb_linestring(pts))
+    return b"".join(out)
+
+
 def _read_header(buf: memoryview, off: int) -> tuple[str, int, int]:
     """Return (endianness char, base geometry type, new offset)."""
     if off >= len(buf):  # buf[off] would raise IndexError, which the
@@ -150,6 +166,75 @@ def _parse_geom(
             polys.extend(sub)
         return polys, off
     raise ValueError(f"unsupported WKB geometry type {base}")
+
+
+def _walk_linestrings(
+    buf: memoryview, off: int, depth: int = 0
+) -> tuple[list[np.ndarray], int]:
+    """TYPE-AWARE traversal collecting only (MULTI)LINESTRING vertex arrays
+    in document order — `_parse_geom` deliberately erases types (everything
+    becomes bounds/containment "polygons"), but ST_Length semantics need
+    them: PostGIS counts only linear components (a polygon has ST_Length 0;
+    perimeters are ST_Perimeter's job). Non-linear members are still parsed
+    to advance the offset correctly. Same depth cap as `_parse_geom`."""
+    if depth > 32:
+        raise ValueError("WKB geometry nesting exceeds depth 32")
+    endian, base, off = _read_header(buf, off)
+    if base == _WKB_POINT:
+        if off + 16 > len(buf):
+            raise ValueError("truncated WKB point")
+        return [], off + 16
+    if base == _WKB_LINESTRING:
+        pts, off = _parse_points(buf, off, endian)
+        return [pts], off
+    if base == _WKB_POLYGON:
+        _, off = _parse_rings(buf, off, endian)
+        return [], off
+    if base in (_WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON,
+                _WKB_GEOMETRYCOLLECTION):
+        (ngeom,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        lines: list[np.ndarray] = []
+        for _ in range(ngeom):
+            sub, off = _walk_linestrings(buf, off, depth + 1)
+            lines.extend(sub)
+        return lines, off
+    raise ValueError(f"unsupported WKB geometry type {base}")
+
+
+def wkb_linestrings(wkb: bytes) -> list[np.ndarray]:
+    """All linear components of a 2-D WKB geometry, in document order."""
+    lines, _ = _walk_linestrings(memoryview(wkb), 0)
+    return lines
+
+
+def wkb_length_npoints(
+    wkb: bytes | None,
+) -> tuple[float | None, int | None]:
+    """ST_Length + linear vertex count over a WKB column value.
+
+    Length is the SEQUENTIAL sum, component order then segment order, of
+    per-segment sqrt(dx²+dy²) — IEEE sqrt is correctly rounded (not a libm
+    estimate) and double +/*/− are exact-rounded, so on identical inputs
+    the fold is bit-identical to a DuckDB `list_reduce` over the same
+    per-segment list (the oracle contract of spatial_linestring_length;
+    same discipline as the ewma fold). Malformed bytes / NULL → all-NULL,
+    the codec's in-band error contract."""
+    if wkb is None:
+        return None, None
+    try:
+        lines = wkb_linestrings(bytes(wkb))
+    except (ValueError, struct.error):
+        return None, None
+    total = 0.0
+    npts = 0
+    for pts in lines:
+        npts += int(pts.shape[0])
+        for j in range(pts.shape[0] - 1):
+            dx = float(pts[j + 1, 0]) - float(pts[j, 0])
+            dy = float(pts[j + 1, 1]) - float(pts[j, 1])
+            total += math.sqrt(dx * dx + dy * dy)
+    return total, npts
 
 
 def parse_wkb_polygons(wkb: bytes) -> list[list[np.ndarray]]:

@@ -76,6 +76,10 @@ ENTRIES = [
     # r9: the skyline — random 8-part tables hit the duplicate-(price,size)
     # and equal-on-one-axis tie cases the two-phase sweep must get right
     "pareto_frontier_parts",
+    # r9: linear geometries — the supplier-keyed zigzag store runs the
+    # LINESTRING/MULTILINESTRING codec + sequential sqrt fold vs the
+    # oracle's closed form on every random db
+    "spatial_linestring_length",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

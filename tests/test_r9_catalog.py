@@ -196,3 +196,72 @@ def test_stream_cdc_apply_out_of_order_versions(spark, tmp_path):
     }
     # user 1 -> ('click', 2.0) wins; user 2 -> ('signup', 7.5)
     assert out == {"click": (1, 20000), "signup": (1, 75000)}
+
+
+def test_wkb_linestring_codec_and_length():
+    """LINESTRING/MULTILINESTRING encode→decode roundtrip; ST_Length
+    semantics: polygons and points contribute 0 length and 0 linear
+    points; a closed linestring is still linear (PostGIS parity); the
+    multi split at a shared vertex preserves total length; malformed or
+    NULL input yields all-NULL in-band."""
+    import math
+    import struct
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        wkb_length_npoints,
+        wkb_linestring,
+        wkb_linestrings,
+        wkb_multilinestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    pts = [(0.0, 0.0), (3.0, 4.0), (3.0, 8.0)]
+    ln, n = wkb_length_npoints(wkb_linestring(pts))
+    assert (ln, n) == (9.0, 3)
+
+    # multi split at the shared vertex: same segments, one extra point
+    multi = wkb_multilinestring([pts[:2], pts[1:]])
+    ln_m, n_m = wkb_length_npoints(multi)
+    assert (ln_m, n_m) == (9.0, 4)
+    assert [a.shape[0] for a in wkb_linestrings(multi)] == [2, 2]
+
+    # closed ring AS a linestring is linear; as a polygon it is not
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    assert wkb_length_npoints(wkb_linestring(ring)) == (4.0, 5)
+    assert wkb_length_npoints(wkb_polygon([ring])) == (0.0, 0)
+    assert wkb_length_npoints(wkb_point(2.0, 3.0)) == (0.0, 0)
+
+    # GEOMETRYCOLLECTION mixing all three: only the line counts, and the
+    # polygon/point members must still be walked over correctly
+    gc = (
+        struct.pack("<BII", 1, 7, 3)
+        + wkb_polygon([ring])
+        + wkb_linestring(pts)
+        + wkb_point(9.0, 9.0)
+    )
+    assert wkb_length_npoints(gc) == (9.0, 3)
+
+    # in-band error contract
+    assert wkb_length_npoints(None) == (None, None)
+    assert wkb_length_npoints(b"\x01\x02garbage") == (None, None)
+    assert wkb_length_npoints(b"") == (None, None)
+
+    # sequential-fold order: irrational segments summed left to right
+    zig = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0), (4.0, 1.0)]
+    want = 0.0
+    for (x1, y1), (x2, y2) in zip(zig, zig[1:]):
+        want += math.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+    got, _ = wkb_length_npoints(wkb_linestring(zig))
+    assert got == want  # bit-identical, not approx
+
+
+def test_spatial_linestring_length_plan_is_map_only(spark, sf_dir):
+    """One scan, encode+decode UDFs, no Exchange anywhere."""
+    plan = (
+        QUERIES["spatial_linestring_length"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
