@@ -1865,3 +1865,146 @@ def dedup_retention_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+             CAST(embedding AS DOUBLE[]) AS cw
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    subs AS (SELECT unnest(range(0, 4)) AS s),
+    probe AS (SELECT CAST({PROBE_SQL} AS DOUBLE[]) AS pv),
+    enc AS (
+      SELECT e.vec_id, su.s, c.code,
+             list_reduce(list_transform(range(1, 17), i ->
+               (CAST(e.embedding[CAST(su.s * 16 + i AS INT)] AS DOUBLE)
+                  - c.cw[CAST(su.s * 16 + i AS INT)])
+               * (CAST(e.embedding[CAST(su.s * 16 + i AS INT)] AS DOUBLE)
+                  - c.cw[CAST(su.s * 16 + i AS INT)])),
+               (a, b) -> a + b) AS dsq
+      FROM embeddings e CROSS JOIN subs su CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, s, code FROM enc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dsq, code) = 1),
+    lut AS (
+      SELECT su.s, c.code,
+             list_reduce(list_transform(range(1, 17), i ->
+               (p.pv[CAST(su.s * 16 + i AS INT)] - c.cw[CAST(su.s * 16 + i AS INT)])
+               * (p.pv[CAST(su.s * 16 + i AS INT)] - c.cw[CAST(su.s * 16 + i AS INT)])),
+               (a, b) -> a + b) AS pd
+      FROM subs su CROSS JOIN cb c CROSS JOIN probe p),
+    per AS (
+      SELECT codes.vec_id,
+             MAX(CASE WHEN codes.s = 0 THEN codes.code END) AS code0,
+             MAX(CASE WHEN codes.s = 1 THEN codes.code END) AS code1,
+             MAX(CASE WHEN codes.s = 2 THEN codes.code END) AS code2,
+             MAX(CASE WHEN codes.s = 3 THEN codes.code END) AS code3,
+             SUM(CASE WHEN codes.s = 0 THEN lut.pd END) AS d0,
+             SUM(CASE WHEN codes.s = 1 THEN lut.pd END) AS d1,
+             SUM(CASE WHEN codes.s = 2 THEN lut.pd END) AS d2,
+             SUM(CASE WHEN codes.s = 3 THEN lut.pd END) AS d3
+      FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+      GROUP BY codes.vec_id)
+    SELECT vec_id, code0, code1, code2, code3,
+           ((d0 + d1) + d2) + d3 AS adc_dist
+    FROM per
+    ORDER BY ((d0 + d1) + d2) + d3, vec_id
+    LIMIT 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation — the
+    memory-compression ANN family the catalog's LSH / IVF / int8 paths
+    don't cover (FAISS's IndexPQ shape): vectors are stored as M=4
+    sub-codes of 3 bits each (22× smaller than float32), and query-time
+    distance is a LOOKUP-TABLE sum, never a full-vector scan. Codebook =
+    the 8 lowest-vec_id vectors' subspaces (sampling initialization — a
+    bounded k×dim driver collect, the kmeans-seed precedent; a trained
+    codebook is one lloyd_iterate call away and changes nothing below).
+
+    ENCODE runs engine-side in whole-stage codegen: per subspace, an
+    argmin over 8 candidate structs of the sequential (x−c)² fold
+    (zip_with + aggregate — DuckDB's list_reduce computes the identical
+    left fold, so encodes agree bit-for-bit; ties break to the lower
+    code). The 4 code columns bind through ONE `_let` so CollapseProject
+    cannot re-inline the 32 folds per downstream reference (the MinHash
+    lesson). ADC: the 4×8 probe-to-codeword table is computed ONCE (in
+    Python here, in SQL in the oracle — same sequential fold, bit-equal)
+    and the per-row distance is 4 literal-array lookups summed in fixed
+    subspace order; top-10 is a TakeOrderedAndProject with the vec_id
+    tie-break. At 100 TB the store scan reads ONLY the 4 int3 codes
+    (column-pruned: no embedding bytes move at query time) and the LUT
+    broadcast is 32 doubles — this is why PQ is the RAM-resident ANN
+    format; recall/rerank composition is the knn_int8_rerank pattern.
+    """
+    from ..functions.hashes import _let
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_rows = e.orderBy("vec_id").limit(8).select("embedding").collect()
+    codebook = [[float(x) for x in r["embedding"]] for r in cb_rows]
+    k = len(codebook)
+    probe = [float(x) for x in PROBE_VEC]
+
+    # 4x8 ADC lookup table: probe-subspace -> codeword distances, computed
+    # with the same sequential fold the oracle's list_reduce performs
+    lut: list[list[float]] = []
+    for s in range(4):
+        row = []
+        for cw in codebook:
+            acc = 0.0
+            for i in range(16):
+                d = probe[s * 16 + i] - cw[s * 16 + i]
+                acc += d * d
+            row.append(acc)
+        lut.append(row)
+
+    def dsq(s: int, cw: list[float]):
+        sub = F.slice(F.col("embedding"), s * 16 + 1, 16)
+        cvec = F.array(*[F.lit(v) for v in cw[s * 16 : (s + 1) * 16]])
+        diff = F.zip_with(sub, cvec, lambda x, y: x.cast("double") - y)
+        return F.aggregate(diff, F.lit(0.0), lambda a, d: a + d * d)
+
+    def code_col(s: int):
+        cands = [
+            F.struct(dsq(s, codebook[c]).alias("d"), F.lit(c).cast("long").alias("c"))
+            for c in range(k)
+        ]
+        best = cands[0] if k == 1 else F.least(*cands)
+        return best.getField("c")
+
+    codes_struct = F.struct(*[code_col(s).alias(f"c{s}") for s in range(4)])
+
+    def body(cs):
+        def d_of(s: int):
+            arr = F.array(*[F.lit(v) for v in lut[s]])
+            return F.element_at(arr, (cs.getField(f"c{s}") + 1).cast("int"))
+
+        adc = ((d_of(0) + d_of(1)) + d_of(2)) + d_of(3)
+        return F.struct(
+            cs.getField("c0").alias("code0"),
+            cs.getField("c1").alias("code1"),
+            cs.getField("c2").alias("code2"),
+            cs.getField("c3").alias("code3"),
+            adc.alias("adc_dist"),
+        )
+
+    r = e.select("vec_id", _let(codes_struct, body).alias("__pq"))
+    return (
+        r.orderBy(F.col("__pq.adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.col("__pq.code0").alias("code0"),
+            F.col("__pq.code1").alias("code1"),
+            F.col("__pq.code2").alias("code2"),
+            F.col("__pq.code3").alias("code3"),
+            F.col("__pq.adc_dist").alias("adc_dist"),
+        )
+    )

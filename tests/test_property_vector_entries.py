@@ -60,6 +60,10 @@ ENTRIES = [
     "pagerank_one_iter",
     "dedup_components",
     "domain_mixture_weights",
+    # r9: product quantization — planted duplicates force encode ties
+    # (argmin must break to the lower code identically in both engines)
+    # and tiny corpora shrink the sampled codebook's distance spread
+    "pq_adc_topk",
 ]
 
 

@@ -265,3 +265,50 @@ def test_spatial_linestring_length_plan_is_map_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pq_adc_codeword_roundtrip(spark, tmp_path):
+    """A vector that IS codeword c must encode to (c,c,c,c) with in-cell
+    distance 0, and its ADC distance must equal the plain LUT sum for
+    those codes — the quantization error of a codebook member is zero by
+    construction, so ADC == the probe's true distance to that codeword."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 0.5, size=(8, 64)).astype(np.float32)
+    # spread codewords far apart so argmin is unambiguous
+    for c in range(8):
+        base[c] += c * 3.0
+    extra = base[3].copy()  # an exact duplicate of codeword 3
+    x = np.vstack([base, extra, rng.normal(0, 0.5, size=(3, 64)).astype(np.float32)])
+    df = pd.DataFrame(
+        {
+            "vec_id": range(1, len(x) + 1),
+            "embedding": [row.tolist() for row in x.astype(np.float32)],
+            "label": [0] * len(x),
+        }
+    )
+    df.to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+    out = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in QUERIES["pq_adc_topk"](spark, str(tmp_path)).collect()
+    }
+    # vec_id 4 IS codeword 3 (vec_ids 1..8 are the codebook); vec 9 is its dup
+    if 4 in out:
+        assert out[4] == (3, 3, 3, 3)
+    if 9 in out:
+        assert out[9] == (3, 3, 3, 3)
+
+
+def test_pq_adc_plan_single_scan_topk(spark, sf_dir):
+    """Query-time plan: ONE embeddings scan feeding TakeOrderedAndProject;
+    no join (the LUT is literal arrays) and no shuffle beyond top-k."""
+    plan = (
+        QUERIES["pq_adc_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
