@@ -65,6 +65,10 @@ HEADLINE = CORE_SET + [
     "bigram_lm_cross_entropy",
     "ngram_containment_topk",
     "ngram_containment_capped",
+    # r9 additions: the HOF-heaviest new entry (PQ encode = 32 folds/row)
+    # and the two-phase skyline sweep
+    "pq_adc_topk",
+    "pareto_frontier_parts",
 ]
 
 

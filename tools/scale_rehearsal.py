@@ -86,6 +86,17 @@ QUERIES_UNDER_TEST = {
     # of the stream-static enrich (dim broadcast per micro-batch); wall
     # includes the streaming engine's batch planning overhead
     "stream_static_enrich": (["events", "nation"], "fact"),
+    # r9: the skyline two-phase sweep (key-shifted replicas duplicate
+    # every point, so the frontier itself grows N× — the duplicate-heavy
+    # stress for the local prune), the single-exchange interval-union /
+    # LOCF windows, the PQ encode+ADC scan (32 HOF folds per row), and
+    # the streaming foreachBatch CDC apply (wall includes the 3 staging
+    # writes + 3 merge batches each repeat — the whole job, honestly)
+    "pareto_frontier_parts": (["part"], "docs"),
+    "interval_union_seconds": (["events"], "fact"),
+    "time_weighted_avg_value": (["events"], "fact"),
+    "pq_adc_topk": (["embeddings"], "docs"),
+    "stream_cdc_apply": (["events"], "fact"),
 }
 
 
@@ -157,6 +168,13 @@ def _replicate(
             # region grows N×
             p = p.withColumn(
                 "c_custkey", F.col("c_custkey") + F.lit(r * 1_000_000)
+            )
+        elif table == "part":
+            # pure key shift: replicas carry IDENTICAL (price, size)
+            # points, so every frontier point appears N times — the
+            # duplicate-survival stress for the skyline sweep
+            p = p.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(r * 1_000_000)
             )
         elif table == "events":
             # shift BOTH ids: each replica is a fresh user population with
@@ -489,6 +507,7 @@ def main() -> None:
             "lineitem",
             "events",
             "customer",
+            "part",
             "nation",
         ]
         if t in needed
@@ -497,8 +516,8 @@ def main() -> None:
     for t in tables:
         _replicate(spark, t, dirs[1], 1, hot_shingle=args.hot_shingle)
     for t in tables:
-        reps = args.docs_reps if t in ("documents", "embeddings", "customer") else args.fact_reps
-        key = ("docs", args.docs_reps) if t in ("documents", "embeddings", "customer") else (
+        reps = args.docs_reps if t in ("documents", "embeddings", "customer", "part") else args.fact_reps
+        key = ("docs", args.docs_reps) if t in ("documents", "embeddings", "customer", "part") else (
             "fact",
             args.fact_reps,
         )
