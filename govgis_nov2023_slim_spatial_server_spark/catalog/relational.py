@@ -2096,6 +2096,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Price enters the dominance struct as exact half-up cents (int64) so
     the negation/tie logic never touches float arithmetic; output keeps
     the raw parquet doubles (no arithmetic ⇒ hash-exact).
+
+    Scale limit (SCALING run 11): the sweep itself is one window pass per
+    phase; the risk is a pathological anti-chain input (all points
+    mutually incomparable) where local prune passes everything and the
+    global phase sees the full input. Mitigation if that regime ever
+    matters: recurse phase 1 (re-hash survivors, local-prune again) until
+    the survivor set fits one partition — same correctness argument
+    (dominance transitivity) at every level.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
