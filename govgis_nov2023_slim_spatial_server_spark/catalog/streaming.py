@@ -709,3 +709,165 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_left_outer_join",
+    """
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+           l.user_id AS user_id
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id AND r.event_type = 'click'
+     AND r.ts >= l.ts - INTERVAL 40 MINUTE AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase'
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, actually
+    executed — the missing half of `stream_interval_join_pairs`: inner
+    matches emit as they meet, but the NULL-side rows (purchases with no
+    qualifying click) can only emit once the watermark PROVES no match
+    can still arrive — the streaming-specific semantics this entry
+    pins against the plain batch LEFT JOIN oracle.
+
+    Determinism needs three staged facts, each earned empirically:
+    (1) real events are split into two files in EVENT-TIME order, so a
+    row never arrives behind the watermark and every cross-batch match
+    finds its partner still in state (left state lives until wm > l_ts,
+    right until wm > r_ts + 40 min — with ts-ordered arrival neither can
+    be evicted before its partner shows up);
+    (2) TWO trailing watermark-advancer files follow (far-future
+    purchase/click rows under sentinel users -1/-2 that match nothing):
+    the null-side filter needs the watermark to actually pass every real
+    purchase, and the late-row/eviction machinery lags ONE trigger — the
+    first advancer raises the computed watermark, the second makes a
+    batch run with it applied, which is when the evictions fire and the
+    null rows appear (verified: with one advancer the nulls never emit);
+    (3) the sentinel rows are removed AFTER the sink, never in the
+    streaming plan — an in-stream `user_id >= 0` filter is pushed by
+    Catalyst below the EventTimeWatermark node into both scans, the
+    advancers die before the watermark collector ever sees them, and the
+    watermark silently pins at the real data's max (verified: the
+    symptom is a clean run with the null rows missing — nothing errors).
+    Advancers must also pass BOTH event-type filters (one per side),
+    because the global watermark is the MIN across the two sides'
+    watermark nodes.
+
+    At 100 TB this is the standard enrichment-with-absence shape
+    (purchases needing an attribution click, alerts on unanswered
+    requests): state is watermark-bounded per side, the join shuffles
+    both streams on user_id once, and the advancer role is played by
+    real traffic — the staging here exists only to make a finite
+    availableNow drain reach the steady state.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n = ev.count()
+    lo = ev.agg(F.min("user_id").alias("m")).collect()[0]["m"]
+    if lo is not None and lo < 0:
+        raise AssertionError(
+            "stream_left_outer_join reserves negative user_ids for its "
+            f"watermark-advancer sentinels; data has user_id {lo}"
+        )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint(eager=True)
+    half = n // 2
+    real_slices = [
+        ("a_first", F.col("rn") <= half, half),
+        ("b_second", F.col("rn") > half, n - half),
+    ]
+    import datetime as _dt
+
+    def _sentinels(offset_h: int):
+        t = max_ts + _dt.timedelta(hours=offset_h)
+        return spark.createDataFrame(
+            [(-10 - offset_h, t, -1, "purchase"), (-20 - offset_h, t, -2, "click")],
+            schema=ranked.drop("rn").schema,
+        )
+
+    d = tempfile.mkdtemp(prefix="stream_louter_")
+    try:
+        now = 1_700_000_000
+        n_files = 0
+
+        def _stage(df, fname):
+            nonlocal n_files
+            stage = os.path.join(d, f"_stage_{fname}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{fname}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now + 100 * n_files,) * 2)
+            n_files += 1
+
+        for fname, pred, size in real_slices:
+            if size > 0:
+                _stage(ranked.where(pred).drop("rn"), fname)
+        _stage(_sentinels(4), "c_advance1")
+        _stage(_sentinels(8), "d_advance2")
+
+        schema = ranked.drop("rn").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        left = (
+            src.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        right = (
+            src.where(F.col("event_type") == "click")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        j = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 40 MINUTES"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+            "left_outer",
+        )
+        _SINK_SEQ[0] += 1
+        name = f"__stream_louter_{_SINK_SEQ[0]}"
+        q = (
+            j.select("purchase_id", "click_id", "l_user")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .where(F.col("l_user") >= 0)  # sink-side: see docstring (3)
+            .select(
+                "purchase_id", "click_id", F.col("l_user").alias("user_id")
+            )
+            .localCheckpoint(eager=True)  # outlive the staged inputs
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -75,6 +75,10 @@ ENTRIES = [
     # ingestion-order micro-batches deliver genuinely out-of-order
     # version arrivals
     "stream_cdc_apply",
+    # r9: stream-stream LEFT OUTER interval join — random corpora hit
+    # ts ties at the file boundary, purchase-heavy/click-free users
+    # (null-side emission), and single-event streams
+    "stream_left_outer_join",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

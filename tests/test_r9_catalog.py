@@ -312,3 +312,38 @@ def test_pq_adc_plan_single_scan_topk(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_stream_left_outer_join_null_emission(spark, tmp_path):
+    """The streaming-specific contract: a purchase with NO qualifying
+    click emits exactly one NULL-click row once the watermark proves no
+    match can arrive; matched purchases emit one row per match and no
+    null row; clicks AFTER the purchase never match."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [  # (event_id, user_id, seconds, type)
+        (1, 1, 1000, "click"),
+        (2, 1, 1500, "purchase"),  # matches click 1
+        (3, 2, 1600, "purchase"),  # no click at all -> NULL row
+        (4, 3, 5000, "purchase"),  # click arrives later -> NULL row
+        (5, 3, 6000, "click"),
+        (6, 4, 9000, "click"),
+        (7, 4, 9100, "click"),
+        (8, 4, 9200, "purchase"),  # two matches -> two rows
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[2]) for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["stream_left_outer_join"](spark, str(tmp_path)).collect()
+    )
+    assert got == [(2, 1), (3, None), (4, None), (8, 6), (8, 7)]
