@@ -76,6 +76,11 @@ NOTES = {
     "spatial_dissolve_extent": "Catalyst prunes the UDF struct to .area alone (_extract_area) — cx/cy never materialize; nation broadcast with PushedFilters; extent min/max + area sum in one map-combined HashAggregate.",
     "spatial_points_in_polygons": "points enter the grid join as zero-area rects: EQUI-join on (cell_x, cell_y) (broadcast at this SF, shuffled hash above threshold — never a nested loop); the vectorized even-odd refine (one parse per polygon per batch) rides after the join; orders scan prunes to o_orderkey with the %8 filter pushed.",
     "cdc_upsert_snapshot": "the MERGE INTO shape: ONE full-outer SortMergeJoin on the key, both scans pruned to 2 columns with the slice predicates pushed; action tag + value coalesce are map-side projections; 3-group map-combined scorecard agg.",
+    "pareto_frontier_parts": "distributed skyline with NO join node: phase-1 Window partitioned on spark_partition_id (parallel local prune), phase-2 Window over the tiny survivor union; dominance witness is a running struct max.",
+    "interval_union_seconds": "ONE Exchange on user_id serves both windows (running-max island break + island numbering) and both aggregates — linear, skew-bounded by the busiest user.",
+    "time_weighted_avg_value": "LEAD + the final agg share the single user_id Exchange; weighted mean is exact int64 (v_e4 × dt) with one final division.",
+    "spatial_linestring_length": "map-only: supplier scan → encode UDF → decode ArrowEval (parse + sequential sqrt fold) — no Exchange anywhere.",
+    "pq_adc_topk": "PQ: encode is 4 LEAST-over-8-struct argmins of sequential folds bound via one _let (no re-inlining); ADC is 4 literal-array lookups; NO join; TakeOrderedAndProject top-10 on the single embeddings scan.",
 }
 
 
