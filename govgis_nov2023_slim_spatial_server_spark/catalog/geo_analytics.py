@@ -643,3 +643,112 @@ def spatial_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "geom_type", F.col("lnp.n_points").alias("n_points"),
         F.col("lnp.length").alias("length")
     )
+
+
+# --------------------------------------------------------------------------
+# ST_Union + ST_Area (dissolve-union per nation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spatial_union_area",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    g AS (
+      SELECT k, c_nationkey, x0, y0, w, h,
+             (k % 40) * 24 - 2000 AS ix0,
+             384 + (k % 16) * 20 AS iy0,
+             16 + (k % 7) * 4 AS nx,
+             16 + (k % 5) * 4 AS ny
+      FROM p),
+    ii AS (SELECT unnest(range(0, 40)) AS i),
+    jj AS (SELECT unnest(range(0, 32)) AS j),
+    cells AS (
+      SELECT g.c_nationkey,
+             g.ix0 + ii.i AS ix, g.iy0 + jj.j AS iy,
+             g.x0 + (ii.i + 0.5) * 0.0625 AS cx,
+             g.y0 + (jj.j + 0.5) * 0.0625 AS cy,
+             g.k, g.x0, g.y0, g.w, g.h
+      FROM g CROSS JOIN ii CROSS JOIN jj
+      WHERE ii.i < g.nx AND jj.j < g.ny),
+    occ AS (
+      SELECT DISTINCT c_nationkey, ix, iy
+      FROM cells
+      WHERE CASE WHEN k % 2 = 1
+            THEN NOT (cx > x0 + w * 0.5 AND cy > y0 + h * 0.5)
+            ELSE NOT (cx > x0 + w * 0.25 AND cx < x0 + w * 0.75
+                  AND cy > y0 + h * 0.25 AND cy < y0 + h * 0.75) END)
+    SELECT n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) * 0.00390625 AS union_area
+    FROM occ JOIN nation n ON occ.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def spatial_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union + ST_Area — the OVERLAP-DEDUPLICATED dissolve the extent/
+    area entries deliberately don't attempt: `spatial_dissolve_extent`
+    SUMS per-polygon areas (overlaps double-count), this entry measures
+    the area each nation's polygons actually COVER. PostGIS does it with
+    a sweep-line union; the Spark-first equivalent for lattice-aligned
+    geometries is exact cell decomposition: every polygon edge in the
+    store lies on the 1/16° lattice, so a polygon is exactly a set of
+    1/16°×1/16° cells, union = DISTINCT occupied cells, and area =
+    cell count × 2⁻⁸. That turns a geometry problem into the engine's
+    bread and butter — explode + distinct + count, fully distributed,
+    no geometry ever compared against another geometry.
+
+    Membership of each cell runs through the REAL stack — the polygon's
+    WKB is parsed and the cell CENTER is ray-cast by the same vectorized
+    even-odd kernel as `spatial_points_in_polygons` (one parse per
+    polygon per Arrow batch; donut holes excluded by even-odd parity,
+    not by special-casing) — while the oracle decides membership from
+    the closed-form shape predicates. The two agree on EVERY cell
+    because centers sit on odd 1/32° multiples and every edge on even
+    1/32° multiples (the same data-independent lattice-disjointness
+    argument tests/test_geo_analytics.py enumerates for the points
+    entry): no decision is ever within 1/32° of a boundary. Cell ids
+    stay INTEGER end-to-end (ix = x/2⁻⁴ is integral by construction),
+    so the distinct key is exact, and the final area is count × 2⁻⁸ —
+    one exact dyadic multiply. At 100 TB: explode factor is bounded by
+    bbox-area/cell-area (≤ 1,280 here), the distinct and the count both
+    key on (nation, cell) — partial-combined, skew-bounded by the
+    densest nation; finer lattices trade explode factor for resolution
+    exactly like raster zonal statistics (which is what this IS).
+    """
+    store = _geo_store(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    enriched = store.select(
+        "c_custkey",
+        "c_nationkey",
+        "geom_wkb",
+        ((k % 40) * 24 - 2000).alias("ix0"),
+        (F.lit(384) + (k % 16) * 20).alias("iy0"),
+        (F.lit(16) + (k % 7) * 4).cast("int").alias("nx"),
+        (F.lit(16) + (k % 5) * 4).cast("int").alias("ny"),
+    )
+    cells = enriched.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("nx") - 1))
+    ).withColumn("j", F.explode(F.sequence(F.lit(0), F.col("ny") - 1)))
+    cx = (F.col("ix0") + F.col("i")).cast("double") * F.lit(0.0625) + F.lit(0.03125)
+    cy = (F.col("iy0") + F.col("j")).cast("double") * F.lit(0.0625) + F.lit(0.03125)
+    inside = make_points_in_polys_udf()(F.col("geom_wkb"), cx, cy)
+    occ = (
+        cells.where(inside)
+        .select(
+            "c_nationkey",
+            (F.col("ix0") + F.col("i")).alias("ix"),
+            (F.col("iy0") + F.col("j")).alias("iy"),
+        )
+        .distinct()
+    )
+    return (
+        occ.join(nation, occ["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.count(F.lit(1)).cast("double") * F.lit(0.00390625)).alias(
+                "union_area"
+            ),
+        )
+    )

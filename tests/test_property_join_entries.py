@@ -80,6 +80,10 @@ ENTRIES = [
     # LINESTRING/MULTILINESTRING codec + sequential sqrt fold vs the
     # oracle's closed form on every random db
     "spatial_linestring_length",
+    # r9: ST_Union area by exact lattice-cell decomposition — random
+    # customer keys collide on the (x0, y0) modulos, so genuine overlaps
+    # exercise the distinct-cell dedup against the closed-form oracle
+    "spatial_union_area",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

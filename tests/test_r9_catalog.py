@@ -347,3 +347,50 @@ def test_stream_left_outer_join_null_emission(spark, tmp_path):
         for r in QUERIES["stream_left_outer_join"](spark, str(tmp_path)).collect()
     )
     assert got == [(2, 1), (3, None), (4, None), (8, 6), (8, 7)]
+
+
+def test_spatial_union_area_dedups_overlap(spark, tmp_path):
+    """Two same-origin L-shapes (keys 1 and 81 share x0/y0 modulos; the
+    smaller is contained in the larger) must count their cells ONCE:
+    union area = area of the larger L alone (2.0*1.25 - 1.0*0.625 =
+    1.875), NOT the 3.046875 a per-polygon area sum would give —
+    the exact overlap-dedup property that distinguishes ST_Union from
+    spatial_dissolve_extent's sum."""
+    customer = pd.DataFrame(
+        {
+            "c_custkey": pd.array([1, 81], dtype="int64"),
+            "c_name": ["Customer#1", "Customer#81"],
+            "c_nationkey": pd.array([2, 2], dtype="int32"),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+        }
+    )
+    customer.to_parquet(f"{tmp_path}/customer.parquet", index=False)
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": pd.array([2], dtype="int32"),
+            "n_name": ["CANADA"],
+            "n_regionkey": pd.array([0], dtype="int32"),
+        }
+    )
+    nation.to_parquet(f"{tmp_path}/nation.parquet", index=False)
+    rows = QUERIES["spatial_union_area"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_name"] == "CANADA"
+    assert r["n_cells"] == 480
+    assert r["union_area"] == 1.875
+
+
+def test_spatial_union_area_plan(spark, sf_dir):
+    """Explode -> ray-cast filter -> distinct on integer cell ids ->
+    broadcast nation join -> count. No geometry-vs-geometry join."""
+    plan = (
+        QUERIES["spatial_union_area"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan

@@ -97,6 +97,10 @@ QUERIES_UNDER_TEST = {
     "time_weighted_avg_value": (["events"], "fact"),
     "pq_adc_topk": (["embeddings"], "docs"),
     "stream_cdc_apply": (["events"], "fact"),
+    # r9: union-area raster decomposition — key-shifted customers keep
+    # the lattice, so density (and genuine cross-replica overlap, since
+    # x0/y0 modulos recur every 80 keys) grows N×
+    "spatial_union_area": (["customer", "nation"], "docs"),
 }
 
 
