@@ -134,17 +134,28 @@ def exists_correlated_bigqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    WHERE CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer)
+        > (SELECT SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+           FROM customer)
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar aggregate subquery via broadcast cross-join (stays in-plan —
-    no driver collect)."""
+    no driver collect). The above-average comparison runs in EXACT integer
+    cents, cross-multiplied (bal > sum/n ⟺ bal_cents·n > sum_cents): a
+    float AVG is partition-order-dependent in its last ulp, and a balance
+    that exactly EQUALS the true mean can land on opposite sides of `>`
+    per engine (the r9 property-gate find on agg_distinct_stats — same
+    class as the q5 revenue lesson). Bounded: |cents| < 10^6, n < 2^40."""
     c = _t(spark, sf_dir, "customer")
-    avg_df = c.agg(F.avg("c_acctbal").alias("__avg"))
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    stats = c.agg(
+        F.sum(cents).alias("__sum_cents"), F.count(F.lit(1)).alias("__n")
+    )
     return (
-        c.crossJoin(F.broadcast(avg_df))
-        .where(F.col("c_acctbal") > F.col("__avg"))
+        c.crossJoin(F.broadcast(stats))
+        .where(cents * F.col("__n") > F.col("__sum_cents"))
         .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
 

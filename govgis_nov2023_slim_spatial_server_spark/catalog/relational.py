@@ -117,22 +117,41 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                       AS n_rows,
            COUNT(DISTINCT c_nationkey)    AS n_nations,
            COUNT(DISTINCT c_mktsegment)   AS n_segments,
-           ROUND(AVG(c_acctbal), 4)       AS avg_bal,
-           ROUND(SUM(c_acctbal), 2)       AS sum_bal,
+           FLOOR(CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_bal,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0                  AS sum_bal,
            ROUND(MIN(c_acctbal), 2)       AS min_bal,
            ROUND(MAX(c_acctbal), 2)       AS max_bal
     FROM customer
     """,
 )
 def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global scalar aggregates: counts, distincts, avg/sum/min/max."""
+    """Global scalar aggregates: counts, distincts, avg/sum/min/max.
+
+    avg/sum run in EXACT integer cents (int64 SUM, one final division,
+    floor-rounded): AVG of 2-decimal money lands ON 4-decimal ties
+    (sum_cents/n with n | 8 → x.xxxx5 exactly — the r9 property-gate
+    find: Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply ROUND
+    resolved 4032.56125 to different sides), and the float SUM itself is
+    partition-order-dependent, so only integer units are safe. min/max
+    are raw parquet doubles — ROUND at their own precision is tie-free."""
     c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
     return c.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        (
+            F.floor(
+                F.sum(cents).cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("avg_bal"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
