@@ -520,6 +520,14 @@ def main() -> None:
     for t in tables:
         _replicate(spark, t, dirs[1], 1, hot_shingle=args.hot_shingle)
     for t in tables:
+        if t == "nation":
+            # static dim, copied unreplicated into EVERY corpus dir a
+            # consumer might read from (docs- and fact-kind alike)
+            for kind, reps in (("docs", args.docs_reps), ("fact", args.fact_reps)):
+                d = os.path.join(WORK, f"{kind}_x{reps}")
+                dirs[(kind, reps)] = d
+                _replicate(spark, t, d, 1)
+            continue
         reps = args.docs_reps if t in ("documents", "embeddings", "customer", "part") else args.fact_reps
         key = ("docs", args.docs_reps) if t in ("documents", "embeddings", "customer", "part") else (
             "fact",
