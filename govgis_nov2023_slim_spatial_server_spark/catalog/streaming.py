@@ -610,6 +610,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long").alias("v_e4"),
     )
     n = ev.count()
+    if n == 0:  # empty change feed ⇒ empty snapshot scorecard
+        return spark.createDataFrame(
+            [], "event_type string, n_users long, sum_last_value_e4 long"
+        )
     # arrival order = INGESTION order (event_id), deliberately NOT the
     # version order (ts, event_id): whenever event_id and ts are
     # decorrelated, later batches carry older versions and the merge's
@@ -778,6 +782,10 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"watermark-advancer sentinels; data has user_id {lo}"
         )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if max_ts is None:  # empty stream ⇒ empty join result
+        return spark.createDataFrame(
+            [], "purchase_id long, click_id long, user_id long"
+        )
     ranked = ev.withColumn(
         "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
     ).localCheckpoint(eager=True)

@@ -225,6 +225,10 @@ def test_malformed_wkb_never_crashes_predicates():
         wkb_area_centroid,
     )
 
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        wkb_length_npoints,
+    )
+
     for w in adversarial + fuzz:
         # predicates must return a bool, never raise
         assert polygons_intersect_wkb(w, square) in (True, False)
@@ -234,6 +238,10 @@ def test_malformed_wkb_never_crashes_predicates():
         # r8 kernels share the same never-raise contract
         area, cx, cy = wkb_area_centroid(w)
         assert area is None or isinstance(area, float)
+        # r9: the linear-geometry walker too (its own typed traversal)
+        ln, npts = wkb_length_npoints(w)
+        assert ln is None or isinstance(ln, float)
+        assert (ln is None) == (npts is None)
 
 
 def test_mercator_roundtrip_randomized():
