@@ -259,3 +259,57 @@ def test_mercator_roundtrip_randomized():
         lon2, lat2 = mercator_to_lonlat(x, y)
         assert abs(lon2 - lon) < 1e-9
         assert abs(lat2 - lat) < 1e-9
+
+
+def test_wkb_linestring_roundtrip_randomized():
+    """Encode→walk vertex fidelity on random polylines: every coordinate
+    (arbitrary float64, not just lattice values) must survive the codec
+    bit-exactly, in document order, through LINESTRING, MULTILINESTRING,
+    nested GEOMETRYCOLLECTION wrapping, and a hand-built BIG-ENDIAN
+    linestring (the writers emit little-endian only, but the walker must
+    read either byte order)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        wkb_linestring,
+        wkb_linestrings,
+        wkb_multilinestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    rng = np.random.RandomState(1234)
+    for _ in range(50):
+        n_lines = int(rng.randint(1, 4))
+        lines = [
+            [tuple(rng.uniform(-1e6, 1e6, 2)) for _ in range(int(rng.randint(2, 9)))]
+            for _ in range(n_lines)
+        ]
+        if n_lines == 1 and rng.rand() < 0.5:
+            wkb = wkb_linestring(lines[0])
+        else:
+            wkb = wkb_multilinestring(lines)
+        # wrap in a GEOMETRYCOLLECTION with non-linear distractors
+        if rng.rand() < 0.5:
+            wkb = (
+                _struct.pack("<BII", 1, 7, 3)
+                + wkb_point(*map(float, rng.uniform(-10, 10, 2)))
+                + wkb
+                + wkb_polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]])
+            )
+        got = wkb_linestrings(wkb)
+        assert len(got) == n_lines
+        for arr, pts in zip(got, lines):
+            assert arr.shape == (len(pts), 2)
+            for (gx, gy), (x, y) in zip(arr, pts):
+                assert gx == x and gy == y  # bit-exact, not approx
+
+    # big-endian LINESTRING, built by hand
+    pts = [(1.5, -2.25), (3.75, 4.125), (-0.5, 0.0625)]
+    be = _struct.pack(">BII", 0, 2, len(pts)) + b"".join(
+        _struct.pack(">dd", x, y) for x, y in pts
+    )
+    (arr,) = wkb_linestrings(be)
+    assert [tuple(p) for p in arr] == pts
