@@ -185,7 +185,14 @@ def _geo_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_custkey"), F.col("x0"), F.col("y0"), F.col("w"), F.col("h")
             ).alias("geom_wkb"),
         )
-        return derive_bbox(wkb).localCheckpoint(eager=True)
+        # spread the store across the cluster BEFORE pinning it: the
+        # driver testdata is a single parquet file (1-2 scan partitions),
+        # and a localCheckpoint freezes that layout — every downstream
+        # map-only geo kernel would run near-serially on a 32-core local
+        # session (r9 rehearsal find: the union-area rasterize at 1× ran
+        # on 2 cores). The shuffle moves a few MB once at ingest time.
+        par = spark.sparkContext.defaultParallelism
+        return derive_bbox(wkb).repartition(par).localCheckpoint(eager=True)
 
     return _geo_store_cache.get_or_build(spark, sf_dir, _build)
 
@@ -694,54 +701,90 @@ def spatial_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     store lies on the 1/16° lattice, so a polygon is exactly a set of
     1/16°×1/16° cells, union = DISTINCT occupied cells, and area =
     cell count × 2⁻⁸. That turns a geometry problem into the engine's
-    bread and butter — explode + distinct + count, fully distributed,
+    bread and butter — rasterize + distinct + count, fully distributed,
     no geometry ever compared against another geometry.
 
-    Membership of each cell runs through the REAL stack — the polygon's
-    WKB is parsed and the cell CENTER is ray-cast by the same vectorized
-    even-odd kernel as `spatial_points_in_polygons` (one parse per
-    polygon per Arrow batch; donut holes excluded by even-odd parity,
-    not by special-casing) — while the oracle decides membership from
-    the closed-form shape predicates. The two agree on EVERY cell
-    because centers sit on odd 1/32° multiples and every edge on even
-    1/32° multiples (the same data-independent lattice-disjointness
-    argument tests/test_geo_analytics.py enumerates for the points
-    entry): no decision is ever within 1/32° of a boundary. Cell ids
-    stay INTEGER end-to-end (ix = x/2⁻⁴ is integral by construction),
-    so the distinct key is exact, and the final area is count × 2⁻⁸ —
-    one exact dyadic multiply. At 100 TB: explode factor is bounded by
-    bbox-area/cell-area (≤ 1,280 here), the distinct and the count both
+    Rasterization is ONE `mapInPandas` pass over the polygon store: per
+    polygon the WKB is parsed ONCE, the full center grid is built in
+    numpy, and every center is ray-cast by the same vectorized even-odd
+    kernel as `spatial_points_in_polygons` (donut holes excluded by
+    even-odd parity, not by special-casing); only the OCCUPIED integer
+    cell ids are emitted. The first cut of this entry exploded a row per
+    cell and filtered with the scalar-UDF form — correct, but it pushed
+    the polygon's WKB through Arrow once PER CELL (≈800× amplification),
+    which dominated at scale (SCALING run 11: 45 s → ~15 s at the 20×
+    point for the mapInPandas form; what remains is the DISTINCT shuffle
+    of ~180 M occupied-cell rows — the union's real cost, partial-
+    combined and key-parallel). The oracle instead decides
+    membership from the closed-form shape predicates; the two agree on
+    EVERY cell because centers sit on odd 1/32° multiples and every edge
+    on even 1/32° multiples (the same data-independent lattice-
+    disjointness argument tests/test_geo_analytics.py enumerates for the
+    points entry): no decision is ever within 1/32° of a boundary. Cell
+    ids stay INTEGER end-to-end (ix = x/2⁻⁴ is integral by
+    construction), so the distinct key is exact, and the final area is
+    count × 2⁻⁸ — one exact dyadic multiply. At 100 TB: emitted rows are
+    bounded by covered-area/cell-area, the distinct and the count both
     key on (nation, cell) — partial-combined, skew-bounded by the
-    densest nation; finer lattices trade explode factor for resolution
+    densest nation; finer lattices trade row count for resolution
     exactly like raster zonal statistics (which is what this IS).
     """
+    import struct as _struct
+
+    import numpy as np
+
+    from ..functions.spatial import parse_wkb_polygons, points_in_polys
+
     store = _geo_store(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     k = F.col("c_custkey")
     enriched = store.select(
-        "c_custkey",
-        "c_nationkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "geom_wkb",
-        ((k % 40) * 24 - 2000).alias("ix0"),
-        (F.lit(384) + (k % 16) * 20).alias("iy0"),
+        ((k % 40) * 24 - 2000).cast("long").alias("ix0"),
+        (F.lit(384) + (k % 16) * 20).cast("long").alias("iy0"),
         (F.lit(16) + (k % 7) * 4).cast("int").alias("nx"),
         (F.lit(16) + (k % 5) * 4).cast("int").alias("ny"),
     )
-    cells = enriched.withColumn(
-        "i", F.explode(F.sequence(F.lit(0), F.col("nx") - 1))
-    ).withColumn("j", F.explode(F.sequence(F.lit(0), F.col("ny") - 1)))
-    cx = (F.col("ix0") + F.col("i")).cast("double") * F.lit(0.0625) + F.lit(0.03125)
-    cy = (F.col("iy0") + F.col("j")).cast("double") * F.lit(0.0625) + F.lit(0.03125)
-    inside = make_points_in_polys_udf()(F.col("geom_wkb"), cx, cy)
-    occ = (
-        cells.where(inside)
-        .select(
-            "c_nationkey",
-            (F.col("ix0") + F.col("i")).alias("ix"),
-            (F.col("iy0") + F.col("j")).alias("iy"),
-        )
-        .distinct()
-    )
+
+    def rasterize(batches):
+        for pdf in batches:
+            nks, ixs, iys = [], [], []
+            for nk, wkb, ix0, iy0, nx, ny in zip(
+                pdf["c_nationkey"], pdf["geom_wkb"], pdf["ix0"], pdf["iy0"],
+                pdf["nx"], pdf["ny"],
+            ):
+                if wkb is None:
+                    continue
+                try:
+                    polys = parse_wkb_polygons(bytes(wkb))
+                except (ValueError, _struct.error):
+                    continue
+                ix0, iy0, nx, ny = int(ix0), int(iy0), int(nx), int(ny)
+                gi = ix0 + np.arange(nx, dtype=np.int64)
+                gj = iy0 + np.arange(ny, dtype=np.int64)
+                # same dyadic-exact center formula as the oracle:
+                # (integer cell id) · 2⁻⁴ + 2⁻⁵ — every step exact
+                gx = gi.astype(np.float64) * 0.0625 + 0.03125
+                gy = gj.astype(np.float64) * 0.0625 + 0.03125
+                ii, jj = np.meshgrid(gi, gj)
+                cx, cy = np.meshgrid(gx, gy)
+                mask = points_in_polys(polys, cx.ravel(), cy.ravel())
+                nks.append(np.full(int(mask.sum()), nk, dtype=np.int64))
+                ixs.append(ii.ravel()[mask])
+                iys.append(jj.ravel()[mask])
+            if nks:
+                yield pd.DataFrame(
+                    {
+                        "c_nationkey": np.concatenate(nks),
+                        "ix": np.concatenate(ixs),
+                        "iy": np.concatenate(iys),
+                    }
+                )
+
+    occ = enriched.mapInPandas(
+        rasterize, "c_nationkey long, ix long, iy long"
+    ).distinct()
     return (
         occ.join(nation, occ["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")

@@ -76,7 +76,11 @@ def _spatial_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "geom_wkb",
             make_box_wkb_udf()(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
         ).select("c_custkey", "geom_wkb")
-        return derive_bbox(wkb).localCheckpoint(eager=True)
+        # spread before pinning (see geo_analytics._geo_store): a single
+        # source file would freeze a 1-2-partition layout into the
+        # checkpoint and serialize every downstream scan-side kernel
+        par = spark.sparkContext.defaultParallelism
+        return derive_bbox(wkb).repartition(par).localCheckpoint(eager=True)
 
     return _spatial_layers_cache.get_or_build(spark, sf_dir, _build)
 

@@ -383,7 +383,8 @@ def test_spatial_union_area_dedups_overlap(spark, tmp_path):
 
 
 def test_spatial_union_area_plan(spark, sf_dir):
-    """Explode -> ray-cast filter -> distinct on integer cell ids ->
+    """One mapInPandas rasterize pass (WKB crosses Arrow once per
+    polygon, never once per cell) -> distinct on integer cell ids ->
     broadcast nation join -> count. No geometry-vs-geometry join."""
     plan = (
         QUERIES["spatial_union_area"](spark, sf_dir)
@@ -391,6 +392,6 @@ def test_spatial_union_area_plan(spark, sf_dir):
         .executedPlan()
         .toString()
     )
+    assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
-    assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan
