@@ -740,13 +740,16 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds its partner still in state (left state lives until wm > l_ts,
     right until wm > r_ts + 40 min — with ts-ordered arrival neither can
     be evicted before its partner shows up);
-    (2) TWO trailing watermark-advancer files follow (far-future
+    (2) trailing watermark-advancer files follow (far-future
     purchase/click rows under sentinel users -1/-2 that match nothing):
-    the null-side filter needs the watermark to actually pass every real
-    purchase, and the late-row/eviction machinery lags ONE trigger — the
-    first advancer raises the computed watermark, the second makes a
-    batch run with it applied, which is when the evictions fire and the
-    null rows appear (verified: with one advancer the nulls never emit);
+    the null-side rows only emit once the watermark actually passes
+    every real purchase. Measured: ONE advancer already suffices under
+    availableNow, because the trigger schedules trailing no-data commit
+    batches that apply the advanced watermark and fire the evictions;
+    TWO are staged anyway as belt-and-braces for the documented
+    one-trigger eviction lag (a continuous trigger guarantees no such
+    extra batch — there the second advancer IS the batch that runs with
+    the watermark applied);
     (3) the sentinel rows are removed AFTER the sink, never in the
     streaming plan — an in-stream `user_id >= 0` filter is pushed by
     Catalyst below the EventTimeWatermark node into both scans, the
