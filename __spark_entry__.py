@@ -23,49 +23,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r08), so insertion order
-# decides which queries get correctness rows. r9 prefix, EXACTLY as the
-# post-r8 CLAUDE.md staged it (confirmed vs the post-r8 ledger via
+# (verified key-by-key against CORRECTNESS_r01..r09), so insertion order
+# decides which queries get correctness rows. r10 prefix, EXACTLY as the
+# post-r9 CLAUDE.md staged it (confirmed vs the post-r9 ledger via
 # `tools/proof_ledger.py --assume-next-green`): the 8 entries that have
-# never been driver-graded (all landed post-freeze in r8), then the 9
-# entries whose CODE changed in r8 (sql_surface_pricing:
-# register_temp_views swallows only PATH_NOT_FOUND; spatial_join_exact:
-# rect×rect fast path + single-ring _poly_bounds; the seven
-# `_events_stream` consumers: layout-aware stream source), then the
-# FIRST 33 of the remaining 44-entry r5-proven re-proof queue. The
-# queue's last 11 (skewed_agg_salted … multimodal_frame_sample) slide
-# to the r10 head. Entries NEW in r9 are deferred to r10 via
-# `proof_ledger.py --check-prefix --defer` (the r8 precedent). Code
-# changed in r9 jumps this queue as always.
+# never been driver-graded (all landed post-freeze in r9), then the 4
+# entries whose CODE changed in r9 (spatial_point_filter +
+# spatial_grid_density: the `_spatial_layers` MaterializedStoreCache
+# swap; agg_distinct_stats + scalar_subquery_above_avg: the exact-cents
+# tie fixes), then the 11 r5-proven re-proof leftovers (after a green
+# r10 no proof predates r6), then the FIRST 27 of the r6-proven queue
+# in ledger order. The queue's remaining 19 r6 entries
+# (ab_test_two_proportions … markov_transition_matrix, incl.
+# stream_late_data_drop) head the r11 queue. Code changed in r10 jumps
+# this queue as always.
 _DRIVER_PRIORITY = [
-    # never driver-graded (landed post-freeze in r8)
-    "spatial_join_hot_cell", "spatial_area_centroid",
-    "spatial_tile_quadkey", "spatial_dwithin_haversine",
-    "spatial_dissolve_extent", "spatial_points_in_polygons",
-    "cdc_upsert_snapshot", "stream_static_enrich",
-    # code changed in r8 (jump the queue per the rotation rule)
-    "sql_surface_pricing", "spatial_join_exact",
-    "stream_tumbling_event_counts", "stream_interval_join_pairs",
-    "stream_dedup_user_type", "stream_sliding_event_counts",
-    "stream_session_user_totals", "stream_topk_types_per_window",
-    "stream_stateful_running_totals",
-    # staleness re-proof: first 33 of the r5-proven queue (oldest first)
-    "similarity_join_lsh_oracle", "knn_ivf_oracle",
-    "minhash_lsh_neardup", "simhash_poly_signature",
-    "embedding_quantize_int8", "knn_int8_rerank",
-    "dedup_components", "dedup_keep_best_doc",
-    "event_type_change_log", "cumulative_distinct_users",
-    "sample_deterministic_orders", "split_train_val_test",
-    "chunk_documents_tokens", "tfidf_top_terms",
-    "chunk_dedup_summary", "pii_redaction",
-    "decontaminate_benchmark", "stratified_sample_embeddings",
-    "bpe_pair_counts", "char_entropy_quality",
-    "bigram_lm_cross_entropy", "q5_nation_revenue",
-    "topk_offset_orders", "filter_caseins_topk",
-    "set_intersect_nations", "set_except_keys", "set_union_keys",
-    "string_funcs_part", "date_funcs_orders", "math_funcs_lineitem",
-    "dedup_distinct_pairs", "q4_priority_with_late_items",
-    "q14_economy_revenue_share",
+    # never driver-graded (landed post-freeze in r9)
+    "pq_adc_topk", "spatial_linestring_length", "spatial_union_area",
+    "pareto_frontier_parts", "stream_cdc_apply",
+    "stream_left_outer_join", "interval_union_seconds",
+    "time_weighted_avg_value",
+    # code changed in r9 (jump the queue per the rotation rule)
+    "spatial_point_filter", "spatial_grid_density",
+    "agg_distinct_stats", "scalar_subquery_above_avg",
+    # staleness re-proof: the 11 r5-proven leftovers
+    "skewed_agg_salted", "bucketed_join_revenue",
+    "sketch_bloom_join_counts", "sketch_cms_priority_counts",
+    "spatial_join_overlap", "spatial_join_blocked",
+    "reproject_mercator", "html_to_markdown",
+    "multimodal_byte_stats", "multimodal_resize",
+    "multimodal_frame_sample",
+    # staleness re-proof: first 27 of the r6-proven queue (oldest first)
+    "ann_recall_at_10", "lsh_bucket_balance", "ivf_recall_at_10",
+    "retrieval_ndcg_labels", "ivf_cell_balance", "zipf_slope_unigrams",
+    "zscore_norms_by_label", "pagerank_one_iter",
+    "roc_auc_purchase_vs_view", "calibration_bins_decile",
+    "user_behavior_entropy", "assoc_rules_event_pairs",
+    "chi2_type_by_arm", "activity_islands_daily", "vocab_kl_train_val",
+    "cooccurrence_pmi_topk", "phrase_merge_apply",
+    "pca_power_iteration", "ngram_containment_topk",
+    "matryoshka_rerank_16", "hard_negative_mining",
+    "parallel_moments_merge", "mixture_temperature_schedule",
+    "udtf_trigram_counts", "graph_triangle_count",
+    "incremental_dedup_merge", "dp_noisy_type_counts",
 ]
 
 

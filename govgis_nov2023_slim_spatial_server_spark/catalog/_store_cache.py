@@ -50,10 +50,27 @@ class MaterializedStoreCache:
             weakref.finalize(spark, self._evict_session, sid)
         self._data[key] = df
         while len(self._data) > self._maxsize:
-            self._data.popitem(last=False)
+            _, old = self._data.popitem(last=False)
+            self._release(old)
         return df
 
+    @staticmethod
+    def _release(df: DataFrame) -> None:
+        """Best-effort EAGER release of an evicted store's checkpoint
+        blocks. Dropping the Python reference alone frees them only
+        lazily (py4j finalization + ContextCleaner), so a harness
+        iterating many sf_dirs could hold several evicted stores' blocks
+        until GC runs; unpersisting the checkpointed RDD drops its
+        BlockManager entries now. Failures (dead session, already
+        released) are swallowed — eviction must never raise."""
+        try:
+            df.rdd.unpersist(False)
+        except Exception:
+            pass
+
     def _evict_session(self, sid: int) -> None:
+        # Session is being GC'd — its JVM side may be gone, so only drop
+        # the Python references here (no _release: that needs the JVM).
         self._finalized.discard(sid)
         for k in [k for k in self._data if k[0] == sid]:
             self._data.pop(k, None)

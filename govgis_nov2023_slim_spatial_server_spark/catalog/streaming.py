@@ -555,7 +555,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH last AS (
       SELECT user_id, event_type,
-             CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_e4,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v_e4,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)

@@ -701,7 +701,7 @@ def interval_union_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id, event_id,
-             CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_e4,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v_e4,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
              LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s

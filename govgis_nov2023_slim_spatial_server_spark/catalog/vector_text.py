@@ -1950,6 +1950,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_rows = e.orderBy("vec_id").limit(8).select("embedding").collect()
     codebook = [[float(x) for x in r["embedding"]] for r in cb_rows]
     k = len(codebook)
+    if k == 0:
+        # Empty store ⇒ empty codebook ⇒ no encode expressions to build
+        # (F.least() with zero args would raise); the oracle's joins over
+        # an empty embeddings table produce the same empty result.
+        return spark.createDataFrame(
+            [],
+            "vec_id long, code0 long, code1 long, code2 long, "
+            "code3 long, adc_dist double",
+        )
     probe = [float(x) for x in PROBE_VEC]
 
     # 4x8 ADC lookup table: probe-subspace -> codeword distances, computed
