@@ -49,7 +49,7 @@ from ..operators.spatial_join import grid_blocked_overlap_join
 from ..schemas import load_table
 from ..sources.ingest import derive_bbox
 from ._registry import query
-from ._store_cache import MaterializedStoreCache
+from ._store_cache import MaterializedStoreCache, store_width
 
 # --------------------------------------------------------------------------
 # Deterministic polygon store (binary-exact lattice)
@@ -190,8 +190,9 @@ def _geo_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and a localCheckpoint freezes that layout — every downstream
         # map-only geo kernel would run near-serially on a 32-core local
         # session (r9 rehearsal find: the union-area rasterize at 1× ran
-        # on 2 cores). The shuffle moves a few MB once at ingest time.
-        par = spark.sparkContext.defaultParallelism
+        # on 2 cores). The shuffle moves a few MB once at ingest time;
+        # width sized by store rows (see _store_cache.store_width).
+        par = store_width(spark, wkb.count())
         return derive_bbox(wkb).repartition(par).localCheckpoint(eager=True)
 
     return _geo_store_cache.get_or_build(spark, sf_dir, _build)

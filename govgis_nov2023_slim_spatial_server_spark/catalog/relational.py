@@ -2095,26 +2095,32 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed skyline, the canonical two-phase sweep:
 
-    1. LOCAL prune — within every input partition (window keyed on
-       spark_partition_id, so all partitions sweep in parallel), sort by
-       (price asc, size desc, partkey) and keep a row only if no PREVIOUS
-       row dominates it. The witness test is one running max of
-       struct(size, -price_cents): max_prev > (size, -price_cents) holds
-       iff some earlier row has strictly larger size, or equal size and
-       strictly lower price — exactly strict dominance given the sort
-       (every earlier row has price <= current, and equal-(price,size)
-       duplicates compare equal, so they correctly survive together).
-       Local skylines shrink a partition to O(log n) rows in expectation.
-    2. GLOBAL sweep — the same window over the surviving candidates in a
-       single partition. Correct because dominance is transitive: any
-       globally dominated row is dominated by some local survivor, and a
-       global-frontier row is undominated everywhere, so phase 1 can
-       never drop it. The single-partition window only ever sees the
-       union of tiny local skylines, not the input.
+    1. LOCAL prune — genuinely exchange-free: `sortWithinPartitions`
+       (price-cents asc, size desc, partkey) is a local sort, then one
+       mapInPandas pass sweeps each partition in place. Given the sort,
+       a row is dominated iff some PREVIOUS row in its partition has a
+       strictly larger size, or the same size at strictly lower cents —
+       so the whole sweep state is two scalars carried across Arrow
+       batches: the running max size M and the cents of the first row
+       that reached M (rows below M are dominated via M alone; rows at
+       M compare against that first-cents; equal-(cents, size)
+       duplicates compare equal and survive together). Vectorized per
+       batch (numpy exclusive running max + a group-first on size).
+       Local skylines shrink a partition to O(log n) rows in
+       expectation — and NO full-input shuffle happens (the r9 cut
+       keyed a window on spark_partition_id, which planned a balanced
+       but avoidable Exchange over all n rows).
+    2. GLOBAL sweep — the same dominance test as a window over the
+       surviving candidates in a single partition (the plan's ONE
+       Exchange, moving only the union of tiny local skylines).
+       Correct because dominance is transitive: any globally dominated
+       row is dominated by some local survivor, and a global-frontier
+       row is undominated everywhere, so phase 1 can never drop it.
 
-    Price enters the dominance struct as exact half-up cents (int64) so
-    the negation/tie logic never touches float arithmetic; output keeps
-    the raw parquet doubles (no arithmetic ⇒ hash-exact).
+    Price enters the dominance logic as exact half-up cents (int64) so
+    the tie handling never touches float arithmetic; output keeps the
+    raw parquet doubles (no arithmetic ⇒ hash-exact; float64 is
+    bit-preserved through Arrow).
 
     Scale limit (SCALING run 11): the sweep itself is one window pass per
     phase; the risk is a pathological anti-chain input (all points
@@ -2133,22 +2139,50 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__cents"),
     )
 
-    def sweep(df: DataFrame, part_col) -> DataFrame:
-        w = (
-            Window.partitionBy(part_col)
-            .orderBy(
-                F.col("__cents").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
-            )
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        witness = F.max(F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))).over(w)
-        cur = F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))
-        return df.withColumn("__m", witness).where(
-            F.col("__m").isNull() | ~(F.col("__m") > cur)
-        )
-
-    local = sweep(p.withColumn("__pid", F.spark_partition_id()), "__pid").drop(
-        "__pid", "__m"
+    local_sorted = p.sortWithinPartitions(
+        F.col("__cents").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
     )
-    glob = sweep(local.withColumn("__one", F.lit(1)), "__one")
+
+    def _local_sweep(batches):
+        import numpy as np
+
+        M = None  # running max p_size among previous rows in this partition
+        firstC = None  # __cents of the first row that reached size M
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf["p_size"].to_numpy()
+            c = pdf["__cents"].to_numpy()
+            seed = M if M is not None else np.iinfo(np.int64).min
+            # exclusive running max: ms[i] = max(seed, s[0..i-1])
+            ms = np.maximum.accumulate(np.concatenate(([seed], s[:-1])))
+            # first (== min, cents are sorted asc) cents per size in batch
+            fc = pdf["__cents"].groupby(s).transform("first").to_numpy()
+            if M is not None:
+                # carried max size: its true first-cents is from a prior batch
+                fc = np.where(s == M, firstC, fc)
+            dominated = (ms > s) | ((ms == s) & (fc < c))
+            bmax = int(s.max())
+            if M is None or bmax > M:
+                M = bmax
+                firstC = int(c[np.argmax(s == bmax)])
+            out = pdf[~dominated]
+            if len(out):
+                yield out
+
+    local = local_sorted.mapInPandas(_local_sweep, schema=local_sorted.schema)
+
+    local = local.withColumn("__one", F.lit(1))
+    w = (
+        Window.partitionBy("__one")
+        .orderBy(
+            F.col("__cents").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    witness = F.max(F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))).over(w)
+    cur = F.struct(F.col("p_size"), (-F.col("__cents")).alias("np"))
+    glob = local.withColumn("__m", witness).where(
+        F.col("__m").isNull() | ~(F.col("__m") > cur)
+    )
     return glob.select("p_partkey", "p_retailprice", "p_size")

@@ -26,7 +26,7 @@ from ..operators.multimodal import extract_byte_stats, with_binary_payload
 from ..schemas import load_table
 from ..sources.ingest import derive_bbox
 from ._registry import query
-from ._store_cache import MaterializedStoreCache
+from ._store_cache import MaterializedStoreCache, store_width
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,8 +78,10 @@ def _spatial_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("c_custkey", "geom_wkb")
         # spread before pinning (see geo_analytics._geo_store): a single
         # source file would freeze a 1-2-partition layout into the
-        # checkpoint and serialize every downstream scan-side kernel
-        par = spark.sparkContext.defaultParallelism
+        # checkpoint and serialize every downstream scan-side kernel;
+        # width sized by store rows so small stores don't pay 32-task
+        # scheduling per scan (see _store_cache.store_width)
+        par = store_width(spark, wkb.count())
         return derive_bbox(wkb).repartition(par).localCheckpoint(eager=True)
 
     return _spatial_layers_cache.get_or_build(spark, sf_dir, _build)

@@ -42,9 +42,10 @@ def test_pareto_frontier_tie_semantics(spark, tmp_path):
 
 
 def test_pareto_frontier_plan_has_no_join(spark, sf_dir):
-    """The engine side is the two-phase window sweep — the quadratic self
-    join lives ONLY in the oracle. Partition-id window (phase 1) must
-    parallelize; no Join node anywhere."""
+    """The engine side is the two-phase sweep — the quadratic self join
+    lives ONLY in the oracle. Phase 1 is exchange-free (local sort +
+    mapInPandas), so the plan's ONE Exchange is the tiny global-phase
+    survivor shuffle; no Join node anywhere."""
     plan = (
         QUERIES["pareto_frontier_parts"](spark, sf_dir)
         ._jdf.queryExecution()
@@ -53,6 +54,7 @@ def test_pareto_frontier_plan_has_no_join(spark, sf_dir):
     )
     assert "Join" not in plan
     assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_pareto_frontier_partition_invariance(spark, tmp_path):
