@@ -1944,13 +1944,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is 32 doubles — this is why PQ is the RAM-resident ANN
     format; recall/rerank composition is the knn_int8_rerank pattern.
     """
-    from ..functions.hashes import _let
-
     e = load_table(spark, sf_dir, "embeddings")
     cb_rows = e.orderBy("vec_id").limit(8).select("embedding").collect()
     codebook = [[float(x) for x in r["embedding"]] for r in cb_rows]
-    k = len(codebook)
-    if k == 0:
+    if not codebook:
         # Empty store ⇒ empty codebook ⇒ no encode expressions to build
         # (F.least() with zero args would raise); the oracle's joins over
         # an empty embeddings table produce the same empty result.
@@ -1959,6 +1956,20 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id long, code0 long, code1 long, code2 long, "
             "code3 long, adc_dist double",
         )
+    return pq_adc_rank(spark, e, codebook)
+
+
+def pq_adc_rank(
+    spark: SparkSession, e: DataFrame, codebook: list[list[float]]
+) -> DataFrame:
+    """PQ encode + ADC top-10 against an explicit codebook — the
+    mechanism of `pq_adc_topk` parameterized so a TRAINED codebook (e.g.
+    `operators.kmeans.lloyd_iterate` on the same seeds) plugs in without
+    touching the plan shape (tests/test_r9_catalog.py proves trained vs
+    sampled distortion/recall on the fixed corpus)."""
+    from ..functions.hashes import _let
+
+    k = len(codebook)
     probe = [float(x) for x in PROBE_VEC]
 
     # 4x8 ADC lookup table: probe-subspace -> codeword distances, computed

@@ -397,3 +397,58 @@ def test_spatial_union_area_plan(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_trained_codebook(spark):
+    """VERDICT r9 #6: the pq_adc_topk docstring claims a trained codebook
+    is "one lloyd_iterate call away and changes nothing below" — prove it.
+    Three Lloyd iterations from the same 8 sampled seeds must (a) plug
+    straight into pq_adc_rank, (b) strictly reduce quantization
+    distortion (Lloyd is monotone; the 1/1024 grid perturbation is far
+    below the improvement on this corpus), and (c) not lose ADC
+    recall@10 against the exact L2 top-10 for the fixed probe."""
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog.vector_text import (
+        PROBE_VEC,
+        pq_adc_rank,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.functions.vector import (
+        euclidean_distance,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.kmeans import (
+        assign_nearest,
+        lloyd_iterate,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(e.orderBy("vec_id").limit(8).collect())
+    ]
+    trained = lloyd_iterate(e, seeds, n_iter=3)
+    assert len(trained) == 8 and all(len(v) == 64 for _, v in trained)
+
+    def distortion(cb):
+        a = assign_nearest(e, cb)
+        return a.agg(F.sum(F.col("dist") * F.col("dist")).alias("d")).first()["d"]
+
+    d_sampled, d_trained = distortion(seeds), distortion(trained)
+    assert d_trained < d_sampled, (d_trained, d_sampled)
+
+    exact10 = {
+        r["vec_id"]
+        for r in e.orderBy(
+            euclidean_distance("embedding", PROBE_VEC).asc(), F.col("vec_id").asc()
+        )
+        .limit(10)
+        .collect()
+    }
+
+    def recall(cb):
+        got = {r["vec_id"] for r in pq_adc_rank(spark, e, [v for _, v in cb]).collect()}
+        return len(got & exact10) / 10.0
+
+    r_sampled, r_trained = recall(seeds), recall(trained)
+    assert r_trained >= r_sampled, (r_trained, r_sampled)
