@@ -882,3 +882,128 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_dedup_reemit_islands",
+    """
+    SELECT user_id,
+           CAST(1 + CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_emitted
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def stream_dedup_reemit_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` RE-EMISSION semantics, actually
+    executed — the behavior `stream_dedup_user_type` cannot show: that
+    entry's single-batch drain never evicts state, so its output equals
+    plain DISTINCT. Here each key recurs across occurrence ISLANDS
+    separated by far more than the 12 h dedup delay, and the engine must
+    emit the key ONCE PER ISLAND (state evicted between islands) while
+    still collapsing duplicates INSIDE an island — bounded-state dedup on
+    an unbounded stream, the exact contract `dropDuplicates` (infinite
+    state, one global emission) cannot honor at 100 TB/day.
+
+    Synthetic islands derived from the real key universe (DISTINCT
+    user_id): every user occurs in island 0, users ≡0 (mod 3) also in
+    island 1, users ≡0 (mod 5) also in island 2 — so n_emitted varies
+    1..3 across keys and the oracle is pure batch SQL over the raw
+    events table. Each island contributes TWO rows per member (second at
+    +minutes offset) proving intra-island dedup; islands are 72 h apart
+    with all member rows inside [base, base+7 h], so every island's
+    dedup state (expiry ≤ base+19 h under either first-event or
+    extended-expiry semantics) is dead long before the next island's
+    batch regardless of the documented one-trigger watermark lag:
+    rider-only files between islands (unique negative keys, filtered
+    after the sink — the watermark-advancer convention) push the
+    operative watermark to island_base+28 h even when it lags a full
+    batch. Five staged files with forced mtimes (the
+    `stream_late_data_drop` precedent), ``maxFilesPerTrigger=1`` ⇒ one
+    micro-batch per file, append-mode memory sink; emissions counted per
+    key AFTER the drain."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    users = (
+        _t(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    t0 = 1_709_251_200  # 2024-03-01 00:00:00 UTC, fixed epoch seconds
+    u = F.col("user_id")
+
+    def island(j: int, pred) -> DataFrame:
+        base = t0 + j * 72 * 3600
+        first = base + (u % 6).cast("long") * 3600
+        m = users.where(pred)
+        occ1 = m.select(u.alias("user_id"), F.timestamp_seconds(first).alias("ts"))
+        occ2 = m.select(
+            u.alias("user_id"),
+            F.timestamp_seconds(first + ((u % 11) + 1).cast("long") * 60).alias("ts"),
+        )
+        return occ1.unionAll(occ2)
+
+    islands = [
+        island(0, F.lit(True)),
+        island(1, u % 3 == 0),
+        island(2, u % 5 == 0),
+    ]
+    # rider files between/after islands: max-ts anchors so the operative
+    # watermark (even lagging one batch) clears the previous island's
+    # dedup state before the next island's batch runs
+    def rider(key: int, sec: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(key).cast("long").alias("user_id"),
+            F.timestamp_seconds(F.lit(t0 + sec)).alias("ts"),
+        )
+
+    files = [
+        islands[0].unionAll(rider(-1, 40 * 3600)),
+        rider(-2, 66 * 3600),
+        islands[1].unionAll(rider(-3, 112 * 3600)),
+        rider(-4, 138 * 3600),
+        islands[2].unionAll(rider(-5, 184 * 3600)),
+    ]
+    d = tempfile.mkdtemp(prefix="stream_reemit_")
+    try:
+        now = 1_700_000_000
+        for i, fdf in enumerate(files):
+            stage = os.path.join(d, f"_stage_{i}")
+            fdf.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"f{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now + 100 * i, now + 100 * i))
+        schema = spark.read.parquet(os.path.join(d, "f0.parquet")).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        deduped = src.withWatermark("ts", "12 hours").dropDuplicatesWithinWatermark(
+            ["user_id"]
+        )
+        _SINK_SEQ[0] += 1
+        name = f"__stream_reemit_{_SINK_SEQ[0]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sreemit_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .where(F.col("user_id") >= 0)  # drop the rider sentinels
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_emitted"))
+            .localCheckpoint(eager=True)  # outlive the staged inputs
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

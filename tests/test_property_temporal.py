@@ -79,6 +79,10 @@ ENTRIES = [
     # ts ties at the file boundary, purchase-heavy/click-free users
     # (null-side emission), and single-event streams
     "stream_left_outer_join",
+    # r10: dropDuplicatesWithinWatermark re-emission across occurrence
+    # islands — derives its synthetic islands from the random corpus's
+    # DISTINCT user_id set, so key collisions / single-user corpora vary
+    "stream_dedup_reemit_islands",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
