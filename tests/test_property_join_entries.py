@@ -76,6 +76,11 @@ ENTRIES = [
     # r9: the skyline — random 8-part tables hit the duplicate-(price,size)
     # and equal-on-one-axis tie cases the two-phase sweep must get right
     "pareto_frontier_parts",
+    # r10: the recursive skyline — random part tables vary the key set,
+    # so band occupancy (incl. empty bands and duplicate-band collisions)
+    # varies while the recursion's correctness must not depend on whether
+    # any mitigation round fires
+    "skyline_recursive_parts",
     # r9: linear geometries — the supplier-keyed zigzag store runs the
     # LINESTRING/MULTILINESTRING codec + sequential sqrt fold vs the
     # oracle's closed form on every random db
