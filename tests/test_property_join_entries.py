@@ -89,6 +89,10 @@ ENTRIES = [
     # customer keys collide on the (x0, y0) modulos, so genuine overlaps
     # exercise the distinct-cell dedup against the closed-form oracle
     "spatial_union_area",
+    # r10: square-buffer (L∞ Minkowski) dilation + union — separable
+    # cell-id dilation over the same rasterize; random overlaps test
+    # that dilated neighborhoods merge exactly once
+    "spatial_buffer_union_area",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]
