@@ -69,6 +69,12 @@ HEADLINE = CORE_SET + [
     # and the two-phase skyline sweep
     "pq_adc_topk",
     "pareto_frontier_parts",
+    # r10 additions: the recursive-skyline mitigation rounds (driver loop
+    # + re-hash shuffles — the entry most sensitive to per-round
+    # overhead) and the separable cell-dilation buffer (the heaviest
+    # shuffle consumer of the geo layer after union_area)
+    "skyline_recursive_parts",
+    "spatial_buffer_union_area",
 ]
 
 

@@ -628,3 +628,138 @@ def bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         rnd_nz(-F.avg("lp"), 4).alias("cross_entropy"),
     )
+
+
+@query(
+    "length_bucket_padding",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             LEAST(len(regexp_split_to_array(trim(text), '\\s+')), 512) AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN toks <= 16 THEN 16
+                  WHEN toks <= 32 THEN 32
+                  WHEN toks <= 64 THEN 64
+                  WHEN toks <= 128 THEN 128
+                  WHEN toks <= 256 THEN 256
+                  ELSE 512 END AS bucket_cap
+      FROM t)
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+           FLOOR((1.0 - SUM(toks)::DOUBLE / (COUNT(*) * bucket_cap))
+                 * 10000.0 + 0.5) / 10000.0 AS waste_ratio
+    FROM b
+    GROUP BY bucket_cap
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING efficiency — the padding-waste audit every
+    training pipeline runs before choosing bucket boundaries: documents
+    are assigned to power-of-two token buckets (16..512, overflow
+    truncated to 512) and each bucket reports how many pad tokens a
+    fixed-length batch layout would burn (waste = 1 − real/padded).
+    Bucket caps are a comparison CASE chain, NOT ceil(log2(·)) — libm
+    log2 at exact powers of two is precisely where a one-ulp cross-engine
+    wobble would flip a bucket, and integer comparisons can't wobble.
+    Map-side: tokenize → bucket → one map-combined aggregate on a 6-value
+    key; at 100 TB this is a single scan with a 6-group reduce, and the
+    waste table IS the input to the bucket-boundary optimization."""
+    from ..functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(F.least(token_count("text"), F.lit(512)).alias("toks"))
+    cap = (
+        F.when(F.col("toks") <= 16, 16)
+        .when(F.col("toks") <= 32, 32)
+        .when(F.col("toks") <= 64, 64)
+        .when(F.col("toks") <= 128, 128)
+        .when(F.col("toks") <= 256, 256)
+        .otherwise(512)
+        .cast("long")
+        .alias("bucket_cap")
+    )
+    return (
+        t.select("toks", cap)
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            F.col("__n").alias("n_docs"),
+            "sum_tokens",
+            (F.col("__n") * F.col("bucket_cap")).cast("long").alias("padded_tokens"),
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.col("sum_tokens").cast("double")
+                        / (F.col("__n") * F.col("bucket_cap")).cast("double")
+                    )
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("waste_ratio"),
+        )
+    )
+
+
+@query(
+    "epoch_shuffle_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+             (48271 * doc_id + 12345) % 1000003 AS rank
+      FROM documents)
+    SELECT CAST(rank % 64 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           CAST(MIN(rank) AS BIGINT) AS min_rank,
+           CAST(arg_min(doc_id, rank) AS BIGINT) AS first_doc
+    FROM t
+    GROUP BY 1
+    """,
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE — reproducible corpus reshuffling
+    without a random sort: rank = (48271·doc_id + 12345) mod 1000003 is
+    an injective LCG step over the id space (a < 2¹⁶, id < 2⁴⁷ ⇒ product
+    < 2⁶³, ANSI-safe), the shard is rank mod 64, and WITHIN a shard the
+    rank orders the epoch's read sequence (witnessed by min_rank +
+    first_doc = the arg-min doc). At 100 TB this is the whole design
+    point: a seeded-RNG shuffle is irreproducible across engines and
+    retries, while the hash permutation gives every executor its shard
+    membership AND its intra-shard order from arithmetic alone — one
+    map-combined 64-group aggregate here; the production form writes
+    shard-partitioned files sorted by rank (the same two columns). A new
+    epoch is a new (a, b) pair. arg-min ties cannot occur: the rank map
+    is injective below 1000003 and doc_id < 1000003 here (guarded)."""
+    from ..functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    # injectivity of doc_id -> rank needs doc_id < modulus; the corpus
+    # ships ids ≤ 5e3 — fail loudly if that ever changes
+    mx = d.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 1_000_003:
+        raise AssertionError(f"doc_id {mx} >= LCG modulus; pick a larger prime")
+    t = d.select(
+        "doc_id",
+        token_count("text").alias("toks"),
+        ((F.lit(48271) * F.col("doc_id") + F.lit(12345)) % 1_000_003).alias("rank"),
+    )
+    return (
+        t.groupBy((F.col("rank") % 64).cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+            F.min("rank").cast("long").alias("min_rank"),
+            F.min_by("doc_id", "rank").cast("long").alias("first_doc"),
+        )
+    )

@@ -73,6 +73,11 @@ ENTRIES = [
     "dedup_keep_best_doc",
     "flagship_hybrid_search",
     "weighted_sample_by_quality",
+    # r10: batching-efficiency + deterministic epoch shuffle — random
+    # token counts vary bucket occupancy (incl. empty buckets) and the
+    # LCG shard argmin must stay injective on any doc_id set
+    "length_bucket_padding",
+    "epoch_shuffle_shards",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
