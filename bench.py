@@ -71,8 +71,8 @@ HEADLINE = CORE_SET + [
     "pareto_frontier_parts",
     # r10 additions: the recursive-skyline mitigation rounds (driver loop
     # + re-hash shuffles — the entry most sensitive to per-round
-    # overhead) and the separable cell-dilation buffer (the heaviest
-    # shuffle consumer of the geo layer after union_area)
+    # overhead) and the scan-line-run buffer dilation (two interval-merge
+    # windows — the geo layer's heaviest window consumer after union_area)
     "skyline_recursive_parts",
     "spatial_buffer_union_area",
 ]

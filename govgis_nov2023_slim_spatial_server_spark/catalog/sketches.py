@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import bloom_prefilter_join, count_min_sketch
+from ..operators.sketches import (
+    bloom_prefilter_join,
+    count_min_sketch,
+    hll_estimate_by_group,
+)
 from ..schemas import load_table
 from ._registry import query
 
@@ -83,4 +87,83 @@ def sketch_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, cms.estimate(k)) for k in sorted(keys)],
         "o_orderpriority string, est_count long",
+    )
+
+
+@query(
+    "sketch_hll_distinct_users",
+    """
+    WITH k0 AS (
+      SELECT event_type,
+             ((user_id % 1048576) + 1048576) % 1048576 AS t
+      FROM events WHERE user_id IS NOT NULL),
+    m1 AS (
+      SELECT event_type,
+             ((t % 134217728) * 102334155 + (t // 134217728) * 97654321
+              + 12345) % 18014398509481951 AS t
+      FROM k0),
+    x1 AS (SELECT event_type, xor(t, t >> 21) AS t FROM m1),
+    m2 AS (
+      SELECT event_type,
+             ((t % 134217728) * 88675123 + (t // 134217728) * 134775813
+              + 424242) % 18014398509481951 AS t
+      FROM x1),
+    x2 AS (SELECT event_type, xor(t, t >> 21) AS t FROM m2),
+    m3 AS (
+      SELECT event_type,
+             ((t % 134217728) * 75327617 + (t // 134217728) * 123456789
+              + 999983) % 18014398509481951 AS t
+      FROM x2),
+    h AS (SELECT event_type, xor(t, t >> 21) AS h FROM m3),
+    r AS (
+      SELECT event_type, h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 49
+                  ELSE length(bin((h // 64) & (-(h // 64)))) END AS rho
+      FROM h),
+    regs AS (
+      SELECT event_type, j, MAX(rho) AS r FROM r GROUP BY event_type, j),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+               AS register_sum
+      FROM regs GROUP BY event_type),
+    x AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+    SELECT s.event_type AS event_type,
+           s.register_sum AS register_sum,
+           CAST('1675339061381824512' AS DOUBLE)
+             / CAST(s.register_sum AS DOUBLE) AS hll_estimate,
+           x.exact_distinct AS exact_distinct
+    FROM s JOIN x USING (event_type)
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, with a PINNED
+    hash family so the ESTIMATE ITSELF is oracle-checked — not just an
+    error bound. Native `approx_count_distinct` is the production path
+    (its HLL++ registers are engine-internal, tests/test_approx.py); this
+    entry re-derives the register algebra from first principles to prove
+    the engine computes real HLL, the way `sketch_cms_priority_counts`
+    proves Count-Min: mix → (register, rank) → groupBy MAX → harmonic
+    mean. Everything before the single final division is exact int64
+    (`operators/sketches.hll_estimate_by_group` documents the mix rounds,
+    the measured-and-rejected weaker variants, and the lattice:
+    Σ 2^(49-rho) < 2^56), so both engines' estimates are bit-identical
+    and the raw double is hash-safe. Duplicates never shuffle: MAX-of-rank
+    is idempotent, so the plan is one map-combined agg of (type, register)
+    pairs — at 100 TB the state per group is 64 registers regardless of
+    row count, the whole point of HLL. exact_distinct rides along to show
+    the estimate lands in HLL's m=64 design band (σ = 1.04/√64 ≈ 13%;
+    the error-band contract across fixture regimes is pinned in
+    tests/test_sketches.py).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    est = hll_estimate_by_group(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "register_sum", "hll_estimate", "exact_distinct"
     )

@@ -28,6 +28,103 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# the pinned HLL mix rounds (shared by the Spark expression and the DuckDB
+# oracle in catalog/sketches.py — change one, change both): three rounds of
+# half-split multiply mod (2^54-33) + xorshift. The affine half-multiplies
+# alone COMPOSE TO AN AFFINE MAP (measured: bucket skew 7974..27147 per
+# 16384 expected over the full 2^20 domain); the interleaved xorshift is
+# the nonlinearity that fixes it (970..1085 after). Constants are
+# arbitrary odd pins, part of the sketch's spec.
+HLL_ROUNDS: list[tuple[int, int, int]] = [
+    (102334155, 97654321, 12345),
+    (88675123, 134775813, 424242),
+    (75327617, 123456789, 999983),
+]
+HLL_MOD = (1 << 54) - 33
+
+
+def hll_estimate_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog estimate with a PINNED hash so the ESTIMATE
+    ITSELF is oracle-checkable — native `approx_count_distinct`'s HLL++
+    registers are engine-internal and can never hash-match DuckDB.
+
+    Mechanics (m = 64 registers, p = 6):
+      t₀  = key mod 2^20
+      t   = ((t mod 2^27)·A + (t div 2^27)·B + C) mod (2^54-33),
+            t = t XOR (t >> 21)                 — ×3 rounds (HLL_ROUNDS);
+            every intermediate < 2^55, ANSI-overflow-safe
+      j   = t mod 64 (register), w = t div 64 (< 2^48)
+      rho = bit_length(w & -w) = trailing-zeros+1 (Flajolet-Martin's
+            LOWEST-set-bit rank — the mod-prime mix's LOW bits are the
+            uniform ones; leading-zero rank on its top bits measured 14%
+            biased), capped 49 at w = 0
+      register_j = MAX(rho) — idempotent under duplicates, which is WHY
+      HLL needs no DISTINCT shuffle: groupBy(group, j).max(rho) is
+      map-side combined and moves at most |groups|·64 tiny rows.
+
+    Estimator quality MEASURED against a blake2b ground-truth hash (120
+    trials per regime, n ∈ {150..2000}, sequential AND random keys):
+    this mix mean error +2..5%, std 10..13% vs blake2b +1..3%, std 12.7%
+    — both at HLL's design σ = 1.04/√64 ≈ 13% (tests/test_sketches.py
+    pins the fixture regime). The harmonic sum stays in EXACT integers
+    (Σ 2^(49-rho) ≤ 64·2^49 < 2^56), so the only float op is ONE division
+    — bit-identical in any IEEE engine. alpha is pinned to the dyadic
+    93/128 (0.7265625, 2.4% above the canonical ~0.7093 for m=64 — part
+    of this sketch's spec, not a fit); no small-range/bias correction
+    stages (they need ln(), which is libm-divergent — raw-estimator-only
+    is documented at the API).
+
+    At 100 TB: one map-combined shuffle of (group, register) pairs — the
+    sketch state per group is 64 registers regardless of row count; skew
+    is bounded by 64 rows per group key.
+    """
+    m = 64
+    cap = 49  # w < 2^48 ⇒ natural rho ≤ 48; 49 = the all-zero sentinel
+    t = F.pmod(F.col(key_col).cast("long"), F.lit(1 << 20))
+    half = F.lit(1 << 27)
+    for a_mul, b_mul, c_add in HLL_ROUNDS:
+        lo = F.pmod(t, half)
+        # (t - lo) is a multiple of 2^27: exact in double (even mantissa),
+        # so the division is an exact exponent shift — t/2^27 DIRECTLY
+        # would round for odd t ≥ 2^53 and could truncate off-by-one
+        hi = ((t - lo) / half).cast("long")
+        t = F.pmod(lo * F.lit(a_mul) + hi * F.lit(b_mul) + F.lit(c_add), F.lit(HLL_MOD))
+        t = t.bitwiseXOR(F.shiftright(t, 21))
+    j = F.pmod(t, F.lit(m))
+    w = ((t - j) / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(cap)).otherwise(
+        F.length(F.bin(w.bitwiseAND(-w)))
+    )
+    regs = (
+        df.select(F.col(group_col), j.alias("__j"), rho.alias("__rho"))
+        .groupBy(group_col, "__j")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    # empty registers contribute 2^cap (rho = 0): add them arithmetically
+    # as (m - seen_registers) · 2^cap instead of materializing a spine
+    alpha_m2_scale = float(93 * 2**54)  # (93/128)·m²·2^cap = 93·2^(5+49)
+    per_group = regs.groupBy(group_col).agg(
+        F.sum(
+            # python-side shiftleft requires a literal bit count; the SQL
+            # function form accepts a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - __r)")
+        ).alias("__sum_seen"),
+        F.count(F.lit(1)).alias("__n_seen"),
+    )
+    sum_int = F.col("__sum_seen") + (F.lit(m) - F.col("__n_seen")) * F.lit(
+        1 << cap
+    ).cast("long")
+    return per_group.select(
+        F.col(group_col),
+        sum_int.alias("register_sum"),
+        (F.lit(alpha_m2_scale) / sum_int.cast("double")).alias("hll_estimate"),
+    )
+
+
 def _hash64(value: str, seed: int) -> int:
     return int.from_bytes(
         hashlib.blake2b(

@@ -83,6 +83,10 @@ ENTRIES = [
     # islands — derives its synthetic islands from the random corpus's
     # DISTINCT user_id set, so key collisions / single-user corpora vary
     "stream_dedup_reemit_islands",
+    # r10: pinned-hash HLL registers — tiny random user sets exercise the
+    # near-empty-register regime (w = 0 sentinel, (m − seen)·2^49 spine
+    # arithmetic) the fixed corpora never reach
+    "sketch_hll_distinct_users",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -35,3 +35,54 @@ def test_bloom_prefilter_join_exact(spark, sf_dir):
     plain = o.join(c, "c_custkey").count()
     filtered = bloom_prefilter_join(o, c, "c_custkey").count()
     assert filtered == plain  # false positives removed by the join → exact
+
+
+def test_hll_error_band_across_regimes(spark):
+    """The pinned-mix HLL estimate stays inside ±3σ (σ = 1.04/√64 ≈ 13%)
+    of the true distinct count for sequential AND random key sets across
+    two decades of cardinality — the regime sweep that caught the two
+    rejected hash designs (affine-only: bucket skew; leading-zero rank on
+    mod-prime top bits: −14% systematic bias)."""
+    import random
+
+    from govgis_nov2023_slim_spatial_server_spark.operators.sketches import (
+        hll_estimate_by_group,
+    )
+
+    rng = random.Random(20260815)
+    cases = {
+        "seq150": list(range(150)),
+        "seq2000": list(range(7777, 9777)),
+        "rand500": rng.sample(range(10**6), 500),
+        "rand5000": rng.sample(range(10**6), 5000),
+    }
+    rows = [(label, k) for label, keys in cases.items() for k in keys]
+    df = spark.createDataFrame(rows, "label string, user_key long")
+    out = {
+        r["label"]: r["hll_estimate"]
+        for r in hll_estimate_by_group(df, "label", "user_key").collect()
+    }
+    for label, keys in cases.items():
+        n = len(keys)
+        err = abs(out[label] / n - 1)
+        assert err < 3 * 0.13, f"{label}: est {out[label]:.1f} vs {n} ({err:+.1%})"
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Registers are MAX-idempotent: feeding every key 50× must give the
+    bit-identical estimate of the deduplicated set."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.sketches import (
+        hll_estimate_by_group,
+    )
+
+    once = spark.createDataFrame(
+        [("g", k) for k in range(300)], "label string, user_key long"
+    )
+    dup = spark.createDataFrame(
+        [("g", k) for k in range(300) for _ in range(50)],
+        "label string, user_key long",
+    )
+    a = hll_estimate_by_group(once, "label", "user_key").collect()[0]
+    b = hll_estimate_by_group(dup, "label", "user_key").collect()[0]
+    assert a["register_sum"] == b["register_sum"]
+    assert a["hll_estimate"] == b["hll_estimate"]

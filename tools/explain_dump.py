@@ -78,7 +78,7 @@ NOTES = {
     "cdc_upsert_snapshot": "the MERGE INTO shape: ONE full-outer SortMergeJoin on the key, both scans pruned to 2 columns with the slice predicates pushed; action tag + value coalesce are map-side projections; 3-group map-combined scorecard agg.",
     "pareto_frontier_parts": "distributed skyline with NO join node and ONE Exchange total: phase-1 is exchange-free (local Sort + MapInPandas carry-state sweep — r10; the r9 cut's spark_partition_id Window shuffled the full input), phase-2 Window over the tiny survivor union behind the single Exchange; dominance witness is a running struct max.",
     "skyline_recursive_parts": "recursive skyline on a band-clustered anti-chain corpus: repartitionByRange(3, band) constructs the worst-case layout, then local prune / re-hash rounds (driver-bounded, localCheckpoint between) shrink survivors before the single-partition global Window; the AdaptiveSparkPlan shows only the final round — the mitigation loop is driver-side by design.",
-    "spatial_buffer_union_area": "square-buffer (L∞ Minkowski) as separable cell-id morphology: the shared rasterize (one WKB parse per polygon) feeds two explode(sequence(±4))+DISTINCT passes (9×+9× rows, not 81×) keyed on (nation, cell) — both partial-combined; nation broadcast at the end.",
+    "spatial_buffer_union_area": "square-buffer (L∞ Minkowski) as run-length morphology: the rasterizer emits scan-line RUNS (rows ∝ boundary, not area); x-dilation is arithmetic on run endpoints, each union is one (nation, iy)-keyed window + agg interval merge, y-dilation explodes merged SEGMENTS ±4 (9× segments, never cells); no DISTINCT anywhere — the r10 rewrite of two measured-and-rejected cell-row forms (16-24 s → 2 s at sf0.1).",
     "stream_dedup_reemit_islands": "dropDuplicatesWithinWatermark across 5 staged micro-batches (islands + watermark riders); the batch plan shown is the post-drain per-key emission count — the streaming state machine lives in the executed availableNow query.",
     "interval_union_seconds": "ONE Exchange on user_id serves both windows (running-max island break + island numbering) and both aggregates — linear, skew-bounded by the busiest user.",
     "time_weighted_avg_value": "LEAD + the final agg share the single user_id Exchange; weighted mean is exact int64 (v_e4 × dt) with one final division.",
