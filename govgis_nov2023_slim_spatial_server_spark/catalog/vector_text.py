@@ -2028,3 +2028,114 @@ def pq_adc_rank(
             F.col("__pq.adc_dist").alias("adc_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal rank fusion (hybrid retrieval, rank-level)
+# --------------------------------------------------------------------------
+
+_RRF_TERMS = ("vector", "hash", "scan")
+_RRF_K = 60
+_RRF_CAND = 64
+
+
+@query(
+    "rrf_fusion_topk",
+    f"""
+    WITH kw_top AS (
+      SELECT doc_id, score FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('vector', 'hash', 'scan'))) AS score
+        FROM documents)
+      ORDER BY score DESC, doc_id LIMIT {_RRF_CAND}),
+    kw AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS kw_rank
+      FROM kw_top),
+    vec_top AS (
+      SELECT vec_id, {_DIST_SQL} AS dist
+      FROM embeddings
+      ORDER BY {_DIST_SQL}, vec_id LIMIT {_RRF_CAND}),
+    vec AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS vec_rank
+      FROM vec_top)
+    SELECT COALESCE(kw.doc_id, vec.vec_id) AS doc_id,
+           COALESCE(kw.kw_rank, 0) AS kw_rank,
+           COALESCE(vec.vec_rank, 0) AS vec_rank,
+           COALESCE(1e0 / ({_RRF_K} + kw.kw_rank), 0e0)
+             + COALESCE(1e0 / ({_RRF_K} + vec.vec_rank), 0e0) AS rrf_score
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id
+    ORDER BY rrf_score DESC, COALESCE(kw.doc_id, vec.vec_id)
+    LIMIT 10
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion — the RANK-level hybrid-retrieval combiner
+    (Cormack et al.'s RRF, the fusion most RAG stacks run), vs
+    `flagship_hybrid_search` which fuses at the SCORE level by filtering
+    then ranking one signal. Two independent retrievers each produce a
+    bounded candidate list: lexical (integer count of query-term hits —
+    integer so candidate-set membership and ranks are exactly engine-
+    portable; BM25 swaps in where rank stability at the boundary is
+    handled, see `bm25_keyword_search`) and dense (exact cosine to the
+    probe — the sequential dot fold is bit-identical to DuckDB's
+    list_dot_product, the r1 contract that makes full orderings safe).
+    Fusion: score = Σ 1/(60 + rank_i), missing-from-a-list contributes 0.
+
+    Scale shape: each retriever is a TakeOrderedAndProject top-64 (per-
+    partition heaps — never a global sort of the corpus); ranks are then
+    row_numbered on the 64-row results (single-partition window over a
+    bounded frame by construction), and the fusion join touches at most
+    128 rows. At 100 TB the corpus-sized work stays in the two pruned
+    candidate scans — the fusion cost is O(candidates), independent of
+    corpus size. Exactness: ranks are ints, each RRF term is one
+    correctly-rounded IEEE division, and the sum is one addition of the
+    same two operands on both engines — raw doubles hash-safe.
+    """
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    terms = list(_RRF_TERMS)
+    kw_top = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda t: t.isin(terms))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_CAND)
+    )
+    kw = kw_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("kw_rank"),
+    )
+    vec_top = (
+        e.select("vec_id", _dist_col().alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(_RRF_CAND)
+    )
+    vec = vec_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
+        .alias("vec_rank"),
+    )
+    fused = kw.join(vec, kw["doc_id"] == vec["vec_id"], "full_outer")
+    doc = F.coalesce(kw["doc_id"], vec["vec_id"])
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + kw["kw_rank"]), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + vec["vec_rank"]), F.lit(0.0))
+    return (
+        fused.select(
+            doc.alias("doc_id"),
+            F.coalesce(kw["kw_rank"], F.lit(0)).alias("kw_rank"),
+            F.coalesce(vec["vec_rank"], F.lit(0)).alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

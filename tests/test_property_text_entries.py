@@ -78,6 +78,10 @@ ENTRIES = [
     # LCG shard argmin must stay injective on any doc_id set
     "length_bucket_padding",
     "epoch_shuffle_shards",
+    # r10: rank-level fusion — random corpora exercise the candidate-list
+    # boundary (all-tied integer lexical scores) and the one-sided /
+    # missing-doc full-outer arms (docs without embeddings rows)
+    "rrf_fusion_topk",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
