@@ -1018,3 +1018,178 @@ def spatial_buffer_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ST_Simplify (epsilon = 0): collinear-vertex elimination
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spatial_simplify_collinear",
+    """
+    WITH s AS (SELECT s_suppkey AS k FROM supplier),
+    steps AS (
+      SELECT k, 8 + (k % 5) * 3 AS n_steps FROM s),
+    idx AS (
+      SELECT k, n_steps, unnest(range(0, n_steps + 1)) AS i FROM steps),
+    stepv AS (
+      SELECT k, n_steps, i,
+             CASE WHEN i = 0 THEN 0
+                  ELSE (k + (i - 1) // 3) % 4 END AS dc,
+             CASE WHEN i = 0 THEN 0 ELSE 1 + (i % 2) END AS ln
+      FROM idx),
+    dirs AS (
+      SELECT k, n_steps, i,
+             CASE WHEN i = 0 THEN 0
+                  WHEN dc = 0 THEN 1 WHEN dc = 1 THEN 0
+                  WHEN dc = 2 THEN -1 ELSE 1 END * ln AS sdx,
+             CASE WHEN i = 0 THEN 0
+                  WHEN dc = 0 THEN 0 WHEN dc = 1 THEN 1
+                  WHEN dc = 2 THEN 1 ELSE -1 END * ln AS sdy
+      FROM stepv),
+    verts AS (
+      SELECT k, n_steps, i,
+             (k % 100) + SUM(sdx) OVER w AS x,
+             ((k * 3) % 100) + SUM(sdy) OVER w AS y
+      FROM dirs
+      WINDOW w AS (PARTITION BY k ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    marked AS (
+      SELECT k, n_steps, i, x, y,
+             LAG(x) OVER w AS xp, LAG(y) OVER w AS yp,
+             LEAD(x) OVER w AS xn, LEAD(y) OVER w AS yn
+      FROM verts
+      WINDOW w AS (PARTITION BY k ORDER BY i)),
+    kept AS (
+      SELECT k, n_steps, i, x, y,
+             CASE WHEN i = 0 OR i = n_steps THEN 1
+                  WHEN (x - xp) * (yn - y) - (y - yp) * (xn - x) <> 0 THEN 1
+                  WHEN (x - xp) * (xn - x) + (y - yp) * (yn - y) < 0 THEN 1
+                  ELSE 0 END AS keep
+      FROM marked)
+    SELECT k AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep = 1 THEN x * 31 + y ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM kept
+    GROUP BY k
+    """,
+)
+def spatial_simplify_collinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Simplify with tolerance 0 — collinear-vertex elimination, the
+    one simplification whose output is EXACT (no Douglas-Peucker distance
+    threshold, hence no libm): an interior vertex is redundant iff the
+    incoming and outgoing segments are parallel (integer cross product
+    = 0) AND co-directed (integer dot product > 0). The dot-product guard
+    is the correctness subtlety ST_Simplify implementations must get
+    right: a SPIKE (path reversing 180°) also has cross = 0, but removing
+    its apex rewrites the geometry — the constructed polylines hit the
+    antiparallel case whenever direction codes 2→3 are adjacent, so the
+    guard is exercised, not decorative (tests/test_geo_analytics.py pins
+    a hand-built spike).
+
+    Polylines are key-derived on the integer lattice (runs of 3 steps
+    share a direction, step lengths alternate 1/2 — so collinear runs
+    with UNEQUAL segment lengths are removed, proving the predicate is
+    geometric, not step-equality). `kept_checksum` sums x·31+y over the
+    KEPT vertices: the oracle must agree on WHICH vertices survive, not
+    merely how many. All arithmetic is int64.
+
+    Plan: one Exchange on the geometry key feeds both the prefix-sum
+    window (vertex positions) and the lag/lead window (neighbor testing)
+    — Spark plans them in a single sort pass per key. At 100 TB the work
+    is boundary-proportional (rows = vertices), skew-bounded by the
+    longest single geometry, the same contract as `_occupied_runs`.
+    """
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    )
+    n_steps = (F.lit(8) + F.pmod(F.col("k"), F.lit(5)) * F.lit(3)).alias(
+        "n_steps"
+    )
+    idx = s.select("k", n_steps).select(
+        "k",
+        "n_steps",
+        F.explode(F.sequence(F.lit(0), F.col("n_steps"))).alias("i"),
+    )
+    i = F.col("i")
+    dc = F.when(i == 0, F.lit(0)).otherwise(
+        F.pmod(F.col("k") + ((i - 1) - F.pmod(i - 1, F.lit(3))) / F.lit(3), F.lit(4))
+    )
+    ln = F.when(i == 0, F.lit(0)).otherwise(F.lit(1) + F.pmod(i, F.lit(2)))
+    ux = (
+        F.when(F.col("__dc") == 0, F.lit(1))
+        .when(F.col("__dc") == 1, F.lit(0))
+        .when(F.col("__dc") == 2, F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    uy = (
+        F.when(F.col("__dc") == 0, F.lit(0))
+        .when(F.col("__dc") == 1, F.lit(1))
+        .when(F.col("__dc") == 2, F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    stepped = idx.select(
+        "k",
+        "n_steps",
+        "i",
+        dc.cast("long").alias("__dc"),
+        ln.cast("long").alias("__ln"),
+    ).select(
+        "k",
+        "n_steps",
+        "i",
+        (F.when(i == 0, F.lit(0)).otherwise(ux) * F.col("__ln")).alias("sdx"),
+        (F.when(i == 0, F.lit(0)).otherwise(uy) * F.col("__ln")).alias("sdy"),
+    )
+    wcum = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    verts = stepped.select(
+        "k",
+        "n_steps",
+        "i",
+        (F.pmod(F.col("k"), F.lit(100)) + F.sum("sdx").over(wcum)).alias("x"),
+        (F.pmod(F.col("k") * 3, F.lit(100)) + F.sum("sdy").over(wcum)).alias("y"),
+    )
+    wn = Window.partitionBy("k").orderBy("i")
+    m = verts.select(
+        "k",
+        "n_steps",
+        "i",
+        "x",
+        "y",
+        F.lag("x").over(wn).alias("xp"),
+        F.lag("y").over(wn).alias("yp"),
+        F.lead("x").over(wn).alias("xn"),
+        F.lead("y").over(wn).alias("yn"),
+    )
+    cross = (F.col("x") - F.col("xp")) * (F.col("yn") - F.col("y")) - (
+        F.col("y") - F.col("yp")
+    ) * (F.col("xn") - F.col("x"))
+    dot = (F.col("x") - F.col("xp")) * (F.col("xn") - F.col("x")) + (
+        F.col("y") - F.col("yp")
+    ) * (F.col("yn") - F.col("y"))
+    keep = (
+        F.when((i == 0) | (i == F.col("n_steps")), F.lit(1))
+        .when(cross != 0, F.lit(1))
+        .when(dot < 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        m.withColumn("keep", keep)
+        .groupBy(F.col("k").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep") == 1, F.col("x") * 31 + F.col("y")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_checksum"),
+        )
+    )
