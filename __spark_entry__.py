@@ -23,49 +23,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r09), so insertion order
-# decides which queries get correctness rows. r10 prefix, EXACTLY as the
-# post-r9 CLAUDE.md staged it (confirmed vs the post-r9 ledger via
+# (verified key-by-key against CORRECTNESS_r01..r10), so insertion order
+# decides which queries get correctness rows. r11 prefix, EXACTLY as the
+# r10 verdict staged it (confirmed vs the post-r10 ledger via
 # `tools/proof_ledger.py --assume-next-green`): the 8 entries that have
-# never been driver-graded (all landed post-freeze in r9), then the 4
-# entries whose CODE changed in r9 (spatial_point_filter +
-# spatial_grid_density: the `_spatial_layers` MaterializedStoreCache
-# swap; agg_distinct_stats + scalar_subquery_above_avg: the exact-cents
-# tie fixes), then the 11 r5-proven re-proof leftovers (after a green
-# r10 no proof predates r6), then the FIRST 27 of the r6-proven queue
-# in ledger order. The queue's remaining 19 r6 entries
-# (ab_test_two_proportions … markov_transition_matrix, incl.
-# stream_late_data_drop) head the r11 queue. Code changed in r10 jumps
-# this queue as always.
+# never been driver-graded (all landed post-freeze in r10), then the 6
+# entries whose materialized-store PLAN changed in r10 (the row-sized
+# `store_width` repartition in catalog/_store_cache.py affects every
+# store consumer; only three consumers were in the r10 prefix — these
+# six last graded on the old width), then all 18 remaining r6-proven
+# entries (retiring r6 from the staleness histogram), then the FIRST 18
+# of the r7-proven queue in ledger order (incl. its 3 rows-only-by-design
+# members: knn_lsh_approx, knn_ivf_approx, simhash_neardup — each has a
+# driver-green exact mechanism twin). The r7 queue's remaining 27
+# entries (stats_corr_regression … q12_priority_by_year) head the r12
+# queue. Code changed in r11 jumps this queue as always.
 _DRIVER_PRIORITY = [
-    # never driver-graded (landed post-freeze in r9)
-    "pq_adc_topk", "spatial_linestring_length", "spatial_union_area",
-    "pareto_frontier_parts", "stream_cdc_apply",
-    "stream_left_outer_join", "interval_union_seconds",
-    "time_weighted_avg_value",
-    # code changed in r9 (jump the queue per the rotation rule)
-    "spatial_point_filter", "spatial_grid_density",
-    "agg_distinct_stats", "scalar_subquery_above_avg",
-    # staleness re-proof: the 11 r5-proven leftovers
-    "skewed_agg_salted", "bucketed_join_revenue",
-    "sketch_bloom_join_counts", "sketch_cms_priority_counts",
-    "spatial_join_overlap", "spatial_join_blocked",
-    "reproject_mercator", "html_to_markdown",
-    "multimodal_byte_stats", "multimodal_resize",
-    "multimodal_frame_sample",
-    # staleness re-proof: first 27 of the r6-proven queue (oldest first)
-    "ann_recall_at_10", "lsh_bucket_balance", "ivf_recall_at_10",
-    "retrieval_ndcg_labels", "ivf_cell_balance", "zipf_slope_unigrams",
-    "zscore_norms_by_label", "pagerank_one_iter",
-    "roc_auc_purchase_vs_view", "calibration_bins_decile",
-    "user_behavior_entropy", "assoc_rules_event_pairs",
-    "chi2_type_by_arm", "activity_islands_daily", "vocab_kl_train_val",
-    "cooccurrence_pmi_topk", "phrase_merge_apply",
-    "pca_power_iteration", "ngram_containment_topk",
-    "matryoshka_rerank_16", "hard_negative_mining",
-    "parallel_moments_merge", "mixture_temperature_schedule",
-    "udtf_trigram_counts", "graph_triangle_count",
-    "incremental_dedup_merge", "dp_noisy_type_counts",
+    # never driver-graded (landed post-freeze in r10)
+    "rrf_fusion_topk", "spatial_buffer_union_area",
+    "spatial_simplify_collinear", "length_bucket_padding",
+    "epoch_shuffle_shards", "skyline_recursive_parts",
+    "sketch_hll_distinct_users", "stream_dedup_reemit_islands",
+    # code changed in r10 (store_width consumers; jump the queue)
+    "spatial_join_exact", "spatial_area_centroid",
+    "spatial_tile_quadkey", "spatial_dwithin_haversine",
+    "spatial_points_in_polygons", "spatial_dissolve_extent",
+    # staleness re-proof: ALL 18 remaining r6-proven (r6 retires)
+    "ab_test_two_proportions", "repetition_filter",
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    "q6_revenue_forecast", "try_funcs_dirty_data",
+    "target_encoding_smoothed", "psi_split_drift",
+    "stream_late_data_drop", "ewma_value_by_user",
+    "attribution_last_touch", "scd2_intervals_user_type",
+    "wilson_ctr_bound", "user_event_sequences",
+    "udaf_cents_total_by_type", "recursive_cte_chain_totals",
+    "variant_props_stats", "markov_transition_matrix",
+    # staleness re-proof: first 18 of the r7-proven queue (oldest first)
+    "knn_lsh_approx", "knn_ivf_approx", "vector_stats_by_label",
+    "simhash_neardup", "fuzzy_match_levenshtein", "bm25_keyword_search",
+    "doc_length_outliers", "domain_mixture_weights",
+    "grouping_sets_status_priority", "pivot_status_priority",
+    "full_outer_join_counts", "percentiles_by_status",
+    "distinct_multi_agg_orders", "map_funcs_events",
+    "collection_funcs_lineitem", "min_cost_supplier_per_nation",
+    "unpivot_lineitem_measures", "argmax_order_per_status",
 ]
 
 
