@@ -43,11 +43,23 @@ def store_width(spark: SparkSession, n_rows: int, rows_per_task: int = 1024,
 
 
 class MaterializedStoreCache:
-    """LRU cache of materialized stores, session-lifetime aware."""
+    """LRU cache of materialized stores, session-lifetime aware.
+
+    Eager release: ``df.rdd.unpersist`` does NOT free a localCheckpoint —
+    ``df.rdd`` wraps the internal checkpointed RDD in a NEW derived RDD,
+    so unpersisting it never touches the persisted blocks (verified
+    empirically against ``sc.getPersistentRDDs``, r10 ADVICE). Instead
+    the cache diffs the JVM's persistent-RDD map around ``build()`` and
+    stores the JavaRDD handles that appeared; eviction unpersists those
+    handles directly, which drops the BlockManager entries now rather
+    than at some future GC + ContextCleaner cycle."""
 
     def __init__(self, maxsize: int = 4) -> None:
         self._maxsize = maxsize
-        self._data: OrderedDict[tuple[int, str], DataFrame] = OrderedDict()
+        # key -> (df, [JavaRDD handles persisted during build])
+        self._data: OrderedDict[tuple[int, str], tuple[DataFrame, list]] = (
+            OrderedDict()
+        )
         self._finalized: set[int] = set()
 
     def get_or_build(
@@ -57,31 +69,51 @@ class MaterializedStoreCache:
         hit = self._data.get(key)
         if hit is not None:
             self._data.move_to_end(key)
-            return hit
+            return hit[0]
+        before = self._persistent_ids(spark)
         df = build()
+        handles = self._new_persistent_handles(spark, before)
         sid = id(spark)
         if sid not in self._finalized:
             self._finalized.add(sid)
             weakref.finalize(spark, self._evict_session, sid)
-        self._data[key] = df
+        self._data[key] = (df, handles)
         while len(self._data) > self._maxsize:
-            _, old = self._data.popitem(last=False)
-            self._release(old)
+            _, (_, old_handles) = self._data.popitem(last=False)
+            self._release(old_handles)
         return df
 
     @staticmethod
-    def _release(df: DataFrame) -> None:
-        """Best-effort EAGER release of an evicted store's checkpoint
-        blocks. Dropping the Python reference alone frees them only
-        lazily (py4j finalization + ContextCleaner), so a harness
-        iterating many sf_dirs could hold several evicted stores' blocks
-        until GC runs; unpersisting the checkpointed RDD drops its
-        BlockManager entries now. Failures (dead session, already
-        released) are swallowed — eviction must never raise."""
+    def _persistent_ids(spark: SparkSession) -> set[int]:
         try:
-            df.rdd.unpersist(False)
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
         except Exception:
-            pass
+            return set()
+
+    @staticmethod
+    def _new_persistent_handles(spark: SparkSession, before: set[int]) -> list:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return [
+                jmap.get(k)
+                for k in jmap.keySet().toArray()
+                if int(k) not in before
+            ]
+        except Exception:
+            return []
+
+    @staticmethod
+    def _release(handles: list) -> None:
+        """EAGER release of an evicted store's checkpoint blocks via the
+        JavaRDD handles captured at build time (see class docstring).
+        Failures (dead session, already released) are swallowed —
+        eviction must never raise."""
+        for h in handles:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
 
     def _evict_session(self, sid: int) -> None:
         # Session is being GC'd — its JVM side may be gone, so only drop

@@ -778,7 +778,7 @@ def _occupied_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 padded[:, 1:-1] = mask
                 d = np.diff(padded, axis=1)
                 rs, cs = np.nonzero(d == 1)
-                re_, ce = np.nonzero(d == -1)
+                _, ce = np.nonzero(d == -1)
                 # starts and ends pair up in order within each row
                 nks.append(np.full(len(rs), nk, dtype=np.int64))
                 iys.append(iy0 + rs.astype(np.int64))

@@ -740,19 +740,28 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined 64-group aggregate here; the production form writes
     shard-partitioned files sorted by rank (the same two columns). A new
     epoch is a new (a, b) pair. arg-min ties cannot occur: the rank map
-    is injective below 1000003 and doc_id < 1000003 here (guarded)."""
+    is injective below 1000003 and doc_id < 1000003 here (guarded
+    IN-PLAN: the rank expression evaluates only after an assert_true on
+    the id bound, so the whole entry is one job — no separate driver-side
+    max(doc_id) scan)."""
     from ..functions.text import token_count
 
     d = _t(spark, sf_dir, "documents")
     # injectivity of doc_id -> rank needs doc_id < modulus; the corpus
-    # ships ids ≤ 5e3 — fail loudly if that ever changes
-    mx = d.agg(F.max("doc_id")).first()[0]
-    if mx is not None and mx >= 1_000_003:
-        raise AssertionError(f"doc_id {mx} >= LCG modulus; pick a larger prime")
+    # ships ids ≤ 5e3 — fail loudly per-row if that ever changes.
+    # assert_true returns NULL on success, so the WHEN wrapper threads the
+    # guard through the rank computation and Catalyst cannot prune it.
+    guarded_id = F.when(
+        F.assert_true(
+            F.col("doc_id") < F.lit(1_000_003),
+            F.lit("doc_id >= LCG modulus 1000003; pick a larger prime"),
+        ).isNull(),
+        F.col("doc_id"),
+    )
     t = d.select(
         "doc_id",
         token_count("text").alias("toks"),
-        ((F.lit(48271) * F.col("doc_id") + F.lit(12345)) % 1_000_003).alias("rank"),
+        ((F.lit(48271) * guarded_id + F.lit(12345)) % 1_000_003).alias("rank"),
     )
     return (
         t.groupBy((F.col("rank") % 64).cast("long").alias("shard_id"))

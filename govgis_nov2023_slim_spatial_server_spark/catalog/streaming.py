@@ -150,6 +150,7 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH row survives per key is arrival-order-dependent, so the entry
     emits only the key columns; the surviving KEY SET is deterministic and
     equals batch SELECT DISTINCT."""
+    import shutil
     import tempfile
 
     from ..streaming.facade import streaming_dedup
@@ -158,15 +159,21 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(ev, ["user_id", "event_type"], watermark="48 hours")
     _SINK_SEQ[0] += 1
     name = f"__stream_dedup_{_SINK_SEQ[0]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # memory-sink rows live on the driver; the checkpoint is dead
+        # weight once the availableNow drain terminates
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -190,6 +197,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     Sums accumulate exact integer cents (events.value is 2-decimal data),
     making the total independent of batching order; the oracle applies the
     identical per-value floor."""
+    import shutil
     import tempfile
 
     from ..streaming.facade import read_events_stream
@@ -197,23 +205,30 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev_batch = _t(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="sstate_src_")
-    ev_batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    ckpt = tempfile.mkdtemp(prefix="sstate_ckpt_")
+    try:
+        ev_batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
 
-    stream = read_events_stream(
-        spark, src_dir, ev_batch.schema, max_files_per_trigger=1
-    )
-    out = running_totals_per_user(stream)
-    _SINK_SEQ[0] += 1
-    name = f"__stream_state_{_SINK_SEQ[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sstate_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
+        stream = read_events_stream(
+            spark, src_dir, ev_batch.schema, max_files_per_trigger=1
+        )
+        out = running_totals_per_user(stream)
+        _SINK_SEQ[0] += 1
+        name = f"__stream_state_{_SINK_SEQ[0]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # memory-sink rows live on the driver; staged source files and the
+        # checkpoint are dead weight once the availableNow drain terminates
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     # update mode re-emits a key's row each batch it changes; n_events is
     # strictly increasing per key, so max_by picks the final state
     return (
@@ -993,7 +1008,7 @@ def stream_dedup_reemit_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sreemit_ckpt_"))
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
             .start()
         )
         q.awaitTermination()

@@ -280,3 +280,20 @@ def test_materialized_store_cache_bounds_and_session_eviction(spark):
     # session-finalizer eviction: simulate the session being GC'd
     cache._evict_session(id(spark))
     assert len(cache) == 0
+
+    # eager checkpoint release: evicting a localCheckpointed store must
+    # drop its persisted blocks NOW (df.rdd.unpersist was a silent no-op
+    # — it unpersists a derived RDD, not the checkpointed one; r10 ADVICE)
+    def n_persistent():
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    cache2 = MaterializedStoreCache(maxsize=1)
+    base = n_persistent()
+    cache2.get_or_build(
+        spark, "ck_a", lambda: spark.range(50).localCheckpoint(eager=True)
+    )
+    assert n_persistent() == base + 1
+    cache2.get_or_build(  # evicts ck_a; its blocks must free eagerly
+        spark, "ck_b", lambda: spark.range(50).localCheckpoint(eager=True)
+    )
+    assert n_persistent() == base + 1

@@ -239,3 +239,27 @@ def test_profile_columns_single_scan(spark):
     # one scan: exactly one aggregate over the source, no union of scans
     plan = profile_columns(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("union") == 0
+
+
+def test_epoch_shuffle_guard_fires_in_plan(spark, tmp_path):
+    """epoch_shuffle_shards id-bound guard (r11): the LCG rank is only
+    injective for doc_id < 1000003, and the guard is an in-plan
+    assert_true threaded through the rank expression — ONE job, no
+    driver-side pre-scan. An out-of-range id must fail the job."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 1_000_003],
+            "text": ["a b", "b", "a"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 1, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    with pytest.raises(PySparkException, match="LCG modulus"):
+        QUERIES["epoch_shuffle_shards"](spark, str(tmp_path)).collect()

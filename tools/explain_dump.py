@@ -14,7 +14,6 @@ NOTES = {
     "flagship_hybrid_search": "documents scan prunes to (doc_id, lang); lang filter pushed; broadcast join; TakeOrderedAndProject top-k.",
     "knn_topk": "single column-pruned scan + codegen distance + per-partition top-k heap (no global sort, no shuffle).",
     "similarity_join_topk": "probes broadcast; distance map-side; one windowed shuffle on probe_id for per-probe top-k.",
-    "q1_pricing_summary": "shipdate filter pushed to scan; two-level HashAggregate (map-side partials).",
     "q3_top_revenue_orders": "segment filter pushed; broadcast joins; TakeOrderedAndProject.",
     "q5_nation_revenue": "star join: every dim broadcast, zero sort-merge joins.",
     "tumbling_window_1h": "window bucketing is map-side projection; one hash-agg shuffle.",
@@ -84,6 +83,11 @@ NOTES = {
     "time_weighted_avg_value": "LEAD + the final agg share the single user_id Exchange; weighted mean is exact int64 (v_e4 × dt) with one final division.",
     "spatial_linestring_length": "map-only: supplier scan → encode UDF → decode ArrowEval (parse + sequential sqrt fold) — no Exchange anywhere.",
     "pq_adc_topk": "PQ: encode is 4 LEAST-over-8-struct argmins of sequential folds bound via one _let (no re-inlining); ADC is 4 literal-array lookups; NO join; TakeOrderedAndProject top-10 on the single embeddings scan.",
+    "rrf_fusion_topk": "both retrievers end in TakeOrderedAndProject top-64 (per-partition heaps — corpus never globally sorts); rank windows run over ≤64 rows each; the fusion full-outer join carries ≤128 rows, corpus-size-independent.",
+    "sketch_hll_distinct_users": "MAX-idempotent registers: one map-combined HashAggregate to 64 MAX registers per group (the only Exchange carries 64 longs per group, not rows); the estimate is an exact integer fold (Σ 2^(49−ρ) < 2^56) plus one final division.",
+    "length_bucket_padding": "bucket caps are an integer comparison CASE chain inside the scan project (no libm at power-of-two boundaries); ONE map-combined HashAggregate on a 6-value key — a single pass at any scale.",
+    "epoch_shuffle_shards": "rank = injective LCG over doc_id as a codegen projection (assert_true id-bound guard rides inside the rank expression — one job, no driver-side pre-scan); ONE map-combined 64-group aggregate; the production form writes shard-partitioned files sorted by the same rank column.",
+    "spatial_simplify_collinear": "map-only: scan → WKB parse + collinear-vertex elimination in ONE ArrowEval → project; no Exchange anywhere — vertex reduction is embarrassingly parallel.",
 }
 
 
