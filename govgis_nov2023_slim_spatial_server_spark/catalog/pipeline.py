@@ -471,6 +471,74 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pps_systematic_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t),
+    tot AS (SELECT MAX(cum) AS wtot FROM c),
+    pts AS (SELECT ((2 * g.j + 1) * tot.wtot) // 20 AS p
+            FROM generate_series(0, 9) AS g(j), tot)
+    SELECT c.doc_id AS doc_id, CAST(c.w AS BIGINT) AS w,
+           COUNT(*) AS n_picks
+    FROM c, pts
+    WHERE pts.p >= c.cum - c.w AND pts.p < c.cum
+    GROUP BY 1, 2
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SYSTEMATIC PPS SAMPLING (probability proportional to
+    size): lay the corpus out on the cumulative token-weight axis in
+    doc_id order and pick the k=10 midpoint positions p_j =
+    ⌊(2j+1)·W/2k⌋ — each document is hit with probability w/W per draw,
+    heavy documents can be hit multiple times (n_picks ≥ 2 ⇔ w > W/k),
+    and the ENTIRE selection is exact int64 arithmetic: no RNG (stable
+    across engines, partitionings, and task retries) and none of the
+    libm pow/ln the A-ES u^(1/w) reservoir key needs, whose
+    data-dependent last-ulp ties are exactly the cross-engine divergence
+    class this catalog's conventions forbid. The oracle proves the
+    SAMPLE MULTISET, not just its size.
+
+    Plan shape: the global cumulative sum is the test-scale form (one
+    unpartitioned window — same documented swap as
+    quality_curriculum_buckets); at 100 TB the offsets come from the
+    classic two-phase split: range-partition by doc_id, one tiny
+    per-partition SUM(w) aggregate, prefix-sum the P partials on the
+    driver, broadcast-join the offsets back — partials ≪ data, so the
+    cumsum costs one range exchange plus a P-row broadcast. The k pick
+    positions are a 10-row broadcast nested-loop probe either way."""
+    from ..functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "doc_id", token_count("text").cast("long").alias("w")
+    ).withColumn("cum", F.sum("w").over(w))
+    tot = c.agg(F.max("cum").alias("wtot"))
+    pts = (
+        spark.range(10)
+        .withColumnRenamed("id", "j")
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr("((2 * j + 1) * wtot) DIV 20").alias("p"))
+    )
+    return (
+        c.join(
+            F.broadcast(pts),
+            (F.col("p") >= F.col("cum") - F.col("w")) & (F.col("p") < F.col("cum")),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_picks"))
+    )
+
+
+@query(
     "bpe_pair_counts",
     r"""
     WITH w AS (

@@ -82,6 +82,9 @@ ENTRIES = [
     # boundary (all-tied integer lexical scores) and the one-sided /
     # missing-doc full-outer arms (docs without embeddings rows)
     "rrf_fusion_topk",
+    # r11: systematic PPS — tiny corpora force multi-picks (w > W/k) and
+    # the pick-on-interval-boundary cases; all-int64, no rounding anywhere
+    "pps_systematic_sample",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
