@@ -92,6 +92,16 @@ def wkb_multilinestring(lines: list[list[tuple[float, float]]]) -> bytes:
     return b"".join(out)
 
 
+def wkb_multipolygon(polys: list[list[list[tuple[float, float]]]]) -> bytes:
+    """Encode a list of polygons (each a [shell, *holes] ring list) as
+    little-endian WKB MULTIPOLYGON — the output side of the codec
+    (operators/dissolve.py emits dissolved union geometry through it)."""
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
 def _read_header(buf: memoryview, off: int) -> tuple[str, int, int]:
     """Return (endianness char, base geometry type, new offset)."""
     if off >= len(buf):  # buf[off] would raise IndexError, which the

@@ -93,6 +93,10 @@ ENTRIES = [
     # cell-id dilation over the same rasterize; random overlaps test
     # that dilated neighborhoods merge exactly once
     "spatial_buffer_union_area",
+    # r11: dissolved union GEOMETRY — the graded scorecard (cell count,
+    # extent) is derived from the RECONSTRUCTED rings' shoelace, so any
+    # chaining/hole error on random overlapping stores fails the hash
+    "spatial_union_rings",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

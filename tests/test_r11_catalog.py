@@ -43,6 +43,157 @@ def test_pps_systematic_sample_invariants_and_multipick(spark, tmp_path):
     assert again == got
 
 
+def test_runs_to_rings_fixtures():
+    """Ring reconstruction on hand-built cell sets: single cell, donut
+    (hole ring), disjoint islands, L-shape corner compression, shell AND
+    hole checkerboard pinches (both must split into SIMPLE rings), and
+    an island nested inside a hole."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        _shoelace2,
+        runs_to_rings,
+    )
+
+    def simple(r):
+        return len(set(r[:-1])) == len(r) - 1
+
+    p, n, ext = runs_to_rings([(0, 0, 0)])
+    assert n == 1 and len(p) == 1 and len(p[0][0]) - 1 == 4
+    assert ext == (0, 0, 1, 1)
+
+    p, n, _ = runs_to_rings([(0, 0, 2), (1, 0, 0), (1, 2, 2), (2, 0, 2)])
+    assert n == 8 and len(p) == 1 and len(p[0]) == 2  # donut: shell + hole
+    assert _shoelace2(p[0][0]) == 18 and _shoelace2(p[0][1]) == -2
+
+    p, n, _ = runs_to_rings([(0, 0, 0), (0, 5, 6)])
+    assert n == 3 and len(p) == 2  # disjoint islands
+
+    p, n, _ = runs_to_rings([(0, 0, 1), (1, 0, 0)])
+    assert n == 3 and len(p[0][0]) - 1 == 6  # L-shape: 6 corners kept
+
+    # SHELL pinch: two covered cells touching diagonally → 2 simple rings
+    p, n, _ = runs_to_rings([(0, 0, 0), (1, 1, 1)])
+    assert n == 2 and len(p) == 2
+    assert all(simple(r) for poly in p for r in poly)
+
+    # HOLE pinch: two uncovered cells touching diagonally inside a block
+    # → shell + 2 SIMPLE holes (the figure-eight repair path)
+    p, n, _ = runs_to_rings(
+        [(0, 0, 3), (1, 0, 0), (1, 2, 3), (2, 0, 1), (2, 3, 3), (3, 0, 3)]
+    )
+    assert n == 14 and len(p) == 1 and len(p[0]) == 3
+    assert all(simple(r) for poly in p for r in poly)
+    assert sorted(_shoelace2(r) for r in p[0]) == [-2, -2, 32]
+
+    # nesting: 5x5 shell, 3x3 hole, 1x1 island inside the hole
+    runs = [(0, 0, 4), (1, 0, 0), (1, 4, 4), (2, 0, 0), (2, 2, 2), (2, 4, 4),
+            (3, 0, 0), (3, 4, 4), (4, 0, 4)]
+    p, n, _ = runs_to_rings(runs)
+    assert n == 17 and len(p) == 2
+    assert sorted(len(poly) for poly in p) == [1, 2]  # hole on the big shell
+
+
+def test_runs_to_rings_random_membership_exact():
+    """300 random cell sets: the emitted MULTIPOLYGON's even-odd
+    membership is bit-identical to the input set at EVERY cell center
+    (incl. a one-cell margin outside), all rings are simple, and the
+    shoelace area over the parsed WKB equals the cell count exactly."""
+    import random
+
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        parse_wkb_polygons,
+        points_in_polys,
+        polygons_area_centroid,
+        wkb_multipolygon,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        runs_to_rings,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(300):
+        w_, h_ = rng.randint(1, 9), rng.randint(1, 9)
+        dens = rng.choice([0.25, 0.5, 0.75])
+        cells = {
+            (x, y)
+            for x in range(w_)
+            for y in range(h_)
+            if rng.random() < dens
+        }
+        if not cells:
+            continue
+        runs = []
+        for y in sorted({c[1] for c in cells}):
+            xs = sorted(x for x, yy in cells if yy == y)
+            s = prev = xs[0]
+            for x in xs[1:]:
+                if x == prev + 1:
+                    prev = x
+                else:
+                    runs.append((y, s, prev))
+                    s = prev = x
+            runs.append((y, s, prev))
+        polys, n, _ = runs_to_rings(runs)
+        assert n == len(cells), trial
+        for poly in polys:
+            for r in poly:
+                assert len(set(r[:-1])) == len(r) - 1, (trial, r)
+        wkb = wkb_multipolygon(
+            [[[(float(x), float(y)) for x, y in r] for r in poly] for poly in polys]
+        )
+        parsed = parse_wkb_polygons(wkb)
+        gx, gy = np.meshgrid(
+            np.arange(-1, w_ + 1) + 0.5, np.arange(-1, h_ + 1) + 0.5
+        )
+        mask = points_in_polys(parsed, gx.ravel(), gy.ravel())
+        want = np.array(
+            [
+                (int(px - 0.5), int(py - 0.5)) in cells
+                for px, py in zip(gx.ravel(), gy.ravel())
+            ]
+        )
+        assert (mask == want).all(), trial
+        area, _, _ = polygons_area_centroid(parsed)
+        assert area == float(len(cells)), trial
+
+
+def test_union_rings_store_integration(spark):
+    """On the real sf0.001 polygon store: every nation's emitted WKB
+    parses, holes exist (donut polygons live in the store), and the
+    ring-shoelace cell count per nation equals the independent
+    DISTINCT-occupied-cell count from `_occupied_cells`."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        _occupied_cells,
+        _occupied_runs,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        parse_wkb_polygons,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        union_rings_by_key,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    geo = union_rings_by_key(_occupied_runs(spark, sf)).collect()
+    want = {
+        r["c_nationkey"]: r["n"]
+        for r in _occupied_cells(spark, sf)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(geo) == len(want)
+    saw_hole = False
+    for row in geo:
+        assert row["n_cells"] == want[row["c_nationkey"]]
+        polys = parse_wkb_polygons(bytes(row["geom_wkb"]))
+        assert len(polys) == row["n_polys"]
+        assert sum(len(p) for p in polys) == row["n_rings"]
+        saw_hole = saw_hole or any(len(p) > 1 for p in polys)
+    assert saw_hole  # donut stores must survive dissolve as holes
+
+
 def test_pps_systematic_sample_plan_broadcasts_points(spark, tmp_path):
     """The k-point probe side must broadcast — the corpus side never
     shuffles for the pick join (only the documented test-scale global
