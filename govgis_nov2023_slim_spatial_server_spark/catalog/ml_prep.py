@@ -458,6 +458,120 @@ def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "substring_dup_chains",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+               || toks[i+3] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+            FROM t WHERE len(toks) >= 4)),
+    keep AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) <= {_SHINGLE_DF_CAP}),
+    kept AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM kept a JOIN kept b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM pr),
+    chains AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run
+      FROM isl GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b,
+           CAST(MAX(run) + 3 AS BIGINT) AS longest_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(SUM(run) AS BIGINT) AS shared_grams
+    FROM chains GROUP BY doc_a, doc_b
+    ORDER BY longest_tokens DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def substring_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication (the Lee-et-al exact-substring gap the
+    set-based dedup family has): set measures (Jaccard, containment,
+    MinHash) cannot distinguish a 60-token verbatim PASSAGE shared
+    between two documents from 60 scattered shared shingles — substring
+    dedup is what catches boilerplate, licence blocks, and copypasta.
+    The suffix-array-free distributed formulation: positional 4-grams →
+    inverted-index self-join → per-pair DIAGONAL (pos_a − pos_b)
+    chaining. A run of K consecutive shared grams on one diagonal IS a
+    shared token substring of exactly K+3 tokens, so `longest_tokens` is
+    the EXACT longest common token-substring for any match ≥ 4 tokens
+    (shorter ones are below the resolution floor by construction — the
+    documented n−1 blind spot every n-gram method has).
+
+    All arithmetic is integer: positions, diagonals, the gaps-and-islands
+    grp = pos − row_number() trick, run counts — nothing rounds. Spark
+    joins on the gram's xxhash64 (8-byte Exchange key, same convention
+    as ngram_containment_topk); the oracle joins the gram strings.
+
+    100 TB shape: the stop-gram df cap (`_SHINGLE_DF_CAP`, COUNT
+    DISTINCT docs) bounds every gram's pair fan-out at cap² before the
+    self-join — the same lever SCALING run 5 measured on containment —
+    and the chain windows partition by (pair, diagonal), so skew is
+    bounded by the longest single alignment, not the corpus. Candidate
+    pairs are exactly the gram-sharing pairs (inverted index, never
+    all-pairs); 50-row TakeOrderedAndProject output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        ensure_min_partitions(d)
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 4)
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 3),"
+                " i -> concat_ws(' ', slice(toks, i, 4)))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
+        F.xxhash64("gram").alias("sh"),
+    )
+    hot = (
+        grams.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    kept = grams.join(F.broadcast(hot), "sh", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sh")
+    pr = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    chains = (
+        pr.withColumn("grp", F.col("pa") - F.row_number().over(wi))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        chains.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + 3).cast("long").alias("longest_tokens"),
+            F.count(F.lit(1)).alias("n_chains"),
+            F.sum("run").cast("long").alias("shared_grams"),
+        )
+        .orderBy(F.desc("longest_tokens"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Matryoshka (truncated-dimension) retrieval funnel
 # --------------------------------------------------------------------------

@@ -85,6 +85,10 @@ ENTRIES = [
     # r11: systematic PPS — tiny corpora force multi-picks (w > W/k) and
     # the pick-on-interval-boundary cases; all-int64, no rounding anywhere
     "pps_systematic_sample",
+    # r11: substring chains — the tiny repeated vocab ('a b a b', words
+    # that repeat within one doc) forces multi-occurrence grams, hence
+    # many diagonals per pair and chains that merge/split adversarially
+    "substring_dup_chains",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]

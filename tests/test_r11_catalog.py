@@ -194,6 +194,34 @@ def test_union_rings_store_integration(spark):
     assert saw_hole  # donut stores must survive dissolve as holes
 
 
+def test_substring_dup_chains_exact_passage_length(spark, tmp_path):
+    """Diagonal chaining recovers the EXACT longest shared token
+    substring: docs 1/2 share a verbatim 9-token passage (at different
+    offsets), docs 1/3 share only a 3-token run (below the 4-gram
+    resolution floor → no pair emitted), and doc 4 repeats the passage
+    twice so the (1,4) pair must chain on TWO diagonals."""
+    passage = "p q r s t u v w x"
+    _write_docs(
+        [
+            (1, f"a b c {passage} d e"),
+            (2, f"zz yy {passage} kk"),
+            (3, "p q r mm nn oo pp qq rr ss tt uu"),
+            (4, f"{passage} mid1 mid2 {passage}"),
+        ],
+        tmp_path,
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["substring_dup_chains"](spark, str(tmp_path)).collect()
+    }
+    assert rows[(1, 2)]["longest_tokens"] == 9  # exactly the passage
+    assert rows[(1, 2)]["n_chains"] == 1 and rows[(1, 2)]["shared_grams"] == 6
+    assert (1, 3) not in rows  # 3-token overlap is below the n−1 floor
+    assert rows[(1, 4)]["longest_tokens"] == 9
+    assert rows[(1, 4)]["n_chains"] == 2  # two alignments, two diagonals
+    assert rows[(2, 4)]["longest_tokens"] == 9
+
+
 def test_pps_systematic_sample_plan_broadcasts_points(spark, tmp_path):
     """The k-point probe side must broadcast — the corpus side never
     shuffles for the pick join (only the documented test-scale global
