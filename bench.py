@@ -75,6 +75,12 @@ HEADLINE = CORE_SET + [
     # windows — the geo layer's heaviest window consumer after union_area)
     "skyline_recursive_parts",
     "spatial_buffer_union_area",
+    # r11 additions: the dissolve-key ring reconstruction (raster front +
+    # grouped-map python chaining — the geometry-producing path) and the
+    # positional-gram diagonal chains (the dedup family's widest
+    # self-join after containment)
+    "spatial_union_rings",
+    "substring_dup_chains",
 ]
 
 

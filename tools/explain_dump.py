@@ -88,6 +88,9 @@ NOTES = {
     "length_bucket_padding": "bucket caps are an integer comparison CASE chain inside the scan project (no libm at power-of-two boundaries); ONE map-combined HashAggregate on a 6-value key — a single pass at any scale.",
     "epoch_shuffle_shards": "rank = injective LCG over doc_id as a codegen projection (assert_true id-bound guard rides inside the rank expression — one job, no driver-side pre-scan); ONE map-combined 64-group aggregate; the production form writes shard-partitioned files sorted by the same rank column.",
     "spatial_simplify_collinear": "map-only: scan → WKB parse + collinear-vertex elimination in ONE ArrowEval → project; no Exchange anywhere — vertex reduction is embarrassingly parallel.",
+    "pps_systematic_sample": "the k=10 pick positions are a broadcast probe (corpus never shuffles for the pick join); the global cumsum window is the documented test-scale form — at 100 TB the offsets come from a P-row partial-sum broadcast (two-phase prefix sum).",
+    "spatial_union_rings": "rasterize to boundary-proportional runs (mapInPandas) → ONE Exchange on the dissolve key (FlatMapGroupsInPandas ring reconstruction) → 25-row broadcast nation join; the graded scorecard is derived from the reconstructed rings' integer shoelace.",
+    "substring_dup_chains": "positional 4-grams join on the 8-byte xxhash64 key after the stop-gram df-cap anti-join (fan-out ≤ cap² per gram); diagonal chain windows partition by (pair, diagonal); 50-row TakeOrderedAndProject.",
 }
 
 

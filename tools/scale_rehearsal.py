@@ -101,6 +101,16 @@ QUERIES_UNDER_TEST = {
     # the lattice, so density (and genuine cross-replica overlap, since
     # x0/y0 modulos recur every 80 keys) grows N×
     "spatial_union_area": (["customer", "nation"], "docs"),
+    # r11: dissolved ring reconstruction — same raster front as
+    # union_area, then ONE dissolve-key Exchange + per-nation python ring
+    # chaining whose state is boundary-proportional (denser key-shifted
+    # stores merge more, so runs grow SUB-linearly vs cells)
+    "spatial_union_rings": (["customer", "nation"], "docs"),
+    # r11: substring chains — per-replica word suffixes keep cross-replica
+    # grams distinct, so candidate pairs grow ~N× (within-replica only);
+    # under --hot-shingle the unsuffixed preamble's grams exceed the df
+    # cap at N× and are dropped before the self-join (the cap's regime)
+    "substring_dup_chains": (["documents"], "docs"),
 }
 
 
