@@ -1081,16 +1081,19 @@ def spatial_union_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one dyadic multiply per output (2⁻⁸ area, 2⁻⁴ coordinates).
 
     Plan: rasterize to runs (one mapInPandas pass, rows ∝ boundary) →
-    ONE Exchange on the dissolve key (groupBy nation applyInPandas) →
-    25-row broadcast nation join. Per-group state is boundary-
-    proportional; at 100 TB the engine-side interval pre-merge (the
-    buffer entry's window form) halves the Python-side bytes before
-    grouping, and a key whose single output geometry exceeds task memory
-    needs hierarchical tile-dissolve + seam stitching — the documented
-    floor, since the output geometry itself is the irreducible size."""
-    from ..operators.dissolve import union_rings_by_key
+    engine-side interval PRE-MERGE per (nation, scan-line) — thousands
+    of partitionable keys, so the merge parallelizes where the dissolve
+    key (25 nations) cannot — → Exchange on the dissolve key (groupBy
+    nation applyInPandas) now carrying only the UNION's runs, not every
+    polygon's → 25-row broadcast nation join. Measured at the 20×
+    rehearsal (SCALING run 13): without the pre-merge the dissolve-key
+    shuffle moved all ~9 M overlapping raw runs into 25 reducers. A key
+    whose single output geometry exceeds task memory needs hierarchical
+    tile-dissolve + seam stitching — the documented floor, since the
+    output geometry itself is the irreducible size."""
+    from ..operators.dissolve import merge_runs, union_rings_by_key
 
-    runs = _occupied_runs(spark, sf_dir)
+    runs = merge_runs(_occupied_runs(spark, sf_dir), key="c_nationkey")
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")
     return geo.join(
