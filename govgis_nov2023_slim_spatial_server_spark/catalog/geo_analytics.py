@@ -1021,6 +1021,105 @@ def spatial_buffer_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_buffer_rings",
+    f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    g AS (
+      SELECT k, c_nationkey, x0, y0, w, h,
+             (k % 40) * 24 - 2000 AS ix0,
+             384 + (k % 16) * 20 AS iy0,
+             16 + (k % 7) * 4 AS nx,
+             16 + (k % 5) * 4 AS ny
+      FROM p),
+    ii AS (SELECT unnest(range(0, 40)) AS i),
+    jj AS (SELECT unnest(range(0, 32)) AS j),
+    cells AS (
+      SELECT g.c_nationkey,
+             g.ix0 + ii.i AS ix, g.iy0 + jj.j AS iy,
+             g.x0 + (ii.i + 0.5) * 0.0625 AS cx,
+             g.y0 + (jj.j + 0.5) * 0.0625 AS cy,
+             g.k, g.x0, g.y0, g.w, g.h
+      FROM g CROSS JOIN ii CROSS JOIN jj
+      WHERE ii.i < g.nx AND jj.j < g.ny),
+    occ AS (
+      SELECT DISTINCT c_nationkey, ix, iy
+      FROM cells
+      WHERE CASE WHEN k % 2 = 1
+            THEN NOT (cx > x0 + w * 0.5 AND cy > y0 + h * 0.5)
+            ELSE NOT (cx > x0 + w * 0.25 AND cx < x0 + w * 0.75
+                  AND cy > y0 + h * 0.25 AND cy < y0 + h * 0.75) END),
+    dd AS (SELECT unnest(range(-4, 5)) AS d),
+    dx AS (
+      SELECT DISTINCT c_nationkey, ix + dd.d AS ix, iy
+      FROM occ CROSS JOIN dd),
+    dxy AS (
+      SELECT DISTINCT c_nationkey, ix, iy + dd.d AS iy
+      FROM dx CROSS JOIN dd)
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) * 0.00390625 AS buffer_area,
+           CAST(MIN(ix) AS DOUBLE) * 0.0625 AS x_min,
+           CAST(MIN(iy) AS DOUBLE) * 0.0625 AS y_min,
+           CAST(MAX(ix) + 1 AS DOUBLE) * 0.0625 AS x_max,
+           CAST(MAX(iy) + 1 AS DOUBLE) * 0.0625 AS y_max
+    FROM dxy JOIN nation n ON dxy.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def spatial_buffer_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer returning GEOMETRY — the buffered union's actual
+    dissolved boundary, completing the buffer-lite contract
+    (`spatial_buffer_union_area` proves the dilated AREA; this emits the
+    dilated MULTIPOLYGON per nation, PostGIS's actual ST_Buffer return
+    shape). Pipeline: scan-line runs → x-dilation (run-endpoint
+    arithmetic, free) → engine-side (nation, iy) interval merge →
+    y-dilation (±R explode over merged SEGMENTS — the separable square
+    element on runs, never cells) → merge again → the same
+    `union_rings_by_key` ring reconstruction as `spatial_union_rings`,
+    with the identical grading proof: the driver-compared n_cells/extent
+    derive from the reconstructed rings' integer shoelace while the
+    oracle dilates DISTINCT cell ids in closed form. Buffered regions
+    merge aggressively (0.25° square reach), so this also grades the
+    chaining on FATTER, more-connected regions than the raw union —
+    fewer polygons, longer rings, more hole-closures.
+
+    Plan: identical stage structure to the buffer-area entry (boundary-
+    proportional bytes at every merge) plus the dissolve-key Exchange;
+    the 100 TB notes of both parents apply unchanged."""
+    from ..operators.dissolve import merge_runs, union_rings_by_key
+
+    R = 4
+    runs = _occupied_runs(spark, sf_dir)
+    iv0 = runs.select(
+        "c_nationkey",
+        "iy",
+        (F.col("x0") - R).alias("x0"),
+        (F.col("x1") + R).alias("x1"),
+    )
+    segs_x = merge_runs(iv0, key="c_nationkey")
+    segs_xy = segs_x.select(
+        "c_nationkey",
+        F.explode(F.sequence(F.col("iy") - R, F.col("iy") + R)).alias("iy"),
+        "x0",
+        "x1",
+    )
+    merged = merge_runs(segs_xy, key="c_nationkey")
+    geo = union_rings_by_key(merged, key="c_nationkey", cell=0.0625)
+    nation = load_table(spark, sf_dir, "nation")
+    return geo.join(
+        F.broadcast(nation), geo["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (F.col("n_cells").cast("double") * F.lit(0.00390625)).alias("buffer_area"),
+        (F.col("min_vx").cast("double") * F.lit(0.0625)).alias("x_min"),
+        (F.col("min_vy").cast("double") * F.lit(0.0625)).alias("y_min"),
+        (F.col("max_vx").cast("double") * F.lit(0.0625)).alias("x_max"),
+        (F.col("max_vy").cast("double") * F.lit(0.0625)).alias("y_max"),
+    )
+
+
+@query(
     "spatial_union_rings",
     f"""
     WITH p AS ({_GEO_PARAM_SQL}),

@@ -97,6 +97,9 @@ ENTRIES = [
     # extent) is derived from the RECONSTRUCTED rings' shoelace, so any
     # chaining/hole error on random overlapping stores fails the hash
     "spatial_union_rings",
+    # r11: buffered GEOMETRY — the same ring proof on the dilated set,
+    # where regions merge aggressively (fatter, more-connected chains)
+    "spatial_buffer_rings",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -194,6 +194,67 @@ def test_union_rings_store_integration(spark):
     assert saw_hole  # donut stores must survive dissolve as holes
 
 
+def test_buffer_rings_contains_union_rings(spark):
+    """Buffered geometry must strictly contain the raw union per nation
+    (≥ cells, extent wider by exactly R=4 cells = 0.25° on every side —
+    dilation of a nonempty set extends its bbox by exactly R), and merge
+    polygons (≤ polys after dilation). WKB parses for every nation."""
+    from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        _occupied_runs,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        parse_wkb_polygons,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        merge_runs,
+        union_rings_by_key,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    union = {
+        r["n_name"]: r for r in QUERIES["spatial_union_rings"](spark, sf).collect()
+    }
+    buf = {
+        r["n_name"]: r for r in QUERIES["spatial_buffer_rings"](spark, sf).collect()
+    }
+    assert set(union) == set(buf)
+    for n_name, u in union.items():
+        b = buf[n_name]
+        assert b["n_cells"] > u["n_cells"]
+        assert abs((u["x_min"] - b["x_min"]) - 0.25) < 1e-12
+        assert abs((b["x_max"] - u["x_max"]) - 0.25) < 1e-12
+        assert abs((u["y_min"] - b["y_min"]) - 0.25) < 1e-12
+        assert abs((b["y_max"] - u["y_max"]) - 0.25) < 1e-12
+    # every nation's dissolved WKB parses, and dilation cannot increase
+    # the polygon count (0.25° reach merges nearby regions)
+    raw = {
+        r["c_nationkey"]: r
+        for r in union_rings_by_key(
+            merge_runs(_occupied_runs(spark, sf))
+        ).collect()
+    }
+    R = 4
+    dil_runs = merge_runs(
+        _occupied_runs(spark, sf).select(
+            "c_nationkey", "iy",
+            (F.col("x0") - R).alias("x0"), (F.col("x1") + R).alias("x1"),
+        )
+    ).select(
+        "c_nationkey",
+        F.explode(F.sequence(F.col("iy") - R, F.col("iy") + R)).alias("iy"),
+        "x0", "x1",
+    )
+    dil = {
+        r["c_nationkey"]: r
+        for r in union_rings_by_key(merge_runs(dil_runs)).collect()
+    }
+    for nk, row in raw.items():
+        assert parse_wkb_polygons(bytes(row["geom_wkb"]))  # parses
+        assert parse_wkb_polygons(bytes(dil[nk]["geom_wkb"]))
+        assert dil[nk]["n_polys"] <= row["n_polys"]
+
+
 def test_substring_dup_chains_exact_passage_length(spark, tmp_path):
     """Diagonal chaining recovers the EXACT longest shared token
     substring: docs 1/2 share a verbatim 9-token passage (at different
