@@ -1423,3 +1423,104 @@ def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_nz(z, 4).alias("z_score"),
         F.when(F.abs(z) > 1.96, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("significant"),
     )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_sz
+      FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(union_sz AS BIGINT) AS union_sz,
+           FLOOR(CAST(inter AS DOUBLE) / union_sz * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM pairs
+    WHERE 8 * inter >= 3 * (inter + union_sz)
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (PPJoin's candidate
+    generator, Chaudhuri/Xiao et al.): every pair with 3-shingle-set
+    Jaccard ≥ 3/5, found WITHOUT the all-pairs product. Order each
+    document's shingles by ascending global document frequency (rarest
+    first, ties on shingle text); a pair with J(a,b) ≥ t MUST share a
+    shingle within each side's first |d| − ⌈t·|d|⌉ + 1 shingles
+    (pigeonhole: disjoint prefixes leave fewer than t·|d| shared
+    shingles possible), so joining ONLY the prefixes is a COMPLETE
+    candidate generator — and the oracle is the brute-force all-pairs
+    definition, which means a single lost candidate fails the
+    row-count. Verification is exact integer arithmetic: J ≥ 3/5 ⟺
+    8·|∩| ≥ 3·(|a|+|b|), t = 3/5 chosen so the prefix length
+    (3n+4) DIV 5 is integer-exact too; only the REPORTED jaccard value
+    rounds (floor convention). Shingle sets, not unigram sets: measured
+    on the shipped corpus, unigram-set Jaccard passes 57% of ALL pairs
+    (word-soup vocabularies converge) while shingle-set Jaccard ≥ 3/5
+    isolates exactly the 25 genuine near-dup pairs — the regime a
+    similarity JOIN exists for (the MinHash-LSH entry is the sub-linear
+    sketch of the same measure; this is its exact counterpart).
+
+    100 TB shape: prefix shingles are the RAREST shingles by
+    construction, so the equi-join's per-shingle fan-out is
+    self-limiting exactly where the plain inverted index
+    (ngram_containment_topk) needs an imposed df cap — the prefix is
+    the principled version of that cap. One df aggregate (map-combined),
+    one per-doc rank window, the prefix self-join, then the bounded
+    candidate set verifies via two id joins carrying the shingle
+    arrays. Candidate count vs brute force is pinned in
+    tests/test_r11_catalog.py."""
+    d = _t(spark, sf_dir, "documents")
+    t = ensure_min_partitions(d).select(
+        "doc_id", word_shingles("text", 3).alias("s")
+    )
+    sized = t.select("doc_id", "s", F.size("s").alias("n"))
+    ex = sized.select("doc_id", "n", F.explode("s").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "tok").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + F.lit(1)
+    ).select("doc_id", "tok")
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "tok"), "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = sized.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    bv = sized.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("inter", inter)
+        .where(F.lit(8) * F.col("inter") >= F.lit(3) * (F.col("na") + F.col("nb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("long")
+            .alias("union_sz"),
+            floor_round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -840,3 +840,74 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("doc_id", "rank").cast("long").alias("first_doc"),
         )
     )
+
+
+@query(
+    "quota_stratified_split",
+    """
+    WITH s AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
+    q AS (
+      SELECT o_orderpriority, n,
+             (4 * n) // 5 AS fl, (4 * n) % 5 AS rem
+      FROM s),
+    tot AS (
+      SELECT (4 * SUM(n)) // 5 AS target, SUM(fl) AS base FROM q),
+    r AS (
+      SELECT q.*, tot.target - tot.base AS extra,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority) AS rk
+      FROM q, tot)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+           CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS train_quota
+    FROM r
+    """,
+)
+def quota_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED train-split quota by LARGEST-REMAINDER apportionment:
+    allocate an exact-4/5 train fraction per stratum so the per-stratum
+    quotas sum EXACTLY to the global 4/5 target — floor(4·n_i/5) each,
+    then the deficit (0..4 rows) goes to the strata with the largest
+    remainders (tie-broken on the stratum key). Hash-split entries
+    (psi_split_drift) give each row an independent 4/5 coin, so realized
+    stratum fractions wobble ±O(√n); quota apportionment is what a
+    training pipeline uses when the split proportions are a CONTRACT
+    (eval sets, compliance holdouts). Choosing f = 4/5 makes every
+    quantity integer: floors are (4n) DIV 5, remainders (4n) mod 5 —
+    no rounding of any kind, so the oracle proves the exact allocation.
+
+    Plan: one map-combined count per stratum (5 groups), a 5-row window
+    for the remainder ranking, scalar target broadcast — everything
+    after the first aggregate is constant-size regardless of corpus
+    scale; the materialized split itself is then a deterministic
+    per-stratum rank filter (rank ≤ quota on any stable row order),
+    which stays a single window pass at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    q = s.select(
+        "o_orderpriority",
+        "n",
+        F.expr("(4 * n) DIV 5").alias("fl"),
+        ((F.lit(4) * F.col("n")) % 5).alias("rem"),
+    )
+    tot = q.agg(
+        F.expr("(4 * SUM(n)) DIV 5").alias("target"),
+        F.sum("fl").alias("base"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "o_orderpriority"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn("rk", rk)
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                F.col("fl")
+                + F.when(
+                    F.col("rk") <= F.col("target") - F.col("base"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("train_quota"),
+        )
+    )

@@ -52,6 +52,9 @@ ENTRIES = [
     # r8: the MERGE INTO scorecard — full-outer coalesce on random key
     # sets (incl. empty orders, batch-only keys, snapshot-only keys)
     "cdc_upsert_snapshot",
+    # r11: largest-remainder quota apportionment — random stratum counts
+    # hit every deficit value 0..4 and remainder ties (the key tie-break)
+    "quota_stratified_split",
 ]
 
 STATUSES = ["O", "F", "P"]

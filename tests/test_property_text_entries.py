@@ -89,6 +89,10 @@ ENTRIES = [
     # that repeat within one doc) forces multi-occurrence grams, hence
     # many diagonals per pair and chains that merge/split adversarially
     "substring_dup_chains",
+    # r11: prefix-filter Jaccard — near-identical tiny docs sit ON the
+    # 3/5 boundary constantly (small sets make exact-threshold ties
+    # common) and the df ordering ties on shingle text
+    "prefix_filter_jaccard_pairs",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]

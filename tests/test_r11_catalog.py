@@ -283,6 +283,84 @@ def test_substring_dup_chains_exact_passage_length(spark, tmp_path):
     assert rows[(2, 4)]["longest_tokens"] == 9
 
 
+def test_prefix_filter_jaccard_boundary_and_pruning(spark, tmp_path):
+    """Prefix filtering: (a) completeness at the EXACT threshold —
+    shingle sets {abc,bcd,cde,def} vs {abc,bcd,cde,dex} have J = 3/5
+    precisely (8·3 = 3·8), so the pair must be emitted; a 2-shared
+    variant (J = 1/3) must not; (b) pruning — docs sharing only
+    HIGH-df shingles (a common 12-token tail behind an 8-token unique
+    head) produce ZERO prefix candidates where a plain inverted index
+    joins every pair, because the prefix holds the rarest shingles and
+    the shared tail never enters it."""
+    common = " ".join(f"c{i}" for i in range(12))
+    docs = [(1, "a b c d e f"), (2, "a b c d e x")]
+    docs += [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(8)) + " " + common)
+        for i in range(6)
+    ]
+    _write_docs(docs, tmp_path)
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in QUERIES["prefix_filter_jaccard_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["inter"] == 3
+    assert rows[(1, 2)]["union_sz"] == 5 and rows[(1, 2)]["jaccard"] == 0.6
+    assert all(a == 1 and b == 2 for a, b in rows)  # tail-sharers: none
+
+    # pruning vs the plain inverted index on the tail-sharing block
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import (
+        word_shingles,
+    )
+
+    d = spark.read.parquet(str(tmp_path / "documents.parquet")).where(
+        F.col("doc_id") >= 10
+    )
+    ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shs"))
+    full_pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shs")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert full_pairs == 15  # every pair shares the common tail
+
+
+def test_quota_stratified_split_exact_apportionment(spark, tmp_path):
+    """Largest-remainder quotas: per-stratum quotas must sum EXACTLY to
+    (4·N) DIV 5, each quota within 1 of 4n/5, and the +1s go to the
+    largest remainders with the key tie-break."""
+    import pandas as pd
+
+    strata = ["1-URGENT"] * 7 + ["2-HIGH"] * 6 + ["3-MEDIUM"] * 4 + ["5-LOW"] * 1
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(strata) + 1),
+            "o_custkey": [1] * len(strata),
+            "o_orderstatus": ["O"] * len(strata),
+            "o_totalprice": [100.0] * len(strata),
+            "o_orderdate": pd.to_datetime(["1995-01-01"] * len(strata)),
+            "o_orderpriority": strata,
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["train_quota"])
+        for r in QUERIES["quota_stratified_split"](spark, str(tmp_path)).collect()
+    }
+    # N=18 → target 14; floors: 7→5 r3, 6→4 r4, 4→3 r1, 1→0 r4; base 12,
+    # extra 2 → the two rem-4 strata (2-HIGH, 5-LOW) get +1
+    assert got == {
+        "1-URGENT": (7, 5),
+        "2-HIGH": (6, 5),
+        "3-MEDIUM": (4, 3),
+        "5-LOW": (1, 1),
+    }
+    assert sum(q for _, q in got.values()) == (4 * 18) // 5
+
+
 def test_pps_systematic_sample_plan_broadcasts_points(spark, tmp_path):
     """The k-point probe side must broadcast — the corpus side never
     shuffles for the pick join (only the documented test-scale global
