@@ -1448,7 +1448,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, Chaudhuri/Xiao et al.): every pair with 3-shingle-set
     Jaccard ≥ 3/5, found WITHOUT the all-pairs product. Order each
     document's shingles by ascending global document frequency (rarest
-    first, ties on shingle text); a pair with J(a,b) ≥ t MUST share a
+    first, ties on the shingle's hash — any globally consistent order
+    preserves completeness, so the engine uses the 8-byte key it joins
+    on); a pair with J(a,b) ≥ t MUST share a
     shingle within each side's first |d| − ⌈t·|d|⌉ + 1 shingles
     (pigeonhole: disjoint prefixes leave fewer than t·|d| shared
     shingles possible), so joining ONLY the prefixes is a COMPLETE
@@ -1477,22 +1479,58 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ensure_min_partitions(d).select(
         "doc_id", word_shingles("text", 3).alias("s")
     )
-    sized = t.select("doc_id", "s", F.size("s").alias("n"))
-    ex = sized.select("doc_id", "n", F.explode("s").alias("tok"))
-    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(dfreq, "tok").withColumn(
+    # the shingle-set table feeds THREE join branches (explode, verify-a,
+    # verify-b); pin it once so the regexp split + dedup runs one time —
+    # the production form is a shingle-set table written at ingest
+    sized = t.select("doc_id", "s", F.size("s").alias("n")).localCheckpoint(
+        eager=False
+    )
+    # candidate machinery keys on the shingle's xxhash64, not the ~25-byte
+    # string (same keying convention as ngram_containment_topk): the
+    # Exchange bytes drop ~2×, and hashing cannot LOSE a candidate —
+    # completeness only needs a globally consistent shingle order (the
+    # hash is one; df ties merge) and a collision can only ADD a shared
+    # prefix key. Verification below is exact on the shingle arrays.
+    ex = sized.select(
+        "doc_id", "n", F.explode("s").alias("shs")
+    ).select("doc_id", "n", F.xxhash64("shs").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "sh").withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
+            Window.partitionBy("doc_id").orderBy("df", "sh")
         ),
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + F.lit(1)
-    ).select("doc_id", "tok")
+    ).select("doc_id", "n", "rk", "sh")
+    # PPJoin positional filter (lossless): at a shared prefix key with
+    # ranks (ra, rb), inter ≤ 1 + min(na − ra, nb − rb) holds at the
+    # pair's EARLIEST common key (no common key ranks before it), so
+    # pruning per-occurrence keeps every qualifying pair via that
+    # earliest row while discarding occurrences that cannot reach
+    # ⌈3(na+nb)/8⌉ — measured: candidates 299 k → far fewer verify rows
+    # on the sf0.1 corpus (integer arithmetic throughout)
+    a_p = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
+        F.col("rk").alias("ra"), "sh",
+    )
+    b_p = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("rk").alias("rb"), "sh",
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "tok")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "tok"), "tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        a_p.join(b_p, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+                >= F.expr("(3 * (na + nb) + 7) DIV 8")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

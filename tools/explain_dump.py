@@ -91,6 +91,9 @@ NOTES = {
     "pps_systematic_sample": "the k=10 pick positions are a broadcast probe (corpus never shuffles for the pick join); the global cumsum window is the documented test-scale form — at 100 TB the offsets come from a P-row partial-sum broadcast (two-phase prefix sum).",
     "spatial_union_rings": "rasterize to boundary-proportional runs (mapInPandas) → ONE Exchange on the dissolve key (FlatMapGroupsInPandas ring reconstruction) → 25-row broadcast nation join; the graded scorecard is derived from the reconstructed rings' integer shoelace.",
     "substring_dup_chains": "positional 4-grams join on the 8-byte xxhash64 key after the stop-gram df-cap anti-join (fan-out ≤ cap² per gram); diagonal chain windows partition by (pair, diagonal); 50-row TakeOrderedAndProject.",
+    "spatial_buffer_rings": "x-dilation on run endpoints (free) → (nation, iy) interval merge → ±4 segment explode → merge again → the dissolve-key ring reconstruction; boundary-proportional bytes at every merge, then one Exchange to the 25 dissolve groups.",
+    "quota_stratified_split": "one map-combined 5-group count; everything after (remainder window, target broadcast) is constant-size — the allocation plan is corpus-scale-independent past the first aggregate.",
+    "prefix_filter_jaccard_pairs": "prefix shingles are the globally RAREST per doc (df agg + per-doc rank window), so the candidate equi-join's fan-out is self-limiting — the principled form of the df cap; bounded candidates verify via two id joins carrying shingle arrays.",
 }
 
 

@@ -111,6 +111,10 @@ QUERIES_UNDER_TEST = {
     # under --hot-shingle the unsuffixed preamble's grams exceed the df
     # cap at N× and are dropped before the self-join (the cap's regime)
     "substring_dup_chains": (["documents"], "docs"),
+    # r11: prefix-filter Jaccard — the rarest-shingle prefix join's
+    # fan-out should stay ~N× (within-replica candidates only; the
+    # suffixing keeps replicas shingle-disjoint)
+    "prefix_filter_jaccard_pairs": (["documents"], "docs"),
 }
 
 
