@@ -509,6 +509,18 @@ def main() -> None:
             for n, v in QUERIES_UNDER_TEST.items()
             if any(p in n for p in pats)
         }
+    if len(QUERIES_UNDER_TEST) > 1:
+        # r11 run-13 lesson: three 20x workloads sharing one session
+        # inflated spatial_union_area 12->40 s; alpha rows are only
+        # comparable when each entry gets its own session
+        print(
+            "# WARNING: measuring"
+            f" {len(QUERIES_UNDER_TEST)} entries in ONE session —"
+            " same-session interference inflates walls (SCALING.md run"
+            " 13); for recordable alpha rows run each entry alone via"
+            " --only <entry>",
+            file=sys.stderr,
+        )
 
     from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
