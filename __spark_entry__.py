@@ -23,50 +23,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r10), so insertion order
-# decides which queries get correctness rows. r11 prefix, EXACTLY as the
-# r10 verdict staged it (confirmed vs the post-r10 ledger via
-# `tools/proof_ledger.py --assume-next-green`): the 8 entries that have
-# never been driver-graded (all landed post-freeze in r10), then the 6
-# entries whose materialized-store PLAN changed in r10 (the row-sized
-# `store_width` repartition in catalog/_store_cache.py affects every
-# store consumer; only three consumers were in the r10 prefix — these
-# six last graded on the old width), then all 18 remaining r6-proven
-# entries (retiring r6 from the staleness histogram), then the FIRST 18
-# of the r7-proven queue in ledger order (incl. its 3 rows-only-by-design
-# members: knn_lsh_approx, knn_ivf_approx, simhash_neardup — each has a
-# driver-green exact mechanism twin). The r7 queue's remaining 27
-# entries (stats_corr_regression … q12_priority_by_year) head the r12
-# queue. Code changed in r11 jumps this queue as always.
+# (verified key-by-key against CORRECTNESS_r01..r11), so insertion order
+# decides which queries get correctness rows. r12 prefix, EXACTLY as the
+# r11 verdict staged it (confirmed vs the post-r11 ledger via
+# `tools/proof_ledger.py --check-prefix`): the 6 entries that have never
+# been driver-graded (landed post-freeze in r11), then the 2 entries
+# whose code changed in r11 but were NOT in the r11 prefix (the
+# checkpoint-cleanup try/finally wrap in catalog/streaming.py;
+# stream_dedup_reemit_islands' identical change WAS in the r11 prefix,
+# and epoch_shuffle_shards' in-plan guard + spatial_union_rings'
+# merge_runs are both staged here already), then ALL 27 remaining
+# r7-proven entries (r7 retires from the staleness histogram), then the
+# FIRST 15 of the r8-proven queue in ledger order. The r8 queue's
+# remaining 33 entries (quality_curriculum_buckets …) head the r13
+# queue. Code changed in r12 jumps this queue as always.
 _DRIVER_PRIORITY = [
-    # never driver-graded (landed post-freeze in r10)
-    "rrf_fusion_topk", "spatial_buffer_union_area",
-    "spatial_simplify_collinear", "length_bucket_padding",
-    "epoch_shuffle_shards", "skyline_recursive_parts",
-    "sketch_hll_distinct_users", "stream_dedup_reemit_islands",
-    # code changed in r10 (store_width consumers; jump the queue)
-    "spatial_join_exact", "spatial_area_centroid",
-    "spatial_tile_quadkey", "spatial_dwithin_haversine",
-    "spatial_points_in_polygons", "spatial_dissolve_extent",
-    # staleness re-proof: ALL 18 remaining r6-proven (r6 retires)
-    "ab_test_two_proportions", "repetition_filter",
-    "q1_pricing_summary", "q3_top_revenue_orders",
-    "q6_revenue_forecast", "try_funcs_dirty_data",
-    "target_encoding_smoothed", "psi_split_drift",
-    "stream_late_data_drop", "ewma_value_by_user",
-    "attribution_last_touch", "scd2_intervals_user_type",
-    "wilson_ctr_bound", "user_event_sequences",
-    "udaf_cents_total_by_type", "recursive_cte_chain_totals",
-    "variant_props_stats", "markov_transition_matrix",
-    # staleness re-proof: first 18 of the r7-proven queue (oldest first)
-    "knn_lsh_approx", "knn_ivf_approx", "vector_stats_by_label",
-    "simhash_neardup", "fuzzy_match_levenshtein", "bm25_keyword_search",
-    "doc_length_outliers", "domain_mixture_weights",
-    "grouping_sets_status_priority", "pivot_status_priority",
-    "full_outer_join_counts", "percentiles_by_status",
-    "distinct_multi_agg_orders", "map_funcs_events",
-    "collection_funcs_lineitem", "min_cost_supplier_per_nation",
-    "unpivot_lineitem_measures", "argmax_order_per_status",
+    # never driver-graded (landed post-freeze in r11)
+    "spatial_union_rings", "substring_dup_chains",
+    "pps_systematic_sample", "spatial_buffer_rings",
+    "quota_stratified_split", "prefix_filter_jaccard_pairs",
+    # code changed in r11, not in the r11 prefix (ckpt cleanup wrap)
+    "stream_dedup_user_type", "stream_stateful_running_totals",
+    # staleness re-proof: ALL 27 remaining r7-proven (r7 retires)
+    "stats_corr_regression", "trimmed_stats_by_type",
+    "ngram_containment_capped", "dedup_threshold_sweep",
+    "pack_sequences_512", "oov_rate_top_vocab",
+    "agg_rollup_region_nation", "agg_cube_status_priority",
+    "join_semi_customers_with_orders", "join_anti_customers_no_orders",
+    "join_outer_order_counts", "join_range_events_orders",
+    "window_rank_orders_per_customer", "window_running_total",
+    "window_lag_lead_events", "sliding_window_1h_30m",
+    "session_windows_30m", "q12_priority_by_year",
+    "window_ntile_quartiles", "time_hierarchy_rollup",
+    "rolling_1h_user_stats", "funnel_view_click_purchase",
+    "table_checksum_orders", "column_profile_orders",
+    "approx_stats_events", "data_quality_checks_orders",
+    "approx_topk_event_types",
+    # staleness re-proof: first 15 of the r8-proven queue (oldest first)
+    "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
+    "similarity_join_topk", "embedding_near_dup",
+    "embedding_near_dup_blocked", "ngram_jaccard_topk",
+    "minhash_neardup_oracle", "fingerprint_dup_groups",
+    "token_counts", "doc_quality", "lang_id_stopwords",
+    "inverted_index_postings", "corpus_stats_documents",
+    "bigram_top_counts",
 ]
 
 

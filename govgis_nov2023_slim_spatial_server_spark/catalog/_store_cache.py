@@ -52,7 +52,17 @@ class MaterializedStoreCache:
     the cache diffs the JVM's persistent-RDD map around ``build()`` and
     stores the JavaRDD handles that appeared; eviction unpersists those
     handles directly, which drops the BlockManager entries now rather
-    than at some future GC + ContextCleaner cycle."""
+    than at some future GC + ContextCleaner cycle.
+
+    Single-threaded assumption (r11 advice): the diff-around-build
+    capture claims EVERY RDD persisted during the window — an RDD
+    persisted concurrently by another thread sharing this SparkContext
+    would be captured too and unpersisted on eviction, dropping someone
+    else's cached blocks. The gate/bench/pytest drivers run entries
+    sequentially on one thread, so this cannot occur today; if entries
+    ever run in parallel sessions-sharing-a-context, narrow the capture
+    (match the localCheckpoint RDD names/callsites) before relying on
+    eviction."""
 
     def __init__(self, maxsize: int = 4) -> None:
         self._maxsize = maxsize

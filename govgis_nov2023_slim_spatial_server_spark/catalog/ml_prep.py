@@ -513,6 +513,17 @@ def substring_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = pos − row_number() trick, run counts — nothing rounds. Spark
     joins on the gram's xxhash64 (8-byte Exchange key, same convention
     as ngram_containment_topk); the oracle joins the gram strings.
+    NOTE (r11 advice): both the self-join AND the df cap key on the hash
+    with no exact string verification afterwards — unlike
+    prefix_filter_jaccard_pairs, which verifies candidates on the real
+    shingle arrays. A 64-bit collision would merge two grams' document
+    frequencies or fabricate a chain row and silently diverge from the
+    string-keyed oracle; at corpus gram cardinalities (≪ 2^32) the
+    birthday probability is ~2^-64-scale, which this catalog accepts by
+    convention (same contract as ngram_containment_topk). Carrying the
+    gram string through the join would buy exactness at the cost of
+    shipping ~30-byte strings instead of 8-byte keys through the
+    Exchange — the wrong trade for the hot path.
 
     100 TB shape: the stop-gram df cap (`_SHINGLE_DF_CAP`, COUNT
     DISTINCT docs) bounds every gram's pair fan-out at cap² before the

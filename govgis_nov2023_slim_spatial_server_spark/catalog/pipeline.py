@@ -476,7 +476,8 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\s+')) AS w
-      FROM documents),
+      FROM documents
+      WHERE length(trim(text)) > 0),
     c AS (
       SELECT doc_id, w,
              SUM(w) OVER (ORDER BY doc_id
@@ -518,9 +519,16 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
-        "doc_id", token_count("text").cast("long").alias("w")
-    ).withColumn("cum", F.sum("w").over(w))
+    # Empty/whitespace-only text guard, identical on both sides: Spark's
+    # token_count yields 0 there while DuckDB's regexp_split yields ['']
+    # (w=1), and on a GLOBAL cumulative axis one such doc would shift W
+    # and every pick position. Filter on trimmed length, which both
+    # engines evaluate identically.
+    c = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", token_count("text").cast("long").alias("w"))
+        .withColumn("cum", F.sum("w").over(w))
+    )
     tot = c.agg(F.max("cum").alias("wtot"))
     pts = (
         spark.range(10)

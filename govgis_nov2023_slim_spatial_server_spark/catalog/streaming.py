@@ -23,6 +23,19 @@ from ._registry import query
 _SINK_SEQ = [0]
 
 
+def _stop_quietly(q) -> None:
+    """Stop a possibly-still-active streaming query before checkpoint
+    cleanup. On the happy path ``awaitTermination`` already returned and
+    this is a no-op; on the error path it prevents the still-running query
+    thread from racing the ``rmtree`` of its own checkpoint dir (the
+    secondary-FileNotFound confusion r11's advice flagged)."""
+    if q is not None:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+
 @query(
     "stream_tumbling_event_counts",
     """
@@ -160,6 +173,7 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SINK_SEQ[0] += 1
     name = f"__stream_dedup_{_SINK_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    q = None
     try:
         q = (
             deduped.writeStream.format("memory")
@@ -173,6 +187,7 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # memory-sink rows live on the driver; the checkpoint is dead
         # weight once the availableNow drain terminates
+        _stop_quietly(q)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select("user_id", "event_type")
 
@@ -206,6 +221,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     ev_batch = _t(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="sstate_src_")
     ckpt = tempfile.mkdtemp(prefix="sstate_ckpt_")
+    q = None
     try:
         ev_batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
 
@@ -227,6 +243,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         # memory-sink rows live on the driver; staged source files and the
         # checkpoint are dead weight once the availableNow drain terminates
+        _stop_quietly(q)
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     # update mode re-emits a key's row each batch it changes; n_events is
@@ -473,6 +490,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_late", F.col("rn") <= 100),
     ]
     d = tempfile.mkdtemp(prefix="stream_late_")
+    q = None
     try:
         now = 1_700_000_000
         for i, (fname, pred) in enumerate(splits):
@@ -512,6 +530,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp inputs disappear
         out = res.localCheckpoint(eager=True)
     finally:
+        _stop_quietly(q)
         shutil.rmtree(d, ignore_errors=True)
     return out
 
@@ -688,6 +707,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["df"] = merged.localCheckpoint(eager=True)
 
     d = tempfile.mkdtemp(prefix="stream_cdc_")
+    q = None
     try:
         now = 1_700_000_000
         n_files = 0
@@ -726,6 +746,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # outlive the staged inputs
         )
     finally:
+        _stop_quietly(q)
         shutil.rmtree(d, ignore_errors=True)
     return out
 
@@ -822,6 +843,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     d = tempfile.mkdtemp(prefix="stream_louter_")
+    q = None
     try:
         now = 1_700_000_000
         n_files = 0
@@ -895,6 +917,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # outlive the staged inputs
         )
     finally:
+        _stop_quietly(q)
         shutil.rmtree(d, ignore_errors=True)
     return out
 
@@ -981,6 +1004,7 @@ def stream_dedup_reemit_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         islands[2].unionAll(rider(-5, 184 * 3600)),
     ]
     d = tempfile.mkdtemp(prefix="stream_reemit_")
+    q = None
     try:
         now = 1_700_000_000
         for i, fdf in enumerate(files):
@@ -1020,5 +1044,6 @@ def stream_dedup_reemit_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # outlive the staged inputs
         )
     finally:
+        _stop_quietly(q)
         shutil.rmtree(d, ignore_errors=True)
     return out
