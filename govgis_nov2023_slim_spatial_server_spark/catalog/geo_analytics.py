@@ -722,6 +722,25 @@ def _occupied_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _store_enriched(store: DataFrame, pad: int = 0) -> DataFrame:
+    """Attach the rasterize window (ix0, iy0, nx, ny) to a polygon store
+    frame. The window is derived from the store's key-modulo lattice
+    placement; `pad` widens it by that many cells on the +x/+y sides
+    (the snap entry's jittered polygons extend up to 15/64° ≈ 3.75
+    cells past the lattice origin, so it passes pad=4 — the rasterize
+    only keeps centers the ray cast proves inside, a too-wide window
+    costs a few extra point tests, never correctness)."""
+    k = F.col("c_custkey")
+    return store.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "geom_wkb",
+        ((k % 40) * 24 - 2000).cast("long").alias("ix0"),
+        (F.lit(384) + (k % 16) * 20).cast("long").alias("iy0"),
+        (F.lit(16 + pad) + (k % 7) * 4).cast("int").alias("nx"),
+        (F.lit(16 + pad) + (k % 5) * 4).cast("int").alias("ny"),
+    )
+
+
 def _occupied_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-line RUNS (nation, iy, x0, x1) of the polygon store's occupied
     cells — the boundary-proportional form of `_occupied_cells`: the same
@@ -731,22 +750,20 @@ def _occupied_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     area — ~8× fewer at this store's shapes, and the gap widens with
     polygon size. Runs from different polygons may overlap: consumers
     union them with interval merging (no DISTINCT here by design)."""
+    return _runs_from(_store_enriched(_geo_store(spark, sf_dir)))
+
+
+def _runs_from(enriched: DataFrame) -> DataFrame:
+    """The rasterize-to-runs mapInPandas pass over an enriched store
+    frame (c_nationkey, geom_wkb, ix0, iy0, nx, ny) — shared by
+    `_occupied_runs` (the cached lattice store) and the boolean/snap
+    entries (filtered or jittered store variants). Identical plan for
+    existing consumers: `_occupied_runs` composes this unchanged."""
     import struct as _struct
 
     import numpy as np
 
     from ..functions.spatial import parse_wkb_polygons, points_in_polys
-
-    store = _geo_store(spark, sf_dir)
-    k = F.col("c_custkey")
-    enriched = store.select(
-        F.col("c_nationkey").cast("long").alias("c_nationkey"),
-        "geom_wkb",
-        ((k % 40) * 24 - 2000).cast("long").alias("ix0"),
-        (F.lit(384) + (k % 16) * 20).cast("long").alias("iy0"),
-        (F.lit(16) + (k % 7) * 4).cast("int").alias("nx"),
-        (F.lit(16) + (k % 5) * 4).cast("int").alias("ny"),
-    )
 
     def rasterize_runs(batches):
         for pdf in batches:
@@ -1206,6 +1223,267 @@ def spatial_union_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_vx").cast("double") * F.lit(0.0625)).alias("x_max"),
         (F.col("max_vy").cast("double") * F.lit(0.0625)).alias("y_max"),
     )
+
+
+
+# --------------------------------------------------------------------------
+# ST_Union on GENERAL (non-lattice) polygons: grid-snap at a declared
+# tolerance; ST_Intersection / ST_Difference geometry (boolean sweep)
+# --------------------------------------------------------------------------
+
+
+def _parity_runs(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    """Scan-line runs of one parity half of the polygon store (odd keys =
+    L-shapes, even keys = donuts) — the two input LAYERS of the boolean
+    entries, rasterized by the same shared `_runs_from` pass."""
+    store = _geo_store(spark, sf_dir).where(F.col("c_custkey") % 2 == parity)
+    return _runs_from(_store_enriched(store))
+
+
+_RINGS_TAIL_SQL = """
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) * 0.00390625 AS {area_alias},
+           CAST(MIN(ix) AS DOUBLE) * 0.0625 AS x_min,
+           CAST(MIN(iy) AS DOUBLE) * 0.0625 AS y_min,
+           CAST(MAX(ix) + 1 AS DOUBLE) * 0.0625 AS x_max,
+           CAST(MAX(iy) + 1 AS DOUBLE) * 0.0625 AS y_max
+    FROM {src} JOIN nation n ON {src}.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def _rings_result(geo: DataFrame, nation: DataFrame, area_alias: str) -> DataFrame:
+    """Shared scorecard projection of a `union_rings_by_key` output: the
+    graded columns all derive from the RECONSTRUCTED rings (shoelace cell
+    count, vertex extent) — the same proof contract as
+    `spatial_union_rings`."""
+    return geo.join(
+        F.broadcast(nation), geo["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (F.col("n_cells").cast("double") * F.lit(0.00390625)).alias(area_alias),
+        (F.col("min_vx").cast("double") * F.lit(0.0625)).alias("x_min"),
+        (F.col("min_vy").cast("double") * F.lit(0.0625)).alias("y_min"),
+        (F.col("max_vx").cast("double") * F.lit(0.0625)).alias("x_max"),
+        (F.col("max_vy").cast("double") * F.lit(0.0625)).alias("y_max"),
+    )
+
+
+_BOOL_OCC_SQL = f"""
+    WITH p AS ({_GEO_PARAM_SQL}),
+    g AS (
+      SELECT k, c_nationkey, x0, y0, w, h,
+             (k % 40) * 24 - 2000 AS ix0,
+             384 + (k % 16) * 20 AS iy0,
+             16 + (k % 7) * 4 AS nx,
+             16 + (k % 5) * 4 AS ny
+      FROM p),
+    ii AS (SELECT unnest(range(0, 40)) AS i),
+    jj AS (SELECT unnest(range(0, 32)) AS j),
+    cells AS (
+      SELECT g.c_nationkey, g.k % 2 AS par,
+             g.ix0 + ii.i AS ix, g.iy0 + jj.j AS iy,
+             g.x0 + (ii.i + 0.5) * 0.0625 AS cx,
+             g.y0 + (jj.j + 0.5) * 0.0625 AS cy,
+             g.k, g.x0, g.y0, g.w, g.h
+      FROM g CROSS JOIN ii CROSS JOIN jj
+      WHERE ii.i < g.nx AND jj.j < g.ny),
+    occ AS (
+      SELECT DISTINCT c_nationkey, par, ix, iy
+      FROM cells
+      WHERE CASE WHEN k % 2 = 1
+            THEN NOT (cx > x0 + w * 0.5 AND cy > y0 + h * 0.5)
+            ELSE NOT (cx > x0 + w * 0.25 AND cx < x0 + w * 0.75
+                  AND cy > y0 + h * 0.25 AND cy < y0 + h * 0.75) END)
+"""
+
+
+@query(
+    "spatial_intersection_rings",
+    _BOOL_OCC_SQL
+    + """,
+    ab AS (
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 1
+      INTERSECT
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 0)
+"""
+    + _RINGS_TAIL_SQL.format(area_alias="inter_area", src="ab"),
+)
+def spatial_intersection_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection returning GEOMETRY — with `spatial_difference_rings`
+    this completes the boolean-op family the reference inherits from
+    PostGIS (union r11, buffer r11, intersection/difference here). Layer
+    A = the store's odd-key L-shapes, layer B = its even-key donuts; per
+    nation the entry emits the dissolved A∩B boundary as WKB MULTIPOLYGON
+    and grades the ring-derived scorecard (shoelace n_cells, vertex
+    extent) against the oracle's closed-form DISTINCT-cell INTERSECT —
+    the `spatial_union_rings` proof contract on a much more FRAGMENTED
+    region (intersections of offset shapes shatter into many small
+    polygons, stressing chaining/hole assignment harder than the union).
+
+    Mechanism: `operators/dissolve.boolean_runs` — a two-counter boundary
+    sweep per (nation, scan-line): each run raises its layer's coverage
+    counter at x0 and lowers it at x1+1; a segment is active iff
+    cA>0 ∧ cB>0. The sweep is one aggregate + one (key, iy) window, so
+    it parallelizes over scan lines exactly like `merge_runs` — the
+    dissolve-key Exchange still sees only the RESULT's runs. Nations
+    whose intersection is empty emit no row on either engine."""
+    from ..operators.dissolve import boolean_runs, merge_runs, union_rings_by_key
+
+    a = merge_runs(_parity_runs(spark, sf_dir, 1))
+    b = merge_runs(_parity_runs(spark, sf_dir, 0))
+    runs = merge_runs(boolean_runs(a, b, "intersection"))
+    geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
+    nation = load_table(spark, sf_dir, "nation")
+    return _rings_result(geo, nation, "inter_area")
+
+
+@query(
+    "spatial_difference_rings",
+    _BOOL_OCC_SQL
+    + """,
+    ab AS (
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 1
+      EXCEPT
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 0)
+"""
+    + _RINGS_TAIL_SQL.format(area_alias="diff_area", src="ab"),
+)
+def spatial_difference_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Difference returning GEOMETRY — A \\ B on the same two layers as
+    `spatial_intersection_rings` (odd-key L-shapes minus even-key
+    donuts), same boolean sweep with the cA>0 ∧ cB=0 predicate, same
+    ring-derived grading. Difference regions are the adversarial case
+    for hole topology: subtracting a donut that sits strictly inside an
+    L-shape punches a NEW hole (plus its island where the donut's own
+    hole re-exposes A), so this entry exercises the hole-assignment and
+    figure-eight-repair paths on shapes the union never produces."""
+    from ..operators.dissolve import boolean_runs, merge_runs, union_rings_by_key
+
+    a = merge_runs(_parity_runs(spark, sf_dir, 1))
+    b = merge_runs(_parity_runs(spark, sf_dir, 0))
+    runs = merge_runs(boolean_runs(a, b, "difference"))
+    geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
+    nation = load_table(spark, sf_dir, "nation")
+    return _rings_result(geo, nation, "diff_area")
+
+
+@query(
+    "spatial_union_snap_rings",
+    """
+    WITH p AS (
+      SELECT c_custkey AS k, c_nationkey,
+             CAST(-125.0 + (c_custkey % 40) * 1.5
+                  + (1 + (c_custkey % 8) * 2) * 0.015625 AS DOUBLE) AS x0,
+             CAST(24.0 + (c_custkey % 16) * 1.25
+                  + (3 + (c_custkey % 7) * 2) * 0.015625 AS DOUBLE) AS y0,
+             CAST(1.0 + (c_custkey % 7) * 0.25 AS DOUBLE) AS w,
+             CAST(1.0 + (c_custkey % 5) * 0.25 AS DOUBLE) AS h
+      FROM customer),
+    g AS (
+      SELECT k, c_nationkey, x0, y0, w, h,
+             (k % 40) * 24 - 2000 AS ix0,
+             384 + (k % 16) * 20 AS iy0,
+             20 + (k % 7) * 4 AS nx,
+             20 + (k % 5) * 4 AS ny
+      FROM p),
+    ii AS (SELECT unnest(range(0, 44)) AS i),
+    jj AS (SELECT unnest(range(0, 36)) AS j),
+    cells AS (
+      SELECT g.c_nationkey,
+             g.ix0 + ii.i AS ix, g.iy0 + jj.j AS iy,
+             CAST((g.ix0 + ii.i) * 0.0625 + 0.03125 AS DOUBLE) AS cx,
+             CAST((g.iy0 + jj.j) * 0.0625 + 0.03125 AS DOUBLE) AS cy,
+             g.k, g.x0, g.y0, g.w, g.h
+      FROM g CROSS JOIN ii CROSS JOIN jj
+      WHERE ii.i < g.nx AND jj.j < g.ny),
+    occ AS (
+      SELECT DISTINCT c_nationkey, ix, iy
+      FROM cells
+      WHERE cx > x0 AND cx < x0 + w AND cy > y0 AND cy < y0 + h
+        AND CASE WHEN k % 2 = 1
+            THEN NOT (cx > x0 + w * 0.5 AND cy > y0 + h * 0.5)
+            ELSE NOT (cx > x0 + w * 0.25 AND cx < x0 + w * 0.75
+                  AND cy > y0 + h * 0.25 AND cy < y0 + h * 0.75) END)
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) * 0.00390625 AS union_area,
+           CAST(MIN(ix) AS DOUBLE) * 0.0625 AS x_min,
+           CAST(MIN(iy) AS DOUBLE) * 0.0625 AS y_min,
+           CAST(MAX(ix) + 1 AS DOUBLE) * 0.0625 AS x_max,
+           CAST(MAX(iy) + 1 AS DOUBLE) * 0.0625 AS y_max
+    FROM occ JOIN nation n ON occ.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def spatial_union_snap_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union on GENERAL (non-lattice) polygons via grid-snap at the
+    declared 1/16° tolerance — the documented seam of r11's What's-missing
+    #1 made a graded entry: PostGIS unions arbitrary polygons
+    (reference load_data.py:79 declares geometry(Polygon,4326) with no
+    lattice restriction); here the inputs are L-shapes/donuts whose every
+    vertex is JITTERED OFF the cell lattice (x0 += (1+2(k%8))/64,
+    y0 += (3+2(k%7))/64 — odd 1/64-multiples, so NO vertex or edge lies
+    on a cell boundary or center line), fed through the SAME exact
+    rasterize front (real WKB parse + even-odd ray cast per cell center)
+    into the ring reconstruction.
+
+    Snap-exactness argument (same class as the store's lattice proof,
+    shifted a level down): cell centers live on (4m+2)/64 in both axes;
+    jittered edges live on odd/64 (lattice base even/64 + odd jitter;
+    w·{¼,½,¾} are 4/64-multiples) — the lattices are disjoint with
+    margin ≥ 1/64, every coordinate is a ≤6-fraction-bit dyadic double,
+    so each engine's in/out decision is EXACT and identical: Spark's
+    ray cast over the parsed WKB and the oracle's closed-form CASE
+    agree cell-for-cell. The rasterize window widens by 4 cells
+    (jitter < 16/64 = one window step) — a superset window only adds
+    point tests, never cells.
+
+    Plan: identical to `spatial_union_rings` (rasterize → engine
+    pre-merge → ONE dissolve-key Exchange → 25-row broadcast) except the
+    jittered store builds inline (no cache — single consumer), width-
+    sized by `store_width` before the WKB UDF so the encode and the
+    rasterize parallelize. At 100 TB the snap tolerance is the declared
+    contract: finer lattices trade rasterize rows for fidelity; the
+    runs stay boundary-proportional at any cell size."""
+    from ..operators.dissolve import merge_runs, union_rings_by_key
+
+    c = load_table(spark, sf_dir, "customer")
+    par = store_width(spark, c.count())
+    k = F.col("c_custkey")
+    x0 = (
+        F.lit(-125.0)
+        + (k % 40).cast("double") * 1.5
+        + (F.lit(1.0) + (k % 8).cast("double") * 2.0) * F.lit(0.015625)
+    )
+    y0 = (
+        F.lit(24.0)
+        + (k % 16).cast("double") * 1.25
+        + (F.lit(3.0) + (k % 7).cast("double") * 2.0) * F.lit(0.015625)
+    )
+    w = F.lit(1.0) + (k % 7).cast("double") * 0.25
+    h = F.lit(1.0) + (k % 5).cast("double") * 0.25
+    params = c.select(
+        "c_custkey",
+        "c_nationkey",
+        x0.alias("x0"),
+        y0.alias("y0"),
+        w.alias("w"),
+        h.alias("h"),
+    ).repartition(par)
+    wkb = params.select(
+        "c_custkey",
+        "c_nationkey",
+        make_shape_wkb_udf()(
+            F.col("c_custkey"), F.col("x0"), F.col("y0"), F.col("w"), F.col("h")
+        ).alias("geom_wkb"),
+    )
+    runs = merge_runs(_runs_from(_store_enriched(wkb, pad=4)))
+    geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
+    nation = load_table(spark, sf_dir, "nation")
+    return _rings_result(geo, nation, "union_area")
 
 
 # --------------------------------------------------------------------------

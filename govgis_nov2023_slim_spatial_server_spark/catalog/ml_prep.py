@@ -583,6 +583,177 @@ def substring_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Substring dedup ACTION: trim duplicated passages, prove retention
+# --------------------------------------------------------------------------
+
+
+@query(
+    "substring_trim_retention",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+               || toks[i+3] AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+            FROM t WHERE len(toks) >= 4)),
+    keep AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) <= {_SHINGLE_DF_CAP}),
+    kept AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM kept a JOIN kept b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pb,
+             pb - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pb) AS grp
+      FROM pr),
+    spans AS (
+      SELECT DISTINCT doc_b, s, e FROM (
+        SELECT doc_b, MIN(pb) AS s, MIN(pb) + COUNT(*) + 2 AS e
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)),
+    cov AS (
+      SELECT doc_b, s, e,
+             MAX(e) OVER (PARTITION BY doc_b ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM spans),
+    grpd AS (
+      SELECT doc_b, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_b ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS gid
+      FROM cov),
+    islands AS (
+      SELECT doc_b, gid, MAX(e) - MIN(s) + 1 AS covered
+      FROM grpd GROUP BY doc_b, gid),
+    dup AS (
+      SELECT doc_b AS doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      FROM islands GROUP BY doc_b),
+    n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT n.doc_id AS doc_id, n.n_tokens AS n_tokens,
+           dup.dup_tokens AS dup_tokens,
+           n.n_tokens - dup.dup_tokens AS retained_tokens
+    FROM dup JOIN n ON dup.doc_id = n.doc_id
+    ORDER BY dup_tokens DESC, doc_id
+    LIMIT 30
+    """,
+)
+def substring_trim_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step after `substring_dup_chains`' detection — the
+    Lee-et-al pipeline drops the duplicated passage from the LATER
+    document and keeps the first occurrence. Per document, the trimmed
+    region is the INTERVAL UNION over every chain shared with any
+    earlier doc_id (chains overlap when a passage matches several
+    earlier docs, and distinct diagonals can cover overlapping token
+    ranges — summing span lengths would double-trim), computed with the
+    running-max island break of `interval_union_seconds` on integer
+    token positions. A chain of K consecutive shared grams on one
+    diagonal covers tokens [min(pb), min(pb)+K+2] of the later doc —
+    the exact shared substring, so retained_tokens is the exact
+    post-trim length. All arithmetic is int64; the detection half
+    (grams, df cap, diagonal islands) is shared with
+    `substring_dup_chains` and inherits its contracts (the n−1 gram
+    blind spot; xxhash64 collision-freedom engine-side vs the
+    string-keyed oracle — see that entry's docstring).
+
+    100 TB shape: detection is the parent's bounded inverted-index
+    self-join; the new work is one DISTINCT over spans and one
+    doc-partitioned window — per-doc span counts are bounded by the df
+    cap's pair fan-out, so no key can run hot. Output is a 30-row
+    TakeOrderedAndProject (top trimmed docs, doc_id tie-break); the
+    production form writes the per-doc (s, e) trim list back to the
+    corpus instead of ranking it."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = ensure_min_partitions(d).select("doc_id", toks.alias("toks"))
+    grams = (
+        base.where(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 3),"
+                    " i -> concat_ws(' ', slice(toks, i, 4)))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.xxhash64("gram").alias("sh"),
+        )
+    )
+    hot = (
+        grams.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    kept = grams.join(F.broadcast(hot), "sh", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sh")
+    pr = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
+    spans = (
+        pr.withColumn("grp", F.col("pb") - F.row_number().over(wi))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pb").alias("s"),
+            (F.min("pb") + F.count(F.lit(1)) + 2).alias("e"),
+        )
+        .select("doc_b", "s", "e")
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy("doc_b")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    word = (
+        Window.partitionBy("doc_b")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grpd = spans.withColumn("pmax", F.max("e").over(wprev)).withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0)
+        ).over(word),
+    )
+    dup = (
+        grpd.groupBy("doc_b", "gid")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_b")
+        .agg(F.sum("covered").cast("long").alias("dup_tokens"))
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    n = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        dup.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            (F.col("n_tokens") - F.col("dup_tokens")).alias("retained_tokens"),
+        )
+        .orderBy(F.desc("dup_tokens"), "doc_id")
+        .limit(30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Matryoshka (truncated-dimension) retrieval funnel
 # --------------------------------------------------------------------------

@@ -301,3 +301,82 @@ def union_rings_by_key(runs, key: str = "c_nationkey", cell: float = 0.0625):
         )
 
     return runs.groupBy(key).applyInPandas(build, _OUT_SCHEMA.replace("c_nationkey", key))
+
+
+def boolean_runs(
+    a: DataFrame, b: DataFrame, mode: str, key: str = "c_nationkey"
+) -> DataFrame:
+    """Set operation on two scan-line run layers per (key, iy) — the
+    boundary-sweep generalization of `merge_runs` to TWO coverage
+    counters, giving the remaining PostGIS boolean ops (ST_Intersection,
+    ST_Difference; union and symmetric difference fall out of the same
+    sweep) on the runs representation, fully in-engine:
+
+    1. every run [x0, x1] emits two boundary events (+1 at x0, −1 at
+       x1+1) on its layer's counter;
+    2. events at equal x collapse (one aggregate), then per (key, iy) a
+       running sum yields the coverage counters (cA, cB) on the segment
+       [x, next_x) — inputs need NOT be pre-merged, overlap just raises
+       the counter;
+    3. the mode predicate selects active segments:
+       ``intersection`` cA>0 ∧ cB>0, ``difference`` cA>0 ∧ cB=0,
+       ``union`` cA>0 ∨ cB>0, ``symdiff`` exactly one side covered.
+
+    Adjacent active segments split at interior boundaries (e.g. a B-run
+    starting inside an A-run) — pass the result through `merge_runs`
+    before ring reconstruction, which expects maximal runs. All
+    arithmetic is integer; the sweep is two unions + one aggregate + one
+    (key, iy)-partitioned window, so it parallelizes over scan lines
+    exactly like the merge (thousands of keys), never over the dissolve
+    key alone."""
+    z = F.lit(0).cast("long")
+
+    def events(df: DataFrame, col: str) -> DataFrame:
+        one = F.lit(1).cast("long")
+        lo = df.select(
+            F.col(key),
+            "iy",
+            F.col("x0").alias("x"),
+            (one if col == "dA" else z).alias("dA"),
+            (one if col == "dB" else z).alias("dB"),
+        )
+        hi = df.select(
+            F.col(key),
+            "iy",
+            (F.col("x1") + 1).alias("x"),
+            (-one if col == "dA" else z).alias("dA"),
+            (-one if col == "dB" else z).alias("dB"),
+        )
+        return lo.unionAll(hi)
+
+    ev = (
+        events(a, "dA")
+        .unionAll(events(b, "dB"))
+        .groupBy(key, "iy", "x")
+        .agg(F.sum("dA").alias("dA"), F.sum("dB").alias("dB"))
+    )
+    wcum = (
+        Window.partitionBy(key, "iy")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    word = Window.partitionBy(key, "iy").orderBy("x")
+    st = ev.select(
+        key,
+        "iy",
+        "x",
+        F.sum("dA").over(wcum).alias("cA"),
+        F.sum("dB").over(wcum).alias("cB"),
+        F.lead("x").over(word).alias("nx"),
+    )
+    preds = {
+        "intersection": (F.col("cA") > 0) & (F.col("cB") > 0),
+        "difference": (F.col("cA") > 0) & (F.col("cB") == 0),
+        "union": (F.col("cA") > 0) | (F.col("cB") > 0),
+        "symdiff": (F.col("cA") > 0) != (F.col("cB") > 0),
+    }
+    if mode not in preds:
+        raise ValueError(f"unknown boolean_runs mode: {mode!r}")
+    return st.where(preds[mode] & F.col("nx").isNotNull()).select(
+        key, "iy", F.col("x").alias("x0"), (F.col("nx") - 1).alias("x1")
+    )
