@@ -100,6 +100,16 @@ ENTRIES = [
     # r11: buffered GEOMETRY — the same ring proof on the dilated set,
     # where regions merge aggressively (fatter, more-connected chains)
     "spatial_buffer_rings",
+    # r12: boolean geometry — random key sets vary which parity layers
+    # overlap (incl. one-sided and empty intersections), so the
+    # two-counter sweep's empty/degenerate branches are exercised; the
+    # ring scorecard still grades the reconstruction
+    "spatial_intersection_rings",
+    "spatial_difference_rings",
+    # r12: grid-snapped union of NON-lattice polygons — random keys
+    # vary the jitter lattice (odd 1/64-multiples) against the cell
+    # grid; membership must stay exact on every draw
+    "spatial_union_snap_rings",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -93,6 +93,11 @@ ENTRIES = [
     # 3/5 boundary constantly (small sets make exact-threshold ties
     # common) and the df ordering ties on shingle text
     "prefix_filter_jaccard_pairs",
+    # r12: trim action — tiny repeated vocab makes spans from DIFFERENT
+    # earlier docs overlap constantly, the exact case where interval
+    # union vs span-sum diverge; self-repetition inside one doc adds
+    # multi-diagonal overlapping spans
+    "substring_trim_retention",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]

@@ -1,0 +1,284 @@
+"""Targeted fixtures for the r12 catalog entries: boolean geometry
+(intersection/difference sweep), grid-snapped general-polygon union, and
+the substring-dedup trim action."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
+
+
+def _write_docs(rows, tmp_path):
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def _cells_to_runs(cells):
+    """(x, y) cell set → [(y, x0, x1)] maximal runs."""
+    runs = []
+    for y in sorted({c[1] for c in cells}):
+        xs = sorted(x for x, yy in cells if yy == y)
+        s = prev = xs[0]
+        for x in xs[1:]:
+            if x == prev + 1:
+                prev = x
+            else:
+                runs.append((y, s, prev))
+                s = prev = x
+        runs.append((y, s, prev))
+    return runs
+
+
+def _runs_df(spark, cells, key=0):
+    rows = [(key, y, x0, x1) for y, x0, x1 in _cells_to_runs(cells)]
+    return spark.createDataFrame(
+        rows, "c_nationkey long, iy long, x0 long, x1 long"
+    )
+
+
+def test_boolean_runs_random_exact(spark):
+    """40 random two-layer cell sets (one per key, all in one frame):
+    every boolean_runs mode reproduces the brute-force cell-set
+    operation exactly — including layers with overlapping (unmerged)
+    runs, which the counter sweep must handle without pre-merging."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        boolean_runs,
+    )
+
+    rng = random.Random(20260815)
+    layers = {}
+    rows_a, rows_b = [], []
+    for key in range(40):
+        w_, h_ = rng.randint(1, 8), rng.randint(1, 8)
+        a = {
+            (x, y)
+            for x in range(w_)
+            for y in range(h_)
+            if rng.random() < rng.choice([0.3, 0.6])
+        }
+        b = {
+            (x, y)
+            for x in range(w_ + 2)
+            for y in range(h_ + 2)
+            if rng.random() < rng.choice([0.3, 0.6])
+        }
+        layers[key] = (a, b)
+        rows_a += [(key, y, x0, x1) for y, x0, x1 in (_cells_to_runs(a) if a else [])]
+        # duplicate some B runs verbatim: counters must tolerate overlap
+        br = _cells_to_runs(b) if b else []
+        rows_b += [(key, y, x0, x1) for y, x0, x1 in br + br[:2]]
+    schema = "c_nationkey long, iy long, x0 long, x1 long"
+    da = spark.createDataFrame(rows_a or [(99, 0, 0, 0)], schema)
+    db = spark.createDataFrame(rows_b or [(99, 0, 0, 0)], schema)
+    ops = {
+        "intersection": lambda a, b: a & b,
+        "difference": lambda a, b: a - b,
+        "union": lambda a, b: a | b,
+        "symdiff": lambda a, b: a ^ b,
+    }
+    for mode, op in ops.items():
+        got = {}
+        for r in boolean_runs(da, db, mode).collect():
+            got.setdefault(r["c_nationkey"], set()).update(
+                (x, r["iy"]) for x in range(r["x0"], r["x1"] + 1)
+            )
+        for key, (a, b) in layers.items():
+            assert got.get(key, set()) == op(a, b), (mode, key)
+
+
+def test_difference_punches_holes_and_reexposes_islands(spark):
+    """A = 7×7 block, B = 5×5 donut strictly inside (its own 3×3 hole):
+    A \\ B must emit TWO polygons — the outer frame WITH a new hole, and
+    the re-exposed 3×3 island inside it — and intersection must equal B
+    itself. The ring-derived cell counts prove the topology."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        boolean_runs,
+        merge_runs,
+        union_rings_by_key,
+    )
+
+    a_cells = {(x, y) for x in range(7) for y in range(7)}
+    b_cells = {
+        (x, y)
+        for x in range(1, 6)
+        for y in range(1, 6)
+        if not (2 <= x <= 4 and 2 <= y <= 4)
+    }
+    da, db = _runs_df(spark, a_cells), _runs_df(spark, b_cells)
+
+    diff = union_rings_by_key(
+        merge_runs(boolean_runs(da, db, "difference")), cell=1.0
+    ).collect()
+    assert len(diff) == 1
+    r = diff[0]
+    assert r["n_cells"] == len(a_cells - b_cells) == 33
+    assert r["n_polys"] == 2  # frame + re-exposed island
+    assert r["n_rings"] == 3  # frame shell, frame hole, island shell
+
+    inter = union_rings_by_key(
+        merge_runs(boolean_runs(da, db, "intersection")), cell=1.0
+    ).collect()
+    r = inter[0]
+    assert r["n_cells"] == len(b_cells) == 16
+    assert r["n_polys"] == 1 and r["n_rings"] == 2  # the donut back
+
+
+def test_snap_lattice_disjointness_enumerated():
+    """The snap entry's exactness argument, enumerated over the whole
+    modulus space in INTEGER 1/64° units: every jittered edge coordinate
+    is an odd multiple of 1/64 while every cell-center coordinate is
+    (4m+2)/64 — disjoint with margin ≥ 1/64 — and no vertex lies on the
+    1/16° cell lattice (the inputs are genuinely non-lattice)."""
+    for km40 in range(40):
+        for km8 in range(8):
+            for km7 in range(7):
+                x0 = -125 * 64 + km40 * 96 + (1 + km8 * 2)  # 1/64 units
+                w = 64 + km7 * 16
+                for frac in (0, w // 4, w // 2, (3 * w) // 4, w):
+                    edge = x0 + frac
+                    assert edge % 2 == 1  # odd/64 — off the center lattice
+                    assert edge % 4 != 0  # off the 1/16° cell lattice
+    for km16 in range(16):
+        for km7 in range(7):
+            for km5 in range(5):
+                y0 = 24 * 64 + km16 * 80 + (3 + km7 * 2)
+                h = 64 + km5 * 16
+                for frac in (0, h // 4, h // 2, (3 * h) // 4, h):
+                    assert (y0 + frac) % 2 == 1
+    # centers: (4m + 2)/64 — even, so |center − edge| ≥ 1/64 always
+    assert all((4 * m + 2) % 2 == 0 for m in range(-3000, 3000))
+
+
+def test_union_snap_rings_matches_brute_force(spark):
+    """sf0.001 integration: the entry's per-nation n_cells/extent equal a
+    pure-Python re-rasterization of the jittered store (exact fractions
+    via integer 1/64 arithmetic — an independent implementation of the
+    membership test, not the engine's ray cast)."""
+    sf = "/root/testdata/sf0.001"
+    cust = pd.read_parquet(f"{sf}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    occ = {}
+    for k, nk in zip(cust["c_custkey"], cust["c_nationkey"]):
+        k = int(k)
+        # all in 1/64° integer units
+        x0 = -8000 + (k % 40) * 96 + (1 + (k % 8) * 2)
+        y0 = 1536 + (k % 16) * 80 + (3 + (k % 7) * 2)
+        w = 64 + (k % 7) * 16
+        h = 64 + (k % 5) * 16
+        ix0 = (k % 40) * 24 - 2000
+        iy0 = 384 + (k % 16) * 20
+        for i in range(20 + (k % 7) * 4):
+            cx = (ix0 + i) * 4 + 2
+            if not (x0 < cx < x0 + w):
+                continue
+            for j in range(20 + (k % 5) * 4):
+                cy = (iy0 + j) * 4 + 2
+                if not (y0 < cy < y0 + h):
+                    continue
+                if k % 2 == 1:
+                    inside = not (cx * 2 > 2 * x0 + w and cy * 2 > 2 * y0 + h)
+                else:
+                    inside = not (
+                        4 * cx > 4 * x0 + w
+                        and 4 * cx < 4 * x0 + 3 * w
+                        and 4 * cy > 4 * y0 + h
+                        and 4 * cy < 4 * y0 + 3 * h
+                    )
+                if inside:
+                    occ.setdefault(int(nk), set()).add((ix0 + i, iy0 + j))
+    nation = pd.read_parquet(f"{sf}/nation.parquet")
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    got = {
+        r["n_name"]: r
+        for r in QUERIES["spatial_union_snap_rings"](spark, sf).collect()
+    }
+    assert set(got) == {names[nk] for nk in occ}
+    for nk, cells in occ.items():
+        r = got[names[nk]]
+        assert r["n_cells"] == len(cells), nk
+        assert r["x_min"] == min(c[0] for c in cells) * 0.0625
+        assert r["x_max"] == (max(c[0] for c in cells) + 1) * 0.0625
+        assert r["y_min"] == min(c[1] for c in cells) * 0.0625
+        assert r["y_max"] == (max(c[1] for c in cells) + 1) * 0.0625
+
+
+def test_substring_trim_retention_interval_union(spark, tmp_path):
+    """Trim policy hand-checked: a passage shared with TWO earlier docs
+    is trimmed ONCE (distinct spans collapse), overlapping spans from
+    different sources union instead of summing, two disjoint copies both
+    trim, and a 3-token overlap stays below the 4-gram floor."""
+    P = "p q r s t u v w x"  # 9 tokens
+    docs = [
+        (1, f"a b c {P} d e"),  # first occurrence: never trimmed
+        (2, f"zz yy {P} kk"),  # vs 1 → 9
+        (3, "t u v w x g1 g2 g3"),  # vs 1,2: 5-token suffix → 5
+        (6, f"mm {P} nn"),  # vs 1 AND 2: identical span → 9, not 18
+        (7, f"h1 {P} h2"),  # vs 1/2 (9) ∪ vs 3 (last 5) → 9, not 14
+        (8, f"w1 w2 {P} w3 w4 {P}"),  # two disjoint copies → 18
+        (9, "p q r f1 f2 f3 f4 f5 f6"),  # 3-token overlap → no row
+    ]
+    _write_docs(docs, tmp_path)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["retained_tokens"])
+        for r in QUERIES["substring_trim_retention"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        2: (12, 9, 3),
+        3: (8, 5, 3),
+        6: (11, 9, 2),
+        7: (11, 9, 2),
+        8: (22, 18, 4),
+    }
+
+
+def test_intersection_rings_store_nonvacuous(spark):
+    """sf0.001: the odd/even layers genuinely overlap (intersection and
+    difference both non-empty for some nation), and per nation
+    |A∩B| + |A\\B| == |A| — the sweep partitions layer A exactly."""
+    sf = "/root/testdata/sf0.001"
+    inter = {
+        r["n_name"]: r["n_cells"]
+        for r in QUERIES["spatial_intersection_rings"](spark, sf).collect()
+    }
+    diff = {
+        r["n_name"]: r["n_cells"]
+        for r in QUERIES["spatial_difference_rings"](spark, sf).collect()
+    }
+    assert inter and sum(inter.values()) > 0
+    # |A| per nation from the odd-key half of the lattice store
+    from govgis_nov2023_slim_spatial_server_spark.catalog.geo_analytics import (
+        _parity_runs,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.operators.dissolve import (
+        merge_runs,
+    )
+    from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+    a_sizes = {
+        r["c_nationkey"]: r["n"]
+        for r in merge_runs(_parity_runs(spark, sf, 1))
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("x1") - F.col("x0") + 1).alias("n"))
+        .collect()
+    }
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf, "nation").collect()
+    }
+    for nk, total in a_sizes.items():
+        nm = names[nk]
+        assert inter.get(nm, 0) + diff.get(nm, 0) == total, nm
