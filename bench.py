@@ -81,7 +81,19 @@ HEADLINE = CORE_SET + [
     # self-join after containment)
     "spatial_union_rings",
     "substring_dup_chains",
+    # r12 additions: the boolean sweep (two rasterize passes + the
+    # two-counter window before the dissolve) and the grid-snapped
+    # general-polygon union (inline jittered store build + pad-4
+    # rasterize — the heaviest per-call geometry path)
+    "spatial_intersection_rings",
+    "spatial_union_snap_rings",
 ]
+
+# The r11 headline set (28 names), FROZEN at the r12 boundary the same
+# way CORE_SET froze the r1–r5 set: published as "value_r11_set" so the
+# r11→r12→… totals stay comparable as HEADLINE keeps growing.
+R11_SET = [n for n in HEADLINE if n not in
+           ("spatial_intersection_rings", "spatial_union_snap_rings")]
 
 
 # Canary: 4G-row range-sum on 32 partitions — large enough that runtime
@@ -200,6 +212,7 @@ def main() -> None:
     # so publish the original-set total too for round-over-round
     # like-for-like comparison
     total_core_set = round(sum(timings[n] for n in CORE_SET), 3)
+    total_r11_set = round(sum(timings[n] for n in R11_SET), 3)
     # value_best = sum of per-query MIN-of-reps: the drift-resistant
     # statistic. r6→r7 the driver host ran ~15% slower uniformly across
     # touched AND untouched queries while the CPU canary read dead idle
@@ -229,6 +242,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "value_core_set": total_core_set,
+        "value_r11_set": total_r11_set,
         "value_best": total_best,
         "queries": timings,
         "reps": reps,

@@ -1240,6 +1240,38 @@ def _parity_runs(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
     return _runs_from(_store_enriched(store))
 
 
+def _tagged_parity_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both parity layers in ONE rasterize pass: the layer tag is encoded
+    into the run key (2·nation + parity) before the shared rasterize, so
+    the store's WKB parses once per polygon total — two `_parity_runs`
+    branches would each rescan the store (Spark computes plan branches
+    independently; measured ~1 s of the intersection entry's wall at
+    sf0.1). Output: per-layer MERGED runs with the layer decoded back
+    out, ready for `boolean_runs_tagged`."""
+    from ..operators.dissolve import merge_runs
+
+    store = _geo_store(spark, sf_dir).withColumn(
+        "c_nationkey",
+        F.col("c_nationkey").cast("long") * 2 + F.col("c_custkey") % 2,
+    )
+    merged = merge_runs(_runs_from(_store_enriched(store)))
+    return merged.select(
+        (F.col("c_nationkey") - F.col("c_nationkey") % 2)
+        .cast("long")
+        .alias("ck2"),
+        (F.col("c_nationkey") % 2).cast("int").alias("layer"),
+        "iy",
+        "x0",
+        "x1",
+    ).select(
+        (F.col("ck2") / 2).cast("long").alias("c_nationkey"),
+        "layer",
+        "iy",
+        "x0",
+        "x1",
+    )
+
+
 _RINGS_TAIL_SQL = """
     SELECT n.n_name AS n_name,
            CAST(COUNT(*) AS BIGINT) AS n_cells,
@@ -1328,13 +1360,20 @@ def spatial_intersection_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter at x0 and lowers it at x1+1; a segment is active iff
     cA>0 ∧ cB>0. The sweep is one aggregate + one (key, iy) window, so
     it parallelizes over scan lines exactly like `merge_runs` — the
-    dissolve-key Exchange still sees only the RESULT's runs. Nations
-    whose intersection is empty emit no row on either engine."""
-    from ..operators.dissolve import boolean_runs, merge_runs, union_rings_by_key
+    dissolve-key Exchange still sees only the RESULT's runs. Both layers
+    come from ONE rasterize pass (`_tagged_parity_runs` — the layer tag
+    rides the run key, so the store's WKB parses once per polygon; two
+    plan branches would each rescan the store). Nations whose
+    intersection is empty emit no row on either engine."""
+    from ..operators.dissolve import (
+        boolean_runs_tagged,
+        merge_runs,
+        union_rings_by_key,
+    )
 
-    a = merge_runs(_parity_runs(spark, sf_dir, 1))
-    b = merge_runs(_parity_runs(spark, sf_dir, 0))
-    runs = merge_runs(boolean_runs(a, b, "intersection"))
+    runs = merge_runs(
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "intersection")
+    )
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")
     return _rings_result(geo, nation, "inter_area")
@@ -1360,11 +1399,15 @@ def spatial_difference_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     L-shape punches a NEW hole (plus its island where the donut's own
     hole re-exposes A), so this entry exercises the hole-assignment and
     figure-eight-repair paths on shapes the union never produces."""
-    from ..operators.dissolve import boolean_runs, merge_runs, union_rings_by_key
+    from ..operators.dissolve import (
+        boolean_runs_tagged,
+        merge_runs,
+        union_rings_by_key,
+    )
 
-    a = merge_runs(_parity_runs(spark, sf_dir, 1))
-    b = merge_runs(_parity_runs(spark, sf_dir, 0))
-    runs = merge_runs(boolean_runs(a, b, "difference"))
+    runs = merge_runs(
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "difference")
+    )
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")
     return _rings_result(geo, nation, "diff_area")

@@ -329,29 +329,54 @@ def boolean_runs(
     (key, iy)-partitioned window, so it parallelizes over scan lines
     exactly like the merge (thousands of keys), never over the dissolve
     key alone."""
-    z = F.lit(0).cast("long")
+    return boolean_runs_tagged(
+        a.withColumn("layer", F.lit(1)).unionAll(
+            b.withColumn("layer", F.lit(0))
+        ),
+        mode,
+        key=key,
+    )
 
-    def events(df: DataFrame, col: str) -> DataFrame:
-        one = F.lit(1).cast("long")
-        lo = df.select(
-            F.col(key),
-            "iy",
-            F.col("x0").alias("x"),
-            (one if col == "dA" else z).alias("dA"),
-            (one if col == "dB" else z).alias("dB"),
-        )
-        hi = df.select(
-            F.col(key),
-            "iy",
-            (F.col("x1") + 1).alias("x"),
-            (-one if col == "dA" else z).alias("dA"),
-            (-one if col == "dB" else z).alias("dB"),
-        )
-        return lo.unionAll(hi)
 
+def boolean_runs_tagged(
+    runs: DataFrame, mode: str, key: str = "c_nationkey"
+) -> DataFrame:
+    """`boolean_runs` over a single LAYER-TAGGED run frame
+    (key, iy, x0, x1, layer ∈ {1 = A, 0 = B}) — the form that lets a
+    caller produce both layers in ONE upstream pass (e.g. one rasterize
+    of the whole polygon store with the layer encoded in the key)
+    instead of two branches that Spark would compute independently.
+    Each run emits its two boundary events via one explode (map-only),
+    so the whole sweep reads the input exactly once."""
+    one = F.lit(1).cast("long")
     ev = (
-        events(a, "dA")
-        .unionAll(events(b, "dB"))
+        runs.select(
+            key,
+            "iy",
+            "layer",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x0").cast("long").alias("x"), one.alias("d")
+                    ),
+                    F.struct(
+                        (F.col("x1") + 1).cast("long").alias("x"),
+                        (-one).alias("d"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(
+            key,
+            "iy",
+            F.col("e.x").alias("x"),
+            F.when(F.col("layer") == 1, F.col("e.d"))
+            .otherwise(F.lit(0))
+            .alias("dA"),
+            F.when(F.col("layer") == 0, F.col("e.d"))
+            .otherwise(F.lit(0))
+            .alias("dB"),
+        )
         .groupBy(key, "iy", "x")
         .agg(F.sum("dA").alias("dA"), F.sum("dB").alias("dB"))
     )
