@@ -1414,6 +1414,41 @@ def spatial_difference_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spatial_symdiff_rings",
+    _BOOL_OCC_SQL
+    + """,
+    ab AS (
+      SELECT c_nationkey, ix, iy
+      FROM occ GROUP BY c_nationkey, ix, iy
+      HAVING COUNT(DISTINCT par) = 1)
+"""
+    + _RINGS_TAIL_SQL.format(area_alias="symdiff_area", src="ab"),
+)
+def spatial_symdiff_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SymDifference returning GEOMETRY — the fourth and last boolean
+    predicate (exactly one layer covered), completing the sweep family's
+    grading. Symmetric difference is the most FRAGMENTED output the two
+    layers can produce (every overlap region becomes a hole in the
+    surrounding union material), so ring counts per nation exceed both
+    parents'. The oracle deliberately takes a THIRD formulation — GROUP
+    BY cell HAVING COUNT(DISTINCT par) = 1, vs the INTERSECT / EXCEPT set
+    ops of the siblings — so the three entries triangulate the sweep
+    against independent SQL semantics. Same single tagged rasterize."""
+    from ..operators.dissolve import (
+        boolean_runs_tagged,
+        merge_runs,
+        union_rings_by_key,
+    )
+
+    runs = merge_runs(
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "symdiff")
+    )
+    geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
+    nation = load_table(spark, sf_dir, "nation")
+    return _rings_result(geo, nation, "symdiff_area")
+
+
+@query(
     "spatial_union_snap_rings",
     """
     WITH p AS (

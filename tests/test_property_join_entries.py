@@ -106,6 +106,7 @@ ENTRIES = [
     # ring scorecard still grades the reconstruction
     "spatial_intersection_rings",
     "spatial_difference_rings",
+    "spatial_symdiff_rings",
     # r12: grid-snapped union of NON-lattice polygons — random keys
     # vary the jitter lattice (odd 1/64-multiples) against the cell
     # grid; membership must stay exact on every draw

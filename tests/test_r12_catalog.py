@@ -133,6 +133,13 @@ def test_difference_punches_holes_and_reexposes_islands(spark):
     assert r["n_cells"] == len(b_cells) == 16
     assert r["n_polys"] == 1 and r["n_rings"] == 2  # the donut back
 
+    # B ⊂ A, so the symmetric difference equals A \ B exactly
+    sym = union_rings_by_key(
+        merge_runs(boolean_runs(da, db, "symdiff")), cell=1.0
+    ).collect()
+    r = sym[0]
+    assert r["n_cells"] == 33 and r["n_polys"] == 2 and r["n_rings"] == 3
+
 
 def test_snap_lattice_disjointness_enumerated():
     """The snap entry's exactness argument, enumerated over the whole
@@ -282,3 +289,21 @@ def test_intersection_rings_store_nonvacuous(spark):
     for nk, total in a_sizes.items():
         nm = names[nk]
         assert inter.get(nm, 0) + diff.get(nm, 0) == total, nm
+    # |A△B| = |A| + |B| − 2|A∩B| per nation
+    sym = {
+        r["n_name"]: r["n_cells"]
+        for r in QUERIES["spatial_symdiff_rings"](spark, sf).collect()
+    }
+    b_sizes = {
+        r["c_nationkey"]: r["n"]
+        for r in merge_runs(_parity_runs(spark, sf, 0))
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("x1") - F.col("x0") + 1).alias("n"))
+        .collect()
+    }
+    for nk, a_n in a_sizes.items():
+        nm = names[nk]
+        assert (
+            sym.get(nm, 0)
+            == a_n + b_sizes.get(nk, 0) - 2 * inter.get(nm, 0)
+        ), nm

@@ -96,6 +96,7 @@ NOTES = {
     "prefix_filter_jaccard_pairs": "prefix shingles are the globally RAREST per doc (df agg + per-doc rank window), so the candidate equi-join's fan-out is self-limiting — the principled form of the df cap; bounded candidates verify via two id joins carrying shingle arrays.",
     "spatial_intersection_rings": "two parity-filtered rasterize passes → per-layer (nation, iy) merges → the boolean sweep (one event aggregate + one (nation, iy) window — parallelizes over scan lines, never the dissolve key) → merge → ONE dissolve-key Exchange for ring reconstruction.",
     "spatial_difference_rings": "identical stage structure to the intersection (same sweep, cA>0 ∧ cB=0 predicate); difference regions punch NEW holes, so the per-group chaining does strictly more work per run than the union's.",
+    "spatial_symdiff_rings": "the fourth sweep predicate (exactly one counter positive) on the same single tagged rasterize; the most fragmented output — every overlap becomes a hole — so it upper-bounds the chaining work of the family.",
     "spatial_union_snap_rings": "jittered store builds inline (width-sized repartition BEFORE the WKB UDF so encode + rasterize parallelize); then the union_rings pipeline unchanged — pad-4 window only adds ray-cast point tests, runs stay boundary-proportional.",
     "substring_trim_retention": "detection shares the dup-chains shape (df-cap anti-join, 8-byte gram key, (pair,diagonal) windows); the action adds one span DISTINCT and one doc_id-partitioned interval-union window; 30-row TakeOrderedAndProject.",
 }

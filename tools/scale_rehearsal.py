@@ -115,6 +115,18 @@ QUERIES_UNDER_TEST = {
     # fan-out should stay ~N× (within-replica candidates only; the
     # suffixing keeps replicas shingle-disjoint)
     "prefix_filter_jaccard_pairs": (["documents"], "docs"),
+    # r12: the boolean sweep (one tagged rasterize + two-counter window
+    # before the dissolve — events ∝ runs, so the sweep itself should
+    # track the union_rings raster front) and the grid-snapped union
+    # (INLINE jittered store build each call — unlike union_rings the
+    # wall includes WKB encode, the honest per-call cost of uncached
+    # general-polygon input)
+    "spatial_intersection_rings": (["customer", "nation"], "docs"),
+    "spatial_union_snap_rings": (["customer", "nation"], "docs"),
+    # r12: the trim action — detection is the dup-chains join (α 0.75
+    # r11); the added span DISTINCT + doc-partitioned interval-union
+    # window should not change the exponent (spans ≪ candidate rows)
+    "substring_trim_retention": (["documents"], "docs"),
 }
 
 
