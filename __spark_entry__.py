@@ -24,24 +24,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
 # (verified key-by-key against CORRECTNESS_r01..r11), so insertion order
-# decides which queries get correctness rows. r12 prefix, EXACTLY as the
-# r11 verdict staged it (confirmed vs the post-r11 ledger via
-# `tools/proof_ledger.py --check-prefix`): the 6 entries that have never
-# been driver-graded (landed post-freeze in r11), then the 2 entries
-# whose code changed in r11 but were NOT in the r11 prefix (the
-# checkpoint-cleanup try/finally wrap in catalog/streaming.py;
-# stream_dedup_reemit_islands' identical change WAS in the r11 prefix,
-# and epoch_shuffle_shards' in-plan guard + spatial_union_rings'
-# merge_runs are both staged here already), then ALL 27 remaining
-# r7-proven entries (r7 retires from the staleness histogram), then the
-# FIRST 15 of the r8-proven queue in ledger order. The r8 queue's
-# remaining 33 entries (quality_curriculum_buckets …) head the r13
-# queue. Code changed in r12 jumps this queue as always.
+# decides which queries get correctness rows. r12 prefix: the r11
+# verdict's staging (6 never-graded r11 entries, 2 ckpt-cleanup-changed
+# stream entries, all 27 remaining r7-proven — r7 retires), AMENDED
+# mid-round to pull in the 5 entries r12 itself added AFTER the first
+# rotation (the boolean-rings family, the grid-snapped general union,
+# and the substring-trim action) — the driver grades at round END, so
+# new entries enter the unfrozen prefix rather than idling a round.
+# To fit 50, the r8-queue sample shrinks from 15 to 10; the displaced
+# five (doc_quality, lang_id_stopwords, inverted_index_postings,
+# corpus_stats_documents, bigram_top_counts) stay r8-proven and head
+# the r13 queue with the other 33. `tools/proof_ledger.py
+# --check-prefix` exits clean on this list. Code changed in r12 jumps
+# this queue as always; the error-path-only q.stop() guard added to
+# the other four stream entries' finally blocks does not re-stage them
+# (no plan/result change — same convention as r11's _store_cache
+# _release note).
 _DRIVER_PRIORITY = [
     # never driver-graded (landed post-freeze in r11)
     "spatial_union_rings", "substring_dup_chains",
     "pps_systematic_sample", "spatial_buffer_rings",
     "quota_stratified_split", "prefix_filter_jaccard_pairs",
+    # never driver-graded (landed in r12 after the first rotation)
+    "spatial_union_snap_rings", "spatial_intersection_rings",
+    "spatial_difference_rings", "spatial_symdiff_rings",
+    "substring_trim_retention",
     # code changed in r11, not in the r11 prefix (ckpt cleanup wrap)
     "stream_dedup_user_type", "stream_stateful_running_totals",
     # staleness re-proof: ALL 27 remaining r7-proven (r7 retires)
@@ -59,14 +66,12 @@ _DRIVER_PRIORITY = [
     "table_checksum_orders", "column_profile_orders",
     "approx_stats_events", "data_quality_checks_orders",
     "approx_topk_event_types",
-    # staleness re-proof: first 15 of the r8-proven queue (oldest first)
+    # staleness re-proof: first 10 of the r8-proven queue (oldest first)
     "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
     "similarity_join_topk", "embedding_near_dup",
     "embedding_near_dup_blocked", "ngram_jaccard_topk",
     "minhash_neardup_oracle", "fingerprint_dup_groups",
-    "token_counts", "doc_quality", "lang_id_stopwords",
-    "inverted_index_postings", "corpus_stats_documents",
-    "bigram_top_counts",
+    "token_counts",
 ]
 
 
