@@ -31,15 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation (the boolean-rings family, the grid-snapped general union,
 # and the substring-trim action) — the driver grades at round END, so
 # new entries enter the unfrozen prefix rather than idling a round.
-# To fit 50, the r8-queue sample shrinks from 15 to 10; the displaced
-# five (doc_quality, lang_id_stopwords, inverted_index_postings,
-# corpus_stats_documents, bigram_top_counts) stay r8-proven and head
-# the r13 queue with the other 33. `tools/proof_ledger.py
-# --check-prefix` exits clean on this list. Code changed in r12 jumps
-# this queue as always; the error-path-only q.stop() guard added to
-# the other four stream entries' finally blocks does not re-stage them
-# (no plan/result change — same convention as r11's _store_cache
-# _release note).
+# To fit 50 with the r12 second wave (exact_quantiles_histogram,
+# pagerank_power_iters, sketch_hll_merge_union), the r8-queue sample
+# shrinks from 15 to 7; the displaced eight (minhash_neardup_oracle,
+# fingerprint_dup_groups, token_counts, doc_quality, lang_id_stopwords,
+# inverted_index_postings, corpus_stats_documents, bigram_top_counts)
+# stay r8-proven and head the r13 queue with the other 33.
+# `tools/proof_ledger.py --check-prefix` exits clean on this list.
+# Code changed in r12 jumps this queue as always; two documented
+# non-stagings: (a) the error-path-only q.stop() guard added to the
+# other four stream entries' finally blocks (no plan/result change —
+# same convention as r11's _store_cache _release note); (b) the
+# hll_registers_by_group extraction under sketch_hll_distinct_users
+# (explain-string diffed identical modulo expr ids at extraction time,
+# and the oracle string is asserted byte-equal).
 _DRIVER_PRIORITY = [
     # never driver-graded (landed post-freeze in r11)
     "spatial_union_rings", "substring_dup_chains",
@@ -49,6 +54,9 @@ _DRIVER_PRIORITY = [
     "spatial_union_snap_rings", "spatial_intersection_rings",
     "spatial_difference_rings", "spatial_symdiff_rings",
     "substring_trim_retention",
+    # never driver-graded (r12 second wave)
+    "exact_quantiles_histogram", "pagerank_power_iters",
+    "sketch_hll_merge_union",
     # code changed in r11, not in the r11 prefix (ckpt cleanup wrap)
     "stream_dedup_user_type", "stream_stateful_running_totals",
     # staleness re-proof: ALL 27 remaining r7-proven (r7 retires)
@@ -66,12 +74,10 @@ _DRIVER_PRIORITY = [
     "table_checksum_orders", "column_profile_orders",
     "approx_stats_events", "data_quality_checks_orders",
     "approx_topk_event_types",
-    # staleness re-proof: first 10 of the r8-proven queue (oldest first)
+    # staleness re-proof: first 7 of the r8-proven queue (oldest first)
     "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
     "similarity_join_topk", "embedding_near_dup",
     "embedding_near_dup_blocked", "ngram_jaccard_topk",
-    "minhash_neardup_oracle", "fingerprint_dup_groups",
-    "token_counts",
 ]
 
 

@@ -933,3 +933,253 @@ def pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("vec_id"),
         rnd_nz(F.lit(0.15 / nn) + F.lit(0.85) * F.col("inflow"), 8).alias("pagerank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distributed quantiles without a global sort (two-pass histogram)
+# --------------------------------------------------------------------------
+
+# histogram bin width in CENTS (2^21 ≈ $20 971.52): o_totalprice tops out
+# near $600k ≈ 6e7 cents, so ~29 occupied bins per status — the pass-1
+# collect is |statuses| × bins, corpus-size-independent
+_QH_W = 1 << 21
+
+
+@query(
+    "exact_quantiles_histogram",
+    """
+    WITH c AS (
+      SELECT o_orderstatus AS s,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT s, cents,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY s) AS n
+      FROM c)
+    SELECT s AS o_orderstatus,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE)
+             / 100 AS p50,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS DOUBLE)
+             / 100 AS p90
+    FROM r GROUP BY s
+    """,
+)
+def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (lower median, ceil-rank p90) WITHOUT a
+    global sort — the technique that makes exact order statistics viable
+    at 100 TB, where the catalog's other quantile entries either sort
+    within a partition-sized group (percentiles_by_status) or accept
+    sketch bounds (approx_stats_events). Two passes:
+
+      pass 1: map-combined histogram groupBy(status, cents DIV 2^21) —
+              output is |groups| × occupied-bins rows, INDEPENDENT of
+              corpus size (the bounded collect guard asserts it);
+      driver: walk each group's sorted bins to locate the bin holding
+              each target rank (rank semantics pinned int-exact on both
+              engines: r50 = (n+1) DIV 2, r90 = (9n+9) DIV 10 = ceil(.9n));
+      pass 2: re-scan ONLY the selected bins — the filter carries
+              redundant o_totalprice RANGE predicates (widened ±2 cents
+              so float rounding can't exclude a boundary row) that push
+              down to the parquet scan's row-group min/max pruning, plus
+              the exact (status, cents DIV W) refine; a row_number window
+              over each bin's few rows picks the in-bin offset.
+
+    The selected VALUE is the k-th smallest of the multiset, well-defined
+    under duplicate cents regardless of row_number tie order. n_orders
+    rejoins as a literal map (the kmeans n_iter1 pattern — no join node).
+    Everything stays int64 cents until the final /100 (FLOOR(x·100+0.5)
+    both sides, the _revenue_e4 discipline; /100 is one IEEE division of
+    identical ints). At 100 TB: if a bin's row count still exceeds a
+    task, recurse — re-histogram WITHIN the bin at a finer width; each
+    level divides the candidate set by ~bins, so two levels cover 10^9
+    rows per group at this width."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.select(F.col("o_orderstatus").alias("s"), cents.alias("cents"))
+    hist = (
+        base.groupBy("s", F.expr(f"cents DIV {_QH_W}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert len(hist) < 10_000, "histogram collect guard: widen _QH_W"
+    by_s: dict[str, list[tuple[int, int]]] = {}
+    for row in hist:
+        by_s.setdefault(row["s"], []).append((row["b"], row["cnt"]))
+    targets: list[tuple[str, int, int, str]] = []  # (s, bin, offset, tag)
+    n_by_s: dict[str, int] = {}
+    for s, bl in by_s.items():
+        bl.sort()
+        n = sum(c for _, c in bl)
+        n_by_s[s] = n
+        for tag, rank in (("p50", (n + 1) // 2), ("p90", (9 * n + 9) // 10)):
+            cum = 0
+            for b, c in bl:
+                if cum + c >= rank:
+                    targets.append((s, b, rank - cum, tag))
+                    break
+                cum += c
+    if not targets:  # empty input table
+        return spark.createDataFrame(
+            [],
+            "o_orderstatus string, n_orders long, p50_cents long,"
+            " p90_cents long, p50 double, p90 double",
+        )
+    cond = None
+    for s, b, _, _ in targets:
+        lo = (b * _QH_W) / 100.0 - 0.02
+        hi = ((b + 1) * _QH_W) / 100.0 + 0.02
+        c = (
+            (F.col("o_orderstatus") == s)
+            & (F.col("o_totalprice") >= lo)
+            & (F.col("o_totalprice") < hi)
+        )
+        cond = c if cond is None else (cond | c)
+    filt = (
+        o.where(cond)
+        .select(F.col("o_orderstatus").alias("s"), cents.alias("cents"))
+        .withColumn("b", F.expr(f"cents DIV {_QH_W}"))
+    )
+    tgt = spark.createDataFrame(targets, "s string, b long, off long, tag string")
+    w = Window.partitionBy("s", "b").orderBy("cents")
+    picked = (
+        filt.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(tgt), ["s", "b"])
+        .where(F.col("rn") == F.col("off"))
+    )
+    n_map = F.create_map(
+        *[x for s, n in n_by_s.items() for x in (F.lit(s), F.lit(n))]
+    )
+    out = picked.groupBy("s").agg(
+        F.max(F.when(F.col("tag") == "p50", F.col("cents"))).alias("p50_cents"),
+        F.max(F.when(F.col("tag") == "p90", F.col("cents"))).alias("p90_cents"),
+    )
+    return out.select(
+        F.col("s").alias("o_orderstatus"),
+        F.element_at(n_map, F.col("s")).alias("n_orders"),
+        "p50_cents",
+        "p90_cents",
+        (F.col("p50_cents").cast("double") / 100).alias("p50"),
+        (F.col("p90_cents").cast("double") / 100).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-iteration PageRank in exact int64 fixed-point
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1e12 per node at start
+_PR_BASE = 150_000_000_000  # 0.15 · SCALE, the damping floor
+
+_PR_ITER_SQL = """
+    {out} AS (
+      SELECT e.d AS id,
+             CAST(150000000000 AS BIGINT)
+               + (85 * CAST(SUM({prev}.r // deg.deg) AS BIGINT)) // 100 AS r
+      FROM e JOIN {prev} ON e.s = {prev}.id JOIN deg ON e.s = deg.s
+      GROUP BY e.d)"""
+
+
+@query(
+    "pagerank_power_iters",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT pa AS s, pb AS d FROM pp
+          UNION ALL SELECT pb AS s, pa AS d FROM pp),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+    r0 AS (SELECT s AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),"""
+    + _PR_ITER_SQL.format(out="i1", prev="r0")
+    + ","
+    + _PR_ITER_SQL.format(out="i2", prev="i1")
+    + ","
+    + _PR_ITER_SQL.format(out="i3", prev="i2")
+    + """
+    SELECT id AS l_partkey, r AS pagerank_e12
+    FROM i3 ORDER BY pagerank_e12 DESC, l_partkey LIMIT 20
+    """,
+)
+def pagerank_power_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE PageRank power iterations (d = 0.85) over the co-order part
+    graph, in EXACT int64 fixed-point — the multi-iteration form of
+    `pagerank_one_iter` (whose one float step needed an 8-decimal round;
+    here every rank is a BIGINT, so the whole trajectory hash-compares
+    bit-exactly and iteration count can grow without float drift).
+
+    Graph: parts are nodes; an undirected edge links parts that share an
+    order (DISTINCT co-order pairs — per-order fan-out is bounded by
+    order size ≤ 7 lines, so the l_orderkey self-join never goes
+    quadratic in the table). Recurrence, identical in both engines:
+      r₀ = 10^12;  rᵢ₊₁(v) = 0.15·10^12 + (85 · Σ_{u→v} (rᵢ(u) DIV deg u)) DIV 100
+    Integer floor division on positive operands is the same operation in
+    Spark (DIV) and DuckDB (//). Overflow proof under ANSI: damping keeps
+    total mass ≈ N·10^12; one node's inflow is ≤ total mass, so with
+    N ≤ 10^5 graded nodes 85·inflow < 10^19·0.85 < 2^63. (At 10^9-node
+    scale the SCALE constant rescales to keep N·SCALE·85 < 2^63 — the
+    spec knob, documented rather than hidden in doubles.)
+
+    Scale shape: edges and degrees are localCheckpointed ONCE (four
+    consumers — recomputing the self-join per iteration is the plan-branch
+    rescan trap, the _tagged_parity_runs lesson); each iteration is one
+    broadcast of the node-sized message table into the edge scan plus a
+    map-combined groupBy(dst) sum. At 100 TB the ranks outgrow broadcast:
+    the production swap is edges bucketed by s reused across iterations
+    (shuffle-free msg join), dst-sum unchanged — the driver-loop pattern
+    generalized by operators/kmeans.lloyd_iterate. Output is a 20-row
+    TakeOrderedAndProject with partkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b2 = li.alias("a"), li.alias("b")
+    pp = (
+        a.join(b2, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e = pp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("s"), F.col("pb").alias("d")),
+                F.struct(F.col("pb").alias("s"), F.col("pa").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
+    e = e.localCheckpoint(eager=False)
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=False)
+    ranks = deg.select(
+        F.col("s").alias("id"), F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(3):
+        # qualified aliases: iteration 1's ranks DERIVES from deg, so an
+        # unqualified join is an ambiguous self-join to the analyzer
+        msg = (
+            ranks.alias("rk")
+            .join(deg.alias("dg"), F.col("rk.id") == F.col("dg.s"))
+            .select(
+                F.col("dg.s").alias("s"),
+                F.expr("rk.r DIV dg.deg").alias("c"),
+            )
+        )
+        inflow = (
+            e.join(F.broadcast(msg), "s")
+            .groupBy("d")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = inflow.select(
+            F.col("d").alias("id"),
+            (
+                F.lit(_PR_BASE).cast("long") + F.expr("(85 * inflow) DIV 100")
+            ).alias("r"),
+        )
+    return (
+        ranks.orderBy(F.desc("r"), "id")
+        .select(F.col("id").alias("l_partkey"), F.col("r").alias("pagerank_e12"))
+        .limit(20)
+    )

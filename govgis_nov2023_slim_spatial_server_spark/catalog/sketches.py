@@ -23,6 +23,8 @@ from ..operators.sketches import (
     bloom_prefilter_join,
     count_min_sketch,
     hll_estimate_by_group,
+    hll_registers_by_group,
+    hll_registers_to_estimate,
 )
 from ..schemas import load_table
 from ._registry import query
@@ -90,10 +92,11 @@ def sketch_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sketch_hll_distinct_users",
-    """
-    WITH k0 AS (
+# THE shared copy of the pinned HLL mix → registers CTE chain (mirrors
+# operators/sketches.hll_registers_by_group — change one, change both).
+# Spliced into both HLL oracles so the two engines can never drift apart
+# on the hash; ends at `regs` = (event_type, j, MAX(rho)).
+_HLL_REGS_CTES = """WITH k0 AS (
       SELECT event_type,
              ((user_id % 1048576) + 1048576) % 1048576 AS t
       FROM events WHERE user_id IS NOT NULL),
@@ -121,7 +124,14 @@ def sketch_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE length(bin((h // 64) & (-(h // 64)))) END AS rho
       FROM h),
     regs AS (
-      SELECT event_type, j, MAX(rho) AS r FROM r GROUP BY event_type, j),
+      SELECT event_type, j, MAX(rho) AS r FROM r GROUP BY event_type, j)"""
+
+
+@query(
+    "sketch_hll_distinct_users",
+    "\n    "
+    + _HLL_REGS_CTES
+    + """,
     s AS (
       SELECT event_type,
              CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
@@ -166,4 +176,134 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.join(exact, "event_type").select(
         "event_type", "register_sum", "hll_estimate", "exact_distinct"
+    )
+
+
+@query(
+    "sketch_hll_merge_union",
+    "\n    "
+    + _HLL_REGS_CTES
+    + """,
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+               AS register_sum
+      FROM regs GROUP BY event_type),
+    types AS (SELECT DISTINCT event_type FROM k0),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    pregs AS (
+      SELECT p.ta, p.tb, g.j, MAX(g.r) AS r
+      FROM pairs p JOIN regs g ON g.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, g.j),
+    psum AS (
+      SELECT ta, tb,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+               AS union_register_sum
+      FROM pregs GROUP BY ta, tb),
+    du AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL),
+    ovl AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             COUNT(*) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           psum.union_register_sum AS union_register_sum,
+           CAST('1675339061381824512' AS DOUBLE)
+             / CAST(psum.union_register_sum AS DOUBLE) AS est_union,
+           CAST('1675339061381824512' AS DOUBLE)
+               / CAST(sa.register_sum AS DOUBLE)
+             + CAST('1675339061381824512' AS DOUBLE)
+               / CAST(sb.register_sum AS DOUBLE)
+             - CAST('1675339061381824512' AS DOUBLE)
+               / CAST(psum.union_register_sum AS DOUBLE) AS est_overlap,
+           COALESCE(ovl.exact_overlap, CAST(0 AS BIGINT)) AS exact_overlap
+    FROM pairs p
+    JOIN psum ON psum.ta = p.ta AND psum.tb = p.tb
+    JOIN s sa ON sa.event_type = p.ta
+    JOIN s sb ON sb.event_type = p.tb
+    LEFT JOIN ovl ON ovl.ta = p.ta AND ovl.tb = p.tb
+    """,
+)
+def sketch_hll_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY graded directly: per-pair UNION sketches built by
+    element-wise register MAX of the per-type sketches — the algebra that
+    makes HLL the 100 TB distinct-count workhorse (sketch each
+    partition/day once, merge register tables forever after, never
+    re-scan), plus the inclusion–exclusion intersection estimate
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) checked against the exact overlap.
+
+    Everything downstream of the one map-combined register aggregate is
+    SKETCH-SIZED (≤ types·64 rows, corpus-independent): the pair fan-out
+    is a broadcast nested-loop of the register table into the ≤10 type
+    pairs, deliberately cheap at any corpus size. MAX is associative and
+    idempotent, so the per-pair union registers here are bit-identical to
+    sketching the concatenated streams — which is exactly what the oracle
+    cannot help but verify, since its INTERSECT-free formulation re-MAXes
+    the same integer registers. register sums stay exact int64
+    (Σ 2^(49−ρ) < 2^56); the estimates are single IEEE divisions of
+    identical ints and est_overlap is (a + b) − u of identical doubles,
+    so raw doubles hash-match (the parent entry's proven contract).
+    est_overlap can legitimately go negative at small overlaps — it is
+    the textbook estimator, reported against exact_overlap (distinct
+    users seen under BOTH types; per-user fan-out ≤ types², bounded).
+    Pairs with no shared user emit exact_overlap = 0 via the left join."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    regs = hll_registers_by_group(ev, "event_type", "user_id")
+    types = regs.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")),
+        F.col("ta") < F.col("tb"),
+    )
+    pregs = (
+        pairs.join(
+            F.broadcast(regs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "__j")
+        .agg(F.max("__r").alias("__r"))
+    )
+    usum = hll_registers_to_estimate(pregs, ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        F.col("register_sum").alias("union_register_sum"),
+        F.col("hll_estimate").alias("est_union"),
+    )
+    est = hll_registers_to_estimate(regs, ["event_type"])
+    ea = est.select(
+        F.col("event_type").alias("ta"), F.col("hll_estimate").alias("est_a")
+    )
+    eb = est.select(
+        F.col("event_type").alias("tb"), F.col("hll_estimate").alias("est_b")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    ovl = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(du.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    out = (
+        usum.join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(ovl, ["ta", "tb"], "left")
+    )
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "union_register_sum",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_overlap"
+        ),
+        F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+            "exact_overlap"
+        ),
     )

@@ -82,6 +82,22 @@ def hll_estimate_by_group(
     sketch state per group is 64 registers regardless of row count; skew
     is bounded by 64 rows per group key.
     """
+    regs = hll_registers_by_group(df, group_col, key_col)
+    return hll_registers_to_estimate(regs, [group_col])
+
+
+def hll_registers_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """The register half of `hll_estimate_by_group`: per (group, __j)
+    MAX-rho rows — the sketch STATE, exposed so register-level algebra
+    (union = element-wise MAX across sketches, the mergeability that
+    makes HLL distributable) can be graded directly
+    (catalog/sketches.sketch_hll_merge_union). Extracted r12 from
+    `hll_estimate_by_group` verbatim; the composed plan is unchanged
+    (explain-string diffed at extraction time)."""
     m = 64
     cap = 49  # w < 2^48 ⇒ natural rho ≤ 48; 49 = the all-zero sentinel
     t = F.pmod(F.col(key_col).cast("long"), F.lit(1 << 20))
@@ -99,15 +115,22 @@ def hll_estimate_by_group(
     rho = F.when(w == 0, F.lit(cap)).otherwise(
         F.length(F.bin(w.bitwiseAND(-w)))
     )
-    regs = (
+    return (
         df.select(F.col(group_col), j.alias("__j"), rho.alias("__rho"))
         .groupBy(group_col, "__j")
         .agg(F.max("__rho").alias("__r"))
     )
+
+
+def hll_registers_to_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → (register_sum, hll_estimate) per group key set. The
+    harmonic sum stays exact int64 (Σ 2^(49−ρ) ≤ 64·2^49 < 2^56); the
+    single float division is bit-identical in any IEEE engine."""
+    m, cap = 64, 49
     # empty registers contribute 2^cap (rho = 0): add them arithmetically
     # as (m - seen_registers) · 2^cap instead of materializing a spine
     alpha_m2_scale = float(93 * 2**54)  # (93/128)·m²·2^cap = 93·2^(5+49)
-    per_group = regs.groupBy(group_col).agg(
+    per_group = regs.groupBy(*group_cols).agg(
         F.sum(
             # python-side shiftleft requires a literal bit count; the SQL
             # function form accepts a column
@@ -119,7 +142,7 @@ def hll_estimate_by_group(
         1 << cap
     ).cast("long")
     return per_group.select(
-        F.col(group_col),
+        *[F.col(c) for c in group_cols],
         sum_int.alias("register_sum"),
         (F.lit(alpha_m2_scale) / sum_int.cast("double")).alias("hll_estimate"),
     )

@@ -47,3 +47,27 @@ def test_q1_partial_aggregation(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_semi_customers_with_orders")
     assert "LeftSemi" in plan
+
+
+def test_exact_quantiles_pass2_pushdown_and_broadcast(spark, sf_dir):
+    """Pass 2 of the two-pass quantile must (a) push the widened
+    o_totalprice bin ranges into the parquet scan (row-group min/max
+    pruning — the reason the pass is cheap at 100 TB) and (b) probe the
+    target bins via broadcast, never a shuffled join."""
+    plan = _plan(spark, sf_dir, "exact_quantiles_histogram")
+    scan = next(l for l in plan.splitlines() if "orders.parquet" in l)
+    assert "o_totalprice" in scan.split("PushedFilters")[1]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_broadcast_messages(spark, sf_dir):
+    """Each PageRank iteration broadcasts the node-sized message table
+    into the edge list (3 iterations ⇒ ≥3 broadcast joins); the edge
+    self-join is checkpointed, so the lineitem⋈lineitem shape must NOT
+    appear repeated per iteration."""
+    plan = _plan(spark, sf_dir, "pagerank_power_iters")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+    # the checkpointed edge list appears as a scan leaf, not a re-run join
+    assert plan.count("lineitem.parquet") == 0

@@ -55,6 +55,10 @@ ENTRIES = [
     # r11: largest-remainder quota apportionment — random stratum counts
     # hit every deficit value 0..4 and remainder ties (the key tie-break)
     "quota_stratified_split",
+    # r12: two-pass histogram quantiles — the tight cents range forces
+    # heavy duplicate values (rank ties) and the all-in-one-bin regime;
+    # single-row groups hit the r50 = r90 = 1 path
+    "exact_quantiles_histogram",
 ]
 
 STATUSES = ["O", "F", "P"]

@@ -87,6 +87,9 @@ ENTRIES = [
     # near-empty-register regime (w = 0 sentinel, (m − seen)·2^49 spine
     # arithmetic) the fixed corpora never reach
     "sketch_hll_distinct_users",
+    # r12: register-MAX union + inclusion-exclusion — few users force
+    # real overlaps; single-type corpora exercise the empty pair set
+    "sketch_hll_merge_union",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -307,3 +307,188 @@ def test_intersection_rings_store_nonvacuous(spark):
             sym.get(nm, 0)
             == a_n + b_sizes.get(nk, 0) - 2 * inter.get(nm, 0)
         ), nm
+
+
+# --------------------------------------------------------------------------
+# r12 late entries: exact two-pass quantiles, int64 PageRank, HLL merge
+# --------------------------------------------------------------------------
+
+
+def _write_orders(rows, tmp_path):
+    """rows: list of (status, cents)."""
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": [s for s, _ in rows],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+            "o_orderdate": [base] * len(rows),
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+
+
+def test_exact_quantiles_known_answer_multi_bin(spark, tmp_path):
+    """Targets land in DIFFERENT histogram bins (values straddle the 2^21-
+    cent bin width): p50 in bin 0, p90 in bin 2 — the bin walk, the in-bin
+    offset, and the widened pushdown ranges all exercised. Rank spec:
+    r50 = (n+1) DIV 2 (lower median), r90 = ceil(0.9 n)."""
+    cents = [1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 5_500_000]
+    _write_orders([("O", c) for c in cents], tmp_path)
+    got = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["exact_quantiles_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    n = len(cents)  # 9 → r50 = 5 → 5000; r90 = ceil(8.1) = 9 → 5_500_000
+    assert got["O"]["n_orders"] == n
+    assert got["O"]["p50_cents"] == 5000
+    assert got["O"]["p90_cents"] == 5_500_000
+    assert got["O"]["p50"] == 50.0
+    assert got["O"]["p90"] == 55000.0
+
+
+def test_exact_quantiles_duplicate_values_single_row_group(spark, tmp_path):
+    """All-duplicate cents (row_number tie order must not matter) and a
+    single-row group (both ranks = 1)."""
+    rows = [("O", 777)] * 6 + [("F", 123456)]
+    _write_orders(rows, tmp_path)
+    got = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["exact_quantiles_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["O"]["p50_cents"] == 777 and got["O"]["p90_cents"] == 777
+    assert got["F"]["p50_cents"] == 123456 and got["F"]["n_orders"] == 1
+
+
+def _write_lineitem_parts(pairs, tmp_path):
+    """pairs: list of (orderkey, partkey) line items."""
+    base = pd.Timestamp("1995-01-01")
+    pd.DataFrame(
+        {
+            "l_orderkey": [o for o, _ in pairs],
+            "l_partkey": [p for _, p in pairs],
+            "l_suppkey": [1] * len(pairs),
+            "l_linenumber": range(1, len(pairs) + 1),
+            "l_quantity": [1.0] * len(pairs),
+            "l_extendedprice": [100.0] * len(pairs),
+            "l_discount": [0.0] * len(pairs),
+            "l_tax": [0.0] * len(pairs),
+            "l_returnflag": ["N"] * len(pairs),
+            "l_linestatus": ["O"] * len(pairs),
+            "l_shipdate": [base] * len(pairs),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+
+def _pagerank_reference(edges, iters=3):
+    """Exact-int reference of the entry's recurrence."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, d in edges:
+        deg[s] += 1
+    r = {v: 1_000_000_000_000 for v in deg}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += r[s] // deg[s]
+        r = {v: 150_000_000_000 + (85 * x) // 100 for v, x in inflow.items()}
+    return r
+
+
+def test_pagerank_power_iters_path_graph(spark, tmp_path):
+    """Path graph 1–2–3 (orders {1,2} and {2,3}): the middle node must
+    out-rank the ends, and every rank must equal the exact-int reference."""
+    _write_lineitem_parts([(10, 1), (10, 2), (11, 2), (11, 3)], tmp_path)
+    got = {
+        r["l_partkey"]: r["pagerank_e12"]
+        for r in QUERIES["pagerank_power_iters"](spark, str(tmp_path)).collect()
+    }
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    want = _pagerank_reference(edges)
+    assert got == want
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_power_iters_random_vs_reference(spark, tmp_path):
+    """120 random line items (free partkeys — the shared lineitem harness
+    derives partkey from orderkey, which makes every co-order graph empty,
+    so this entry gets its own random generator): top-20 of the exact-int
+    reference, with the (rank desc, partkey) tie-break."""
+    rng = random.Random(20260815)
+    pairs = sorted(
+        {(rng.randint(1, 25), rng.randint(1, 18)) for _ in range(120)}
+    )
+    _write_lineitem_parts(pairs, tmp_path)
+    by_order = {}
+    for o, p in pairs:
+        by_order.setdefault(o, set()).add(p)
+    und = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                und.add((a, b))
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    want = _pagerank_reference(edges)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["l_partkey"], r["pagerank_e12"])
+        for r in QUERIES["pagerank_power_iters"](spark, str(tmp_path)).collect()
+    ]
+    assert got == top
+
+
+def _write_events_users(rows, tmp_path):
+    """rows: list of (user_id, event_type)."""
+    base = pd.Timestamp("2024-03-01")
+    pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": [base] * len(rows),
+            "user_id": [u for u, _ in rows],
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+
+def test_hll_merge_union_equals_direct_union_sketch(spark, tmp_path):
+    """The entry's register-MAX union sketch must equal sketching the
+    CONCATENATED streams directly (MAX associativity — the mergeability
+    contract), est_overlap must be exactly est_a + est_b − est_union, and
+    a disjoint pair must report exact_overlap 0 via the left join."""
+    from govgis_nov2023_slim_spatial_server_spark.operators.sketches import (
+        hll_registers_by_group,
+        hll_registers_to_estimate,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 400), "view") for _ in range(300)]
+    rows += [(rng.randint(300, 700), "click") for _ in range(300)]
+    rows += [(rng.randint(1000, 1100), "error") for _ in range(50)]
+    _write_events_users(rows, tmp_path)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["sketch_hll_merge_union"](spark, str(tmp_path)).collect()
+    }
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    for (ta, tb), row in out.items():
+        both = ev.where(F.col("event_type").isin([ta, tb])).withColumn(
+            "g", F.lit(1)
+        )
+        direct = hll_registers_to_estimate(
+            hll_registers_by_group(both, "g", "user_id"), ["g"]
+        ).collect()[0]
+        assert row["union_register_sum"] == direct["register_sum"]
+        assert row["est_union"] == direct["hll_estimate"]
+    # exact overlaps: view∩click users ∈ [300, 400]; anything × error = 0
+    assert out[("click", "view")]["exact_overlap"] > 0
+    assert out[("error", "view")]["exact_overlap"] == 0
+    assert out[("click", "error")]["exact_overlap"] == 0

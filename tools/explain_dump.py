@@ -99,6 +99,9 @@ NOTES = {
     "spatial_symdiff_rings": "the fourth sweep predicate (exactly one counter positive) on the same single tagged rasterize; the most fragmented output — every overlap becomes a hole — so it upper-bounds the chaining work of the family.",
     "spatial_union_snap_rings": "jittered store builds inline (width-sized repartition BEFORE the WKB UDF so encode + rasterize parallelize); then the union_rings pipeline unchanged — pad-4 window only adds ray-cast point tests, runs stay boundary-proportional.",
     "substring_trim_retention": "detection shares the dup-chains shape (df-cap anti-join, 8-byte gram key, (pair,diagonal) windows); the action adds one span DISTINCT and one doc_id-partitioned interval-union window; 30-row TakeOrderedAndProject.",
+    "exact_quantiles_histogram": "pass 2 only — pass 1's histogram is a separate bounded-collect job: the scan shows PushedFilters on o_totalprice (the widened bin ranges reach row-group pruning), the window runs over bin-sized partitions, the target probe is a BroadcastHashJoin, and n_orders rejoins as a literal map (no join node for it).",
+    "pagerank_power_iters": "edges + degrees localCheckpoint once (scan leaves, not a re-run self-join); each of the 3 iterations is one broadcast of the node-sized message table into the edge list + one map-combined dst-sum; 20-row TakeOrderedAndProject with partkey tie-break.",
+    "sketch_hll_merge_union": "ONE map-combined register aggregate over the corpus; everything after is sketch-sized (≤ types·64 rows) — the pair fan-out is a deliberate BroadcastNestedLoopJoin of the register table, corpus-independent; the exact-overlap side is a distinct (type,user) self-join with fan-out ≤ types² per user.",
 }
 
 

@@ -127,6 +127,15 @@ QUERIES_UNDER_TEST = {
     # r11); the added span DISTINCT + doc-partitioned interval-union
     # window should not change the exponent (spans ≪ candidate rows)
     "substring_trim_retention": (["documents"], "docs"),
+    # r12 second wave: two-pass exact quantiles (pass 1 map-combined
+    # histogram, pass 2 bin-pruned re-scan — both passes scan-bound, so
+    # α should approach the scan's), the int64 PageRank (edge build is
+    # the bounded per-order self-join; 3 broadcast-join iterations), and
+    # the HLL pair merge (one map-combined register agg + sketch-sized
+    # tail — the α of the AGGREGATE, everything else corpus-independent)
+    "exact_quantiles_histogram": (["orders"], "fact"),
+    "pagerank_power_iters": (["lineitem"], "fact"),
+    "sketch_hll_merge_union": (["events"], "fact"),
 }
 
 
