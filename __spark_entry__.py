@@ -57,6 +57,11 @@ _DRIVER_PRIORITY = [
     # never driver-graded (r12 second wave)
     "exact_quantiles_histogram", "pagerank_power_iters",
     "sketch_hll_merge_union",
+    # code changed in r12: the Arrow argmin assignment swap (bit-equal
+    # to the native form by test + unchanged oracle, but the plan gained
+    # ArrowEvalPython nodes — plan changes re-stage, the r10 store_width
+    # convention)
+    "kmeans_two_iterations",
     # code changed in r11, not in the r11 prefix (ckpt cleanup wrap)
     "stream_dedup_user_type", "stream_stateful_running_totals",
     # staleness re-proof: ALL 27 remaining r7-proven (r7 retires)
@@ -74,10 +79,12 @@ _DRIVER_PRIORITY = [
     "table_checksum_orders", "column_profile_orders",
     "approx_stats_events", "data_quality_checks_orders",
     "approx_topk_event_types",
-    # staleness re-proof: first 7 of the r8-proven queue (oldest first)
+    # staleness re-proof: first 6 of the r8-proven queue (oldest first;
+    # kmeans_two_iterations would be a 7th member but is staged above as
+    # code-changed — ngram_jaccard_topk slides to the r13 queue head)
     "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
     "similarity_join_topk", "embedding_near_dup",
-    "embedding_near_dup_blocked", "ngram_jaccard_topk",
+    "embedding_near_dup_blocked",
 ]
 
 

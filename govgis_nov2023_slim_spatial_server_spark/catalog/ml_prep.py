@@ -1166,31 +1166,21 @@ def udtf_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_best(e: DataFrame, cents: list[tuple[int, list[float]]]):
-    """Per-row argmin over centroid literals as a LEAST of (dist, cid)
-    structs — the no-join, no-window assignment kmeans_assign_step
-    grades; reused here for both iterations."""
-    from ..functions.hashes import _let
-    from ..functions.vector import euclidean_distance
+    """Per-row argmin over centroid literals — the no-join, no-window
+    assignment kmeans_assign_step grades (that entry keeps the native
+    LEAST-of-(dist, cid)-structs form, which this r12 Arrow kernel is
+    bit-identical to: same float32→float64 widening, cumsum = the HOF's
+    sequential fold, correctly-rounded sqrt, first-min = lexicographic
+    tie-break; identity asserted in tests/test_vector.py and by the
+    entry's unchanged oracle). Swapped because interpreted HOF lambdas
+    (k·dim per row, two passes) dominated the entry's wall — the
+    minhash_signature_arrow precedent applied to distance argmin."""
+    from ..functions.vector import argmin_euclidean_arrow
 
-    best = F.least(
-        *[
-            F.struct(
-                euclidean_distance("embedding", vec).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, vec in cents
-        ]
+    assign = argmin_euclidean_arrow(cents)
+    return e.select("vec_id", "embedding", assign("embedding").alias("__b")).select(
+        "vec_id", "embedding", "__b.cid", "__b.dist"
     )
-    return e.select(
-        "vec_id",
-        "embedding",
-        _let(
-            best,
-            lambda b: F.struct(
-                b.getField("cid").alias("cid"), b.getField("dist").alias("dist")
-            ),
-        ).alias("__b"),
-    ).select("vec_id", "embedding", "__b.cid", "__b.dist")
 
 
 @query(

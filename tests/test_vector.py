@@ -225,3 +225,67 @@ def test_quantize_int8_roundtrip(spark):
         assert got["mse"] == pytest.approx(mse, rel=1e-9, abs=1e-15)
         # quantization bound: |x - q*scale| <= scale/2 everywhere
         assert np.abs(v - q * scale).max() <= scale / 2 + 1e-12
+
+
+def test_argmin_euclidean_arrow_bit_identical_to_native(spark):
+    """The r12 Arrow argmin kernel must be BIT-identical (cid AND raw
+    double dist) to the native LEAST-of-(dist, cid)-structs form it
+    replaced in kmeans_two_iterations — 400 random float32 vectors,
+    centroids drawn from the same distribution, plus engineered exact
+    ties (duplicate centroids ⇒ the lowest cid must win on both paths)."""
+    import random
+
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import _let
+    from govgis_nov2023_slim_spatial_server_spark.functions.vector import (
+        argmin_euclidean_arrow,
+        euclidean_distance,
+    )
+
+    rng = random.Random(20260815)
+    dim = 16
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(400)
+    ]
+    # centroids 1..5 random; 6 duplicates 5 exactly (tie fixture); 7 is a
+    # COPY of vector 0 (zero distance, exercises w=0-ish edge)
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(1, 6)]
+    cents.append((6, list(cents[-1][1])))
+    cents.append((7, [float(np.float32(x)) for x in vecs[0][1]]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+    best = F.least(
+        *[
+            F.struct(
+                euclidean_distance("embedding", v).alias("dist"),
+                F.lit(c).cast("long").alias("cid"),
+            )
+            for c, v in cents
+        ]
+    )
+    native = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in df.select(
+            "vec_id",
+            _let(
+                best,
+                lambda b: F.struct(
+                    b.getField("cid").alias("cid"),
+                    b.getField("dist").alias("dist"),
+                ),
+            ).alias("b"),
+        )
+        .select("vec_id", "b.cid", "b.dist")
+        .collect()
+    }
+    assign = argmin_euclidean_arrow(cents)
+    arrow = {
+        r["vec_id"]: (r["b"]["cid"], r["b"]["dist"])
+        for r in df.select("vec_id", assign("embedding").alias("b")).collect()
+    }
+    assert arrow == native  # exact: cids and raw doubles
+    # the duplicate-centroid tie resolved to the LOWER cid somewhere
+    assert all(c != 6 for c, _ in arrow.values())

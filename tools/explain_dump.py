@@ -47,7 +47,7 @@ NOTES = {
     "matryoshka_rerank_16": "both funnel stages are TakeOrderedAndProject (per-partition heaps); the 16-dim coarse distance prunes before any full-dim arithmetic on non-candidates.",
     "hard_negative_mining": "anchors broadcast; the annulus band Filter runs BEFORE the per-anchor rank window, so ranked state is already pruned.",
     "parallel_moments_merge": "two stacked HashAggregates, both map-combined — the shard level materializes the partial-merge algebra the engine uses internally.",
-    "kmeans_two_iterations": "both assignment passes are LEAST-over-literal scans (no join/window); n_iter1 rejoins as a literal map lookup (r7 — the plan has NO join node at all); the only Exchanges are k-row aggregates and the bounded M-step collect.",
+    "kmeans_two_iterations": "both assignment passes are bit-exact Arrow argmin kernels (r12 — ArrowEvalPython replaced the interpreted LEAST-over-literal HOF scan, ~1.7x on the entry; identity pinned in tests/test_vector.py); still no join/window — n_iter1 rejoins as a literal map lookup (r7), the only Exchanges are k-row aggregates and the bounded M-step collect.",
     "graph_triangle_count": "edge build = hashed-shingle SortMergeJoin; wedge closure = two equi-joins on node keys — no cross product at any stage.",
     "udaf_cents_total_by_type": "ArrowAggregatePython: raw rows shuffle to the Python worker (NO map-side combine) — the plan-visible cost that keeps hot-path aggregation built-in.",
     "user_event_sequences": "one Exchange on user_id; ordered string_agg is array_sort over collected structs inside the same aggregate.",
