@@ -1230,8 +1230,11 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids — and mirrors what real systems broadcast anyway (quantized
     centroid tables). Driver state per iteration is k×dim floats (the
     IVF-seed collect pattern, `operators/ivf.py:43`); each assignment pass
-    is the no-join LEAST-over-literals scan, so a 100 TB corpus is read
-    once per iteration with no shuffle beyond the k-row aggregate."""
+    is a no-join scan — since r12 the bit-exact Arrow argmin kernel
+    (`functions/vector.argmin_euclidean_arrow`, identity pinned in
+    tests/test_vector.py; kmeans_assign_step still grades the native
+    LEAST form) — so a 100 TB corpus is read once per iteration with no
+    shuffle beyond the k-row aggregate."""
     e = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
     seeds = sorted(
         e.where(F.col("vec_id").between(1, 8)).select("vec_id", "embedding").collect(),
