@@ -1047,3 +1047,129 @@ def stream_dedup_reemit_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stop_quietly(q)
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# The win-keyed sibling of catalog/sketches._HLL_REGS_CTES (same pinned
+# mix constants — change one, change both): registers per TUMBLING HOUR
+# instead of per event_type. win = (floor(epoch(ts)) DIV 3600) · 3600,
+# matching Spark's long-cast truncation for positive timestamps.
+_HLL_WIN_REGS_CTES = """WITH k0 AS (
+      SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win,
+             ((user_id % 1048576) + 1048576) % 1048576 AS t
+      FROM events WHERE user_id IS NOT NULL),
+    m1 AS (
+      SELECT win,
+             ((t % 134217728) * 102334155 + (t // 134217728) * 97654321
+              + 12345) % 18014398509481951 AS t
+      FROM k0),
+    x1 AS (SELECT win, xor(t, t >> 21) AS t FROM m1),
+    m2 AS (
+      SELECT win,
+             ((t % 134217728) * 88675123 + (t // 134217728) * 134775813
+              + 424242) % 18014398509481951 AS t
+      FROM x1),
+    x2 AS (SELECT win, xor(t, t >> 21) AS t FROM m2),
+    m3 AS (
+      SELECT win,
+             ((t % 134217728) * 75327617 + (t // 134217728) * 123456789
+              + 999983) % 18014398509481951 AS t
+      FROM x2),
+    h AS (SELECT win, xor(t, t >> 21) AS h FROM m3),
+    r AS (
+      SELECT win, h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 49
+                  ELSE length(bin((h // 64) & (-(h // 64)))) END AS rho
+      FROM h),
+    regs AS (
+      SELECT win, j, MAX(rho) AS r FROM r GROUP BY win, j)"""
+
+
+@query(
+    "stream_hll_distinct_windows",
+    "\n    "
+    + _HLL_WIN_REGS_CTES
+    + """,
+    s AS (
+      SELECT win,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r))
+               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+               AS register_sum
+      FROM regs GROUP BY win),
+    x AS (
+      SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT s.win AS window_start_s,
+           s.register_sum AS register_sum,
+           CAST('1675339061381824512' AS DOUBLE)
+             / CAST(s.register_sum AS DOUBLE) AS hll_estimate,
+           x.exact_distinct AS exact_distinct
+    FROM s JOIN x USING (win)
+    """,
+)
+def stream_hll_distinct_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count with SKETCH-BOUNDED state, run BY THE
+    STREAMING ENGINE: per tumbling hour the stream maintains the pinned
+    64-register HLL (groupBy(win, register).MAX(rho) — a stateful
+    streaming aggregate whose state is 64 rows PER WINDOW regardless of
+    arrival count), drained availableNow in complete mode; register sums
+    and the estimate are then derived batch-side from the tiny snapshot
+    (`operators/sketches.hll_registers_to_estimate`). This is THE
+    100 TB streaming-distinct design: exact per-key distinct state grows
+    with cardinality and must eventually be dropped or spilled, while
+    MAX-of-rank registers absorb any arrival rate in constant state and
+    stay correct across restarts because MAX is idempotent under replay
+    — re-delivered rows can only re-assert the register they already
+    set. The oracle recomputes the identical registers per hour in
+    batch SQL (the win-keyed sibling of the `_HLL_REGS_CTES` chain), so
+    the streaming engine's stateful MAX is held to the exact integer
+    answer; exact_distinct rides along from a batch read, as in
+    `sketch_hll_distinct_users`. Production notes in-plan: complete
+    mode suits the bounded drain; a continuous deployment would use
+    update mode + watermark and MERGE emitted register deltas downstream
+    (register MAX-merge is `sketch_hll_merge_union`'s graded algebra)."""
+    from ..operators.sketches import (
+        hll_registers_by_group,
+        hll_registers_to_estimate,
+    )
+
+    ev = _events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    win = (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))).alias(
+        "win"
+    )
+    regs_stream = hll_registers_by_group(
+        ev.select(win, "user_id"), "win", "user_id"
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_hll_windows_{_SINK_SEQ[0]}"
+    q = None
+    try:
+        q = (
+            regs_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snapshot = spark.table(name)
+        est = hll_registers_to_estimate(snapshot, ["win"])
+        exact = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select(win, "user_id")
+            .groupBy("win")
+            .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        )
+        out = est.join(exact, "win").select(
+            F.col("win").alias("window_start_s"),
+            "register_sum",
+            "hll_estimate",
+            "exact_distinct",
+        )
+        # materialize before the memory sink's table goes stale for the
+        # next caller (same-session reruns recreate the sink name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        _stop_quietly(q)
+    return out

@@ -225,6 +225,9 @@ def test_stream_late_data_drop_matches_oracle_on_random_streams(spark, rows):
 
 STREAM_ENTRIES = [
     "stream_static_enrich",
+    # r12: sketch-bounded streaming distinct — few users per random
+    # window exercise tiny register sets; ts ties land in one window
+    "stream_hll_distinct_windows",
     "stream_tumbling_event_counts",
     "stream_sliding_event_counts",
     "stream_session_user_totals",

@@ -102,6 +102,7 @@ NOTES = {
     "exact_quantiles_histogram": "pass 2 only — pass 1's histogram is a separate bounded-collect job: the scan shows PushedFilters on o_totalprice (the widened bin ranges reach row-group pruning), the window runs over bin-sized partitions, the target probe is a BroadcastHashJoin, and n_orders rejoins as a literal map (no join node for it).",
     "pagerank_power_iters": "edges + degrees localCheckpoint once (scan leaves, not a re-run self-join); each of the 3 iterations is one broadcast of the node-sized message table into the edge list + one map-combined dst-sum; 20-row TakeOrderedAndProject with partkey tie-break.",
     "sketch_hll_merge_union": "ONE map-combined register aggregate over the corpus; everything after is sketch-sized (≤ types·64 rows) — the pair fan-out is a deliberate BroadcastNestedLoopJoin of the register table, corpus-independent; the exact-overlap side is a distinct (type,user) self-join with fan-out ≤ types² per user.",
+    "stream_hll_distinct_windows": "STATEFUL streaming aggregate with sketch-bounded state: groupBy(win, register).MAX(rho) keeps 64 rows per window whatever the arrival count; complete-mode availableNow drain, then register_sum/estimate derive batch-side from the tiny snapshot (plan shown is the batch tail over the localCheckpointed snapshot).",
 }
 
 
