@@ -111,6 +111,11 @@ ENTRIES = [
     # vary the jitter lattice (odd 1/64-multiples) against the cell
     # grid; membership must stay exact on every draw
     "spatial_union_snap_rings",
+    # r12: nearest-neighbor spatial JOIN — random dbs have 1-2 facilities
+    # (custkey%10==1 of 3..15 keys), so most points exceed the ring
+    # guarantee and take the residual broadcast-argmin branch; the graded
+    # corpora (150+ facilities) exercise the ring-kept branch
+    "spatial_nn_join_ring",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

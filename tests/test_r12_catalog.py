@@ -492,3 +492,95 @@ def test_hll_merge_union_equals_direct_union_sketch(spark, tmp_path):
     assert out[("click", "view")]["exact_overlap"] > 0
     assert out[("error", "view")]["exact_overlap"] == 0
     assert out[("click", "error")]["exact_overlap"] == 0
+
+
+# ---------------------------------------------------------------------------
+# spatial_nn_join_ring — nearest-neighbor spatial join
+# ---------------------------------------------------------------------------
+
+
+def _write_nn_db(custkeys, partkeys, tmp_path):
+    pd.DataFrame(
+        {
+            "c_custkey": pd.array(custkeys, dtype="int64"),
+            "c_name": [f"Customer#{k}" for k in custkeys],
+            "c_nationkey": pd.array([0] * len(custkeys), dtype="int32"),
+            "c_acctbal": [0.0] * len(custkeys),
+            "c_mktsegment": ["BUILDING"] * len(custkeys),
+        }
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "p_partkey": pd.array(partkeys, dtype="int64"),
+            "p_name": [f"part {k}" for k in partkeys],
+            "p_brand": ["Brand#1"] * len(partkeys),
+            "p_type": ["ECONOMY ANODIZED STEEL"] * len(partkeys),
+            "p_size": pd.array([1] * len(partkeys), dtype="int32"),
+            "p_retailprice": [100.0] * len(partkeys),
+        }
+    ).to_parquet(tmp_path / "part.parquet", index=False)
+
+
+def _nn_brute_force(custkeys, partkeys):
+    facs = [
+        (k, (k % 50) * 8 + (k % 7), (k % 20) * 8 + (k % 5))
+        for k in custkeys
+        if k % 10 == 1
+    ]
+    out = {}
+    for pk in partkeys:
+        px, py = (pk * 13) % 401, (pk * 29) % 161
+        best = min(
+            ((px - fx) ** 2 + (py - fy) ** 2, ck) for ck, fx, fy in facs
+        )
+        out[pk] = (best[1], best[0])
+    return out
+
+
+def test_nn_join_ring_matches_brute_force_random_keysets(spark, tmp_path):
+    """Entry output == exact per-point argmin (with custkey tie-break) on
+    random key SETS — keys drive the lattice positions, so random subsets
+    sweep ring-kept, residual-fallback, and equal-dsq tie branches. The
+    dense draw guarantees ring hits; the sparse draw forces fallbacks."""
+    rng = random.Random(12)
+    for trial in range(6):
+        if trial % 2 == 0:  # dense facilities: ring branch active
+            custkeys = sorted(rng.sample(range(1, 1000), 300) + [1])
+        else:  # sparse: residual branch dominant
+            custkeys = sorted(rng.sample(range(1, 1000), 12) + [1])
+        partkeys = sorted(rng.sample(range(1, 3000), 40))
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        _write_nn_db(custkeys, partkeys, d)
+        got = {
+            r["p_partkey"]: (r["nearest_custkey"], r["dsq"])
+            for r in QUERIES["spatial_nn_join_ring"](spark, str(d)).collect()
+        }
+        want = _nn_brute_force(custkeys, partkeys)
+        assert got == want
+        # every point appears exactly once (kept ∪ residual is a partition)
+        assert len(got) == len(partkeys)
+
+
+def test_nn_join_ring_guarantee_constant():
+    """The keep threshold is exactly the ring guarantee: a facility outside
+    the 3x3 neighborhood of 32-unit cells differs by >= 2 cells in some
+    axis, so its coordinate gap is >= 2*32 - 31 = 33 and dsq >= 33^2 =
+    1089; the entry keeps ring winners iff dsq <= 1088."""
+    assert 2 * 32 - 31 == 33 and 33 * 33 == 1089
+
+
+def test_nn_join_ring_plan_shapes(spark):
+    """Physical plan of the returned DataFrame: the per-point best is read
+    from the localCheckpoint barrier (Scan ExistingRDD) — the candidate
+    join is NOT recomputed under the residual branch (the first cut had
+    two BroadcastHashJoins on the cell keys); the residual's full search
+    is a bounded BroadcastNestedLoopJoin of the facility dim, and nothing
+    is an unbounded CartesianProduct."""
+    plan = QUERIES["spatial_nn_join_ring"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 1  # the checkpoint barrier
+    assert "BroadcastHashJoin" not in plan  # candidate join ran pre-barrier
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
