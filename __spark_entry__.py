@@ -33,9 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # new entries enter the unfrozen prefix rather than idling a round.
 # To fit 50 with the r12 second wave (exact_quantiles_histogram,
 # pagerank_power_iters, sketch_hll_merge_union,
-# stream_hll_distinct_windows) plus the code-changed kmeans, the
-# r8-queue sample shrinks from 15 to 5; the displaced ten
-# (embedding_near_dup_blocked, ngram_jaccard_topk,
+# stream_hll_distinct_windows) plus the third-wave
+# spatial_nn_join_ring and the code-changed kmeans, the r8-queue
+# sample shrinks from 15 to 4; the displaced eleven
+# (embedding_near_dup, embedding_near_dup_blocked, ngram_jaccard_topk,
 # minhash_neardup_oracle, fingerprint_dup_groups, token_counts,
 # doc_quality, lang_id_stopwords, inverted_index_postings,
 # corpus_stats_documents, bigram_top_counts) stay r8-proven and head
@@ -60,6 +61,9 @@ _DRIVER_PRIORITY = [
     # never driver-graded (r12 second wave)
     "exact_quantiles_histogram", "pagerank_power_iters",
     "sketch_hll_merge_union", "stream_hll_distinct_windows",
+    # never driver-graded (r12 third wave — displaces embedding_near_dup,
+    # which stays r8-proven and joins the r13 queue head)
+    "spatial_nn_join_ring",
     # code changed in r12: the Arrow argmin assignment swap (bit-equal
     # to the native form by test + unchanged oracle, but the plan gained
     # ArrowEvalPython nodes — plan changes re-stage, the r10 store_width
@@ -82,12 +86,12 @@ _DRIVER_PRIORITY = [
     "table_checksum_orders", "column_profile_orders",
     "approx_stats_events", "data_quality_checks_orders",
     "approx_topk_event_types",
-    # staleness re-proof: first 5 of the r8-proven queue (oldest first;
+    # staleness re-proof: first 4 of the r8-proven queue (oldest first;
     # kmeans_two_iterations would be a member but is staged above as
-    # code-changed — embedding_near_dup_blocked and ngram_jaccard_topk
-    # slide to the r13 queue head)
+    # code-changed — embedding_near_dup, embedding_near_dup_blocked and
+    # ngram_jaccard_topk slide to the r13 queue head)
     "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
-    "similarity_join_topk", "embedding_near_dup",
+    "similarity_join_topk",
 ]
 
 
