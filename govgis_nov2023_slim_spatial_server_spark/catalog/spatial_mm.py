@@ -684,6 +684,14 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-table-sized 5-int64 relation, strictly cheaper at scale than a
     second candidate join + point scan."""
     ck = F.col("c_custkey")
+    # Position-dedup is a LOSSLESS pre-aggregation for argmin semantics:
+    # co-located facilities all tie on dsq, so keeping the min custkey per
+    # position preserves the global (dsq, custkey) tie-break exactly (the
+    # global min over keys equals the min over per-position minima). The
+    # key lattice has <= lcm(50,7,20,5) = 700 distinct positions, so this
+    # bounds BOTH the broadcast ring table and the per-point candidate
+    # count by the position vocabulary, not the facility row count — the
+    # same pre-merge lever as dissolve's merge_runs.
     f = (
         _t(spark, sf_dir, "customer")
         .where(ck % 10 == 1)
@@ -692,6 +700,8 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ck % 50) * 8 + (ck % 7)).cast("long").alias("fx"),
             ((ck % 20) * 8 + (ck % 5)).cast("long").alias("fy"),
         )
+        .groupBy("fx", "fy")
+        .agg(F.min("c_custkey").alias("c_custkey"))
     )
     pk = F.col("p_partkey")
     p = _t(spark, sf_dir, "part").select(

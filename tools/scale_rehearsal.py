@@ -140,6 +140,12 @@ QUERIES_UNDER_TEST = {
     # the stateful MAX's state stays 64 rows/window at any replication,
     # so the wall should track the stream scan, not the distinct count
     "stream_hll_distinct_windows": (["events"], "fact"),
+    # r12 third wave: the NN spatial join — key-shifted replicas grow
+    # BOTH sides (20× points, 20× facilities); denser facilities mean
+    # more ring candidates per point but also a higher kept fraction
+    # (fewer residual fallbacks), so the candidate join should stay
+    # ~N× while the broadcast-argmin residual SHRINKS
+    "spatial_nn_join_ring": (["part", "customer"], "docs"),
 }
 
 
