@@ -87,13 +87,19 @@ HEADLINE = CORE_SET + [
     # rasterize — the heaviest per-call geometry path)
     "spatial_intersection_rings",
     "spatial_union_snap_rings",
+    # r12 third wave: the NN spatial join (ring candidate join +
+    # checkpoint barrier + residual broadcast argmin — the catalog's
+    # only localCheckpoint-in-plan headliner, so per-call barrier cost
+    # stays measured)
+    "spatial_nn_join_ring",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
 # way CORE_SET froze the r1–r5 set: published as "value_r11_set" so the
 # r11→r12→… totals stay comparable as HEADLINE keeps growing.
 R11_SET = [n for n in HEADLINE if n not in
-           ("spatial_intersection_rings", "spatial_union_snap_rings")]
+           ("spatial_intersection_rings", "spatial_union_snap_rings",
+            "spatial_nn_join_ring")]
 
 
 # Canary: 4G-row range-sum on 32 partitions — large enough that runtime
