@@ -61,9 +61,10 @@ _DRIVER_PRIORITY = [
     # never driver-graded (r12 second wave)
     "exact_quantiles_histogram", "pagerank_power_iters",
     "sketch_hll_merge_union", "stream_hll_distinct_windows",
-    # never driver-graded (r12 third wave — displaces embedding_near_dup,
-    # which stays r8-proven and joins the r13 queue head)
-    "spatial_nn_join_ring",
+    # never driver-graded (r12 third wave — displaces embedding_near_dup
+    # and similarity_join_topk, which stay r8-proven and join the r13
+    # queue head)
+    "spatial_nn_join_ring", "spatial_intersection_snap_rings",
     # code changed in r12: the Arrow argmin assignment swap (bit-equal
     # to the native form by test + unchanged oracle, but the plan gained
     # ArrowEvalPython nodes — plan changes re-stage, the r10 store_width
@@ -86,12 +87,12 @@ _DRIVER_PRIORITY = [
     "table_checksum_orders", "column_profile_orders",
     "approx_stats_events", "data_quality_checks_orders",
     "approx_topk_event_types",
-    # staleness re-proof: first 4 of the r8-proven queue (oldest first;
+    # staleness re-proof: first 3 of the r8-proven queue (oldest first;
     # kmeans_two_iterations would be a member but is staged above as
-    # code-changed — embedding_near_dup, embedding_near_dup_blocked and
-    # ngram_jaccard_topk slide to the r13 queue head)
+    # code-changed — similarity_join_topk, embedding_near_dup,
+    # embedding_near_dup_blocked and ngram_jaccard_topk slide to the r13
+    # queue head)
     "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
-    "similarity_join_topk",
 ]
 
 

@@ -1737,3 +1737,137 @@ def spatial_simplify_collinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_checksum"),
         )
     )
+
+
+_SNAP_PAR_OCC_SQL = """
+    WITH p AS (
+      SELECT c_custkey AS k, c_nationkey,
+             CAST(-125.0 + (c_custkey % 40) * 1.5
+                  + (1 + (c_custkey % 8) * 2) * 0.015625 AS DOUBLE) AS x0,
+             CAST(24.0 + (c_custkey % 16) * 1.25
+                  + (3 + (c_custkey % 7) * 2) * 0.015625 AS DOUBLE) AS y0,
+             CAST(1.0 + (c_custkey % 7) * 0.25 AS DOUBLE) AS w,
+             CAST(1.0 + (c_custkey % 5) * 0.25 AS DOUBLE) AS h
+      FROM customer),
+    g AS (
+      SELECT k, c_nationkey, x0, y0, w, h,
+             (k % 40) * 24 - 2000 AS ix0,
+             384 + (k % 16) * 20 AS iy0,
+             20 + (k % 7) * 4 AS nx,
+             20 + (k % 5) * 4 AS ny
+      FROM p),
+    ii AS (SELECT unnest(range(0, 44)) AS i),
+    jj AS (SELECT unnest(range(0, 36)) AS j),
+    cells AS (
+      SELECT g.c_nationkey, g.k % 2 AS par,
+             g.ix0 + ii.i AS ix, g.iy0 + jj.j AS iy,
+             CAST((g.ix0 + ii.i) * 0.0625 + 0.03125 AS DOUBLE) AS cx,
+             CAST((g.iy0 + jj.j) * 0.0625 + 0.03125 AS DOUBLE) AS cy,
+             g.k, g.x0, g.y0, g.w, g.h
+      FROM g CROSS JOIN ii CROSS JOIN jj
+      WHERE ii.i < g.nx AND jj.j < g.ny),
+    occ AS (
+      SELECT DISTINCT c_nationkey, par, ix, iy
+      FROM cells
+      WHERE cx > x0 AND cx < x0 + w AND cy > y0 AND cy < y0 + h
+        AND CASE WHEN k % 2 = 1
+            THEN NOT (cx > x0 + w * 0.5 AND cy > y0 + h * 0.5)
+            ELSE NOT (cx > x0 + w * 0.25 AND cx < x0 + w * 0.75
+                  AND cy > y0 + h * 0.25 AND cy < y0 + h * 0.75) END)
+"""
+
+
+def _snap_tagged_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jittered NON-lattice store of `spatial_union_snap_rings`, but
+    rasterized ONCE with the parity layer encoded into the run key
+    (2·nation + custkey%2) — the `_tagged_parity_runs` lever applied at
+    the snap seam, so the general-polygon boolean entries parse each
+    polygon's WKB exactly once."""
+    from ..operators.dissolve import merge_runs
+
+    c = load_table(spark, sf_dir, "customer")
+    par = store_width(spark, c.count())
+    k = F.col("c_custkey")
+    x0 = (
+        F.lit(-125.0)
+        + (k % 40).cast("double") * 1.5
+        + (F.lit(1.0) + (k % 8).cast("double") * 2.0) * F.lit(0.015625)
+    )
+    y0 = (
+        F.lit(24.0)
+        + (k % 16).cast("double") * 1.25
+        + (F.lit(3.0) + (k % 7).cast("double") * 2.0) * F.lit(0.015625)
+    )
+    w = F.lit(1.0) + (k % 7).cast("double") * 0.25
+    h = F.lit(1.0) + (k % 5).cast("double") * 0.25
+    params = c.select(
+        "c_custkey",
+        "c_nationkey",
+        x0.alias("x0"),
+        y0.alias("y0"),
+        w.alias("w"),
+        h.alias("h"),
+    ).repartition(par)
+    wkb = params.select(
+        "c_custkey",
+        (F.col("c_nationkey").cast("long") * 2 + (k % 2)).alias("c_nationkey"),
+        make_shape_wkb_udf()(
+            F.col("c_custkey"), F.col("x0"), F.col("y0"), F.col("w"), F.col("h")
+        ).alias("geom_wkb"),
+    )
+    merged = merge_runs(_runs_from(_store_enriched(wkb, pad=4)))
+    return merged.select(
+        ((F.col("c_nationkey") - F.col("c_nationkey") % 2) / 2)
+        .cast("long")
+        .alias("c_nationkey"),
+        (F.col("c_nationkey") % 2).cast("int").alias("layer"),
+        "iy",
+        "x0",
+        "x1",
+    )
+
+
+@query(
+    "spatial_intersection_snap_rings",
+    _SNAP_PAR_OCC_SQL
+    + """,
+    ab AS (
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 1
+      INTERSECT
+      SELECT c_nationkey, ix, iy FROM occ WHERE par = 0)
+"""
+    + _RINGS_TAIL_SQL.format(area_alias="inter_area", src="ab"),
+)
+def spatial_intersection_snap_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection GEOMETRY on GENERAL (non-lattice) polygons — the
+    boolean half of the snap seam, completing what
+    `spatial_union_snap_rings` opened: PostGIS users intersect arbitrary
+    polygon layers (reference load_data.py:79's geometry(Polygon,4326)
+    carries no lattice restriction), and until now the repo's
+    intersection GEOMETRY was lattice-only. Inputs are the SAME jittered
+    L-shapes/donuts (every vertex an odd-1/64 multiple, provably off
+    every cell boundary and center line — the snap-union entry's
+    disjointness proof carries over verbatim), split into parity layers
+    (odd keys = A, even = B) and rasterized ONCE with the layer tag
+    encoded in the run key; the two-counter boundary sweep
+    (`boolean_runs_tagged`) and leftmost-turn ring reconstruction are the
+    lattice entries' operators UNCHANGED — the snap front composes, it
+    does not fork the geometry stack.
+
+    The graded scorecard derives from the RECONSTRUCTED rings' integer
+    shoelace (cell count, vertex extent) while the oracle counts DISTINCT
+    intersected cells closed-form — any sweep or chaining error on the
+    jittered fronts fails the hash. Scale shape: identical to
+    `spatial_intersection_rings` (events ∝ runs ∝ boundary; the sweep
+    parallelizes over (key, scan-line); ONE dissolve-key Exchange carries
+    only the result's runs) plus the inline jittered store build, the
+    honest uncached cost of general-polygon input."""
+    from ..operators.dissolve import boolean_runs_tagged, union_rings_by_key
+
+    geo = union_rings_by_key(
+        boolean_runs_tagged(_snap_tagged_runs(spark, sf_dir), "intersection"),
+        key="c_nationkey",
+        cell=0.0625,
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return _rings_result(geo, nation, "inter_area")

@@ -111,6 +111,10 @@ ENTRIES = [
     # vary the jitter lattice (odd 1/64-multiples) against the cell
     # grid; membership must stay exact on every draw
     "spatial_union_snap_rings",
+    # r12: the boolean half of the snap seam — random key sets vary
+    # which jittered parity layers overlap; the tagged sweep + ring
+    # scorecard grade the composition on every draw
+    "spatial_intersection_snap_rings",
     # r12: nearest-neighbor spatial JOIN — random dbs have 1-2 facilities
     # (custkey%10==1 of 3..15 keys), so most points exceed the ring
     # guarantee and take the residual broadcast-argmin branch; the graded

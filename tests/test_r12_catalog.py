@@ -584,3 +584,25 @@ def test_nn_join_ring_plan_shapes(spark):
     assert "BroadcastHashJoin" not in plan  # candidate join ran pre-barrier
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_intersection_snap_rings_nonvacuous_and_bounded(spark):
+    """sf0.001: the jittered parity layers genuinely overlap (non-empty
+    intersection for some nation), and per nation the snap intersection
+    is a SUBSET of the snap union: n_cells(A∩B) <= n_cells(A∪B) with the
+    intersection's extent contained in the union's."""
+    sf = "/root/testdata/sf0.001"
+    inter = {
+        r["n_name"]: r
+        for r in QUERIES["spatial_intersection_snap_rings"](spark, sf).collect()
+    }
+    union = {
+        r["n_name"]: r
+        for r in QUERIES["spatial_union_snap_rings"](spark, sf).collect()
+    }
+    assert inter and sum(r["n_cells"] for r in inter.values()) > 0
+    for name, ri in inter.items():
+        ru = union[name]
+        assert 0 < ri["n_cells"] <= ru["n_cells"]
+        assert ru["x_min"] <= ri["x_min"] and ri["x_max"] <= ru["x_max"]
+        assert ru["y_min"] <= ri["y_min"] and ri["y_max"] <= ru["y_max"]

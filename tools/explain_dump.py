@@ -103,6 +103,7 @@ NOTES = {
     "pagerank_power_iters": "edges + degrees localCheckpoint once (scan leaves, not a re-run self-join); each of the 3 iterations is one broadcast of the node-sized message table into the edge list + one map-combined dst-sum; 20-row TakeOrderedAndProject with partkey tie-break.",
     "sketch_hll_merge_union": "ONE map-combined register aggregate over the corpus; everything after is sketch-sized (≤ types·64 rows) — the pair fan-out is a deliberate BroadcastNestedLoopJoin of the register table, corpus-independent; the exact-overlap side is a distinct (type,user) self-join with fan-out ≤ types² per user.",
     "stream_hll_distinct_windows": "STATEFUL streaming aggregate with sketch-bounded state: groupBy(win, register).MAX(rho) keeps 64 rows per window whatever the arrival count; complete-mode availableNow drain, then register_sum/estimate derive batch-side from the tiny snapshot (plan shown is the batch tail over the localCheckpointed snapshot).",
+    "spatial_intersection_snap_rings": "the snap-union store build (inline jittered WKB, width-sized repartition) rasterized ONCE with the layer tag in the run key; then the lattice intersection's sweep + ring reconstruction unchanged — one event aggregate, one (key, iy) window, ONE dissolve-key Exchange.",
     "spatial_nn_join_ring": "per-point best computed ONCE (facility position-dedup → broadcast 3×3 cell-ring → cell equi BroadcastHashJoin → map-combined min(struct)) behind a localCheckpoint barrier — the shown plan reads Scan ExistingRDD, splits kept (dsq ≤ 1088 ring guarantee) from residual, and the residual's full search is the ONE bounded BroadcastNestedLoopJoin; without the barrier Catalyst recomputed the whole candidate join under the residual branch.",
 }
 
