@@ -140,6 +140,10 @@ QUERIES_UNDER_TEST = {
     # the stateful MAX's state stays 64 rows/window at any replication,
     # so the wall should track the stream scan, not the distinct count
     "stream_hll_distinct_windows": (["events"], "fact"),
+    # r12 third wave: the boolean half of the snap seam — should track
+    # the snap-union front (inline jittered store build included) plus
+    # the tagged sweep's run-proportional events
+    "spatial_intersection_snap_rings": (["customer", "nation"], "docs"),
     # r12 third wave: the NN spatial join — key-shifted replicas grow
     # BOTH sides (20× points, 20× facilities); denser facilities mean
     # more ring candidates per point but also a higher kept fraction
