@@ -23,76 +23,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r11), so insertion order
-# decides which queries get correctness rows. r12 prefix: the r11
-# verdict's staging (6 never-graded r11 entries, 2 ckpt-cleanup-changed
-# stream entries, all 27 remaining r7-proven — r7 retires), AMENDED
-# mid-round to pull in the 5 entries r12 itself added AFTER the first
-# rotation (the boolean-rings family, the grid-snapped general union,
-# and the substring-trim action) — the driver grades at round END, so
-# new entries enter the unfrozen prefix rather than idling a round.
-# To fit 50 with the r12 second wave (exact_quantiles_histogram,
-# pagerank_power_iters, sketch_hll_merge_union,
-# stream_hll_distinct_windows) plus the third-wave
-# spatial_nn_join_ring and the code-changed kmeans, the r8-queue
-# sample shrinks from 15 to 4; the displaced eleven
-# (embedding_near_dup, embedding_near_dup_blocked, ngram_jaccard_topk,
-# minhash_neardup_oracle, fingerprint_dup_groups, token_counts,
-# doc_quality, lang_id_stopwords, inverted_index_postings,
-# corpus_stats_documents, bigram_top_counts) stay r8-proven and head
-# the r13 queue with the other 33.
-# `tools/proof_ledger.py --check-prefix` exits clean on this list.
-# Code changed in r12 jumps this queue as always; two documented
-# non-stagings: (a) the error-path-only q.stop() guard added to the
-# other four stream entries' finally blocks (no plan/result change —
-# same convention as r11's _store_cache _release note); (b) the
-# hll_registers_by_group extraction under sketch_hll_distinct_users
-# (explain-string diffed identical modulo expr ids at extraction time,
-# and the oracle string is asserted byte-equal).
+# (verified key-by-key against CORRECTNESS_r01..r12), so insertion order
+# decides which queries get correctness rows. r13 prefix: pure rotation
+# per the r12 verdict staging — the r12 code-changed set is empty
+# (the q.stop() error-path guard on the other four stream entries and
+# the hll_registers_by_group extraction are the two documented
+# non-stagings from r12), so the prefix is ALL 44 remaining r8-proven
+# entries (r8 retires after a green r13) + the FIRST 6 of the r9 queue
+# (incl. the rows-only minhash_lsh_neardup, whose exact mechanism twin
+# minhash_neardup_oracle is in this same prefix) = 50, exactly the
+# `proof_ledger.py --assume-next-green` queue order. New r13 entries
+# and r13 code-changed entries jump this queue as always, displacing
+# re-proof members from the TAIL (the r9-queue members first, then the
+# deepest r8 ones); displaced members stay proven and head the r14
+# queue. `tools/proof_ledger.py --check-prefix` exits clean on this
+# list.
+# r13 bookkeeping corrections to the r12 header (ADVICE r12): the r12
+# displaced list was TWELVE, not eleven — similarity_join_topk was also
+# displaced (kmeans_two_iterations filled the fourth graded r8-queue
+# slot as code-changed) — and the sample shrank 15→3 queue members
+# (+ kmeans as the code-changed fourth), matching CLAUDE.md's r12
+# record.
 _DRIVER_PRIORITY = [
-    # never driver-graded (landed post-freeze in r11)
-    "spatial_union_rings", "substring_dup_chains",
-    "pps_systematic_sample", "spatial_buffer_rings",
-    "quota_stratified_split", "prefix_filter_jaccard_pairs",
-    # never driver-graded (landed in r12 after the first rotation)
-    "spatial_union_snap_rings", "spatial_intersection_rings",
-    "spatial_difference_rings", "spatial_symdiff_rings",
-    "substring_trim_retention",
-    # never driver-graded (r12 second wave)
-    "exact_quantiles_histogram", "pagerank_power_iters",
-    "sketch_hll_merge_union", "stream_hll_distinct_windows",
-    # never driver-graded (r12 third wave — displaces embedding_near_dup
-    # and similarity_join_topk, which stay r8-proven and join the r13
-    # queue head)
-    "spatial_nn_join_ring", "spatial_intersection_snap_rings",
-    # code changed in r12: the Arrow argmin assignment swap (bit-equal
-    # to the native form by test + unchanged oracle, but the plan gained
-    # ArrowEvalPython nodes — plan changes re-stage, the r10 store_width
-    # convention)
-    "kmeans_two_iterations",
-    # code changed in r11, not in the r11 prefix (ckpt cleanup wrap)
-    "stream_dedup_user_type", "stream_stateful_running_totals",
-    # staleness re-proof: ALL 27 remaining r7-proven (r7 retires)
-    "stats_corr_regression", "trimmed_stats_by_type",
-    "ngram_containment_capped", "dedup_threshold_sweep",
-    "pack_sequences_512", "oov_rate_top_vocab",
-    "agg_rollup_region_nation", "agg_cube_status_priority",
-    "join_semi_customers_with_orders", "join_anti_customers_no_orders",
-    "join_outer_order_counts", "join_range_events_orders",
-    "window_rank_orders_per_customer", "window_running_total",
-    "window_lag_lead_events", "sliding_window_1h_30m",
-    "session_windows_30m", "q12_priority_by_year",
-    "window_ntile_quartiles", "time_hierarchy_rollup",
-    "rolling_1h_user_stats", "funnel_view_click_purchase",
-    "table_checksum_orders", "column_profile_orders",
-    "approx_stats_events", "data_quality_checks_orders",
-    "approx_topk_event_types",
-    # staleness re-proof: first 3 of the r8-proven queue (oldest first;
-    # kmeans_two_iterations would be a member but is staged above as
-    # code-changed — similarity_join_topk, embedding_near_dup,
-    # embedding_near_dup_blocked and ngram_jaccard_topk slide to the r13
-    # queue head)
-    "flagship_hybrid_search", "knn_topk", "knn_lsh_oracle",
+    # staleness re-proof: ALL 44 remaining r8-proven, oldest first
+    # (the ledger queue; r8 retires after a green r13). As r13 entries
+    # land, never-graded + code-changed names are inserted at the HEAD
+    # and tail members displaced to the r14 queue head.
+    "similarity_join_topk", "embedding_near_dup",
+    "embedding_near_dup_blocked", "ngram_jaccard_topk",
+    "minhash_neardup_oracle", "fingerprint_dup_groups",
+    "token_counts", "doc_quality", "lang_id_stopwords",
+    "inverted_index_postings", "corpus_stats_documents",
+    "bigram_top_counts", "quality_curriculum_buckets",
+    "dedup_retention_summary", "exists_correlated_bigqty",
+    "cross_join_region_nation", "having_populous_nations",
+    "collect_sorted_priorities", "case_when_discount_buckets",
+    "explode_embedding_dims", "vector_centroids_by_label",
+    "knn_euclidean", "dot_product_ranking", "char_ngram_counts",
+    "stopword_ratio_en", "kmeans_assign_step",
+    "mad_totalprice_by_status", "bitwise_aggs_orders",
+    "token_length_histogram", "weighted_sample_by_quality",
+    "json_extract_events", "dedup_first_event_per_key",
+    "tumbling_window_1h", "asof_join_purchase_signup",
+    "window_percent_rank_prices", "user_retention_cohorts",
+    "set_ops_all_variants", "null_safe_join_counts",
+    "resample_ffill_15m", "order_date_spine_counts",
+    "rank_with_ties_topk", "revenue_share_window",
+    "spatial_knn_rect_centroids", "multimodal_audio_windows",
+    # staleness re-proof: first 6 of the r9-proven queue
+    # (minhash_lsh_neardup is rows-only by design; its exact mechanism
+    # twin minhash_neardup_oracle is in this same prefix)
+    "similarity_join_lsh_oracle", "knn_ivf_oracle",
+    "minhash_lsh_neardup", "simhash_poly_signature",
+    "embedding_quantize_int8", "knn_int8_rerank",
 ]
 
 

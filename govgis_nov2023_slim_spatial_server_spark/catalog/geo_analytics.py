@@ -1864,6 +1864,22 @@ def spatial_intersection_snap_rings(spark: SparkSession, sf_dir: str) -> DataFra
     honest uncached cost of general-polygon input."""
     from ..operators.dissolve import boolean_runs_tagged, union_rings_by_key
 
+    # No merge_runs pass here, deliberately (ADVICE r12): boolean_runs'
+    # "expects maximal runs" precondition applies to its INPUT layers
+    # (satisfied — _snap_tagged_runs rasterizes each pre-merged parity
+    # layer, so per (key, iy, layer) coverage is 0/1 and input runs are
+    # maximal), and its OUTPUT is provably maximal for INTERSECTION over
+    # 0/1 layers: every sweep event flips exactly one layer's counter
+    # between 0 and 1, so two emitted segments could abut only at an
+    # event where (a∧b) held on BOTH sides — impossible, since the
+    # flipped counter is 1 on one side and 0 on the other. This proof
+    # extends to difference (a∧¬b) and symdiff (a⊕b) — flipping either
+    # counter flips those predicates wherever they were true — but NOT
+    # to union over tagged layers (a∨b survives an event that flips one
+    # counter while the other is 1) and NOT to unmerged (>1-coverage)
+    # input, where an event can move a counter 1→2. The lattice boolean
+    # siblings keep a merge_runs wrap anyway (belt-and-braces on a
+    # result-sized input).
     geo = union_rings_by_key(
         boolean_runs_tagged(_snap_tagged_runs(spark, sf_dir), "intersection"),
         key="c_nationkey",
