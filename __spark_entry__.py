@@ -45,6 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (+ kmeans as the code-changed fourth), matching CLAUDE.md's r12
 # record.
 _DRIVER_PRIORITY = [
+    # code changed in r13: the quantile scale knobs (VERDICT r12 #6 —
+    # auto-widen collect loop + recursion-within-bin replacing the hard
+    # assert; the default-path plan's pass 2 is now interval-joined, so
+    # the entry re-stages per the store_width convention)
+    "exact_quantiles_histogram",
     # staleness re-proof: ALL 44 remaining r8-proven, oldest first
     # (the ledger queue; r8 retires after a green r13). As r13 entries
     # land, never-graded + code-changed names are inserted at the HEAD
@@ -75,7 +80,9 @@ _DRIVER_PRIORITY = [
     # twin minhash_neardup_oracle is in this same prefix)
     "similarity_join_lsh_oracle", "knn_ivf_oracle",
     "minhash_lsh_neardup", "simhash_poly_signature",
-    "embedding_quantize_int8", "knn_int8_rerank",
+    "embedding_quantize_int8",
+    # knn_int8_rerank displaced to the r14 queue head by the r13
+    # code-changed exact_quantiles_histogram (stays r9-proven)
 ]
 
 

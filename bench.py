@@ -101,6 +101,19 @@ R11_SET = [n for n in HEADLINE if n not in
            ("spatial_intersection_rings", "spatial_union_snap_rings",
             "spatial_nn_join_ring")]
 
+# The r12 headline set (31 names), FROZEN at the r13 boundary
+# (VERDICT r12 #7): published as "value_r12_set". An explicit snapshot,
+# not a slice/comprehension of HEADLINE (the r7-ADVICE convention — a
+# membership change in HEADLINE must not silently flow in here).
+R12_SET = CORE_SET + [
+    "ann_recall_at_10", "kmeans_two_iterations", "bigram_lm_cross_entropy",
+    "ngram_containment_topk", "ngram_containment_capped", "pq_adc_topk",
+    "pareto_frontier_parts", "skyline_recursive_parts",
+    "spatial_buffer_union_area", "spatial_union_rings",
+    "substring_dup_chains", "spatial_intersection_rings",
+    "spatial_union_snap_rings", "spatial_nn_join_ring",
+]
+
 
 # Canary: 4G-row range-sum on 32 partitions — large enough that runtime
 # scales with available CPU (smaller ranges are scheduling-overhead-bound
@@ -125,6 +138,73 @@ def _canary_sec(spark, n: int = 3) -> float:
         ).collect()
         ts.append(time.perf_counter() - t0)
     return round(_st.median(ts), 3)
+
+
+# Second canary (VERDICT r12 #2): the CPU range-sum canary has now
+# MISSED a uniform ~12-15% suite drift twice (r7, r12) — a pure
+# whole-stage-codegen integer sum senses CPU contention only, while the
+# drift mode that actually shifts Arrow/shuffle-heavy queries is memory
+# bandwidth / page cache / thermal. This canary exercises exactly those:
+# a frozen 2M-row double column through an Arrow pandas-UDF round-trip
+# (JVM->Python->JVM serialization, bandwidth-bound elementwise work)
+# into a 997-key shuffle. Fixed data (range-derived), no I/O, ~0.5 s.
+ARROW_CANARY_ROWS = 2_000_000
+# median seconds on the same near-idle local[32] sandbox the r13 floors
+# were recorded on (load_factor 0.98 by the CPU canary). Re-record
+# alongside CANARY_REF_SEC if the hardware profile changes.
+ARROW_CANARY_REF_SEC = 0.52
+
+
+def _canary_arrow_sec(spark, n: int = 3) -> float:
+    import statistics as _st
+
+    import pandas as pd  # noqa: F401 (postponed-annotation resolution)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _bw_impl(v):
+        # elementwise float math over the full batch: memory-bandwidth
+        # bound in numpy, nothing cacheable between runs
+        return v * 1.0000001 + v * v
+
+    # no type hints: under `from __future__ import annotations` a hinted
+    # local closure stringifies to 'pd.Series' which pyspark cannot
+    # resolve from bench's globals — pass the eval type explicitly
+    from pyspark.sql.functions import PandasUDFType
+
+    _bw = pandas_udf("double", PandasUDFType.SCALAR)(_bw_impl)
+
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        (
+            spark.range(ARROW_CANARY_ROWS, numPartitions=32)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                F.col("id").cast("double").alias("v"),
+            )
+            .select("k", _bw("v").alias("v2"))
+            .groupBy("k")
+            .agg(F.sum("v2").alias("s"))
+            .agg(F.sum("s").alias("t"))
+            .collect()
+        )
+        ts.append(time.perf_counter() - t0)
+    return round(_st.median(ts), 3)
+
+
+# Per-query reference FLOORS (min-of-reps on a near-idle host, CPU
+# canary 0.98 / arrow canary at its ref): the denominator for
+# "drift_ratio_median" — median(current_median / floor) over every
+# headline query whose code is UNCHANGED since the floors were recorded.
+# A uniform host drift moves this ratio but not the code; a real
+# regression moves one query far outside the band. Recorded r13;
+# update a query's floor only when its code/plan changes (and list it in
+# FLOORS_CHANGED that round so it drops out of the drift statistic).
+REF_FLOORS: dict[str, float] = {}
+# queries whose code changed since their floor was recorded (excluded
+# from drift_ratio_median until the floor is re-recorded)
+FLOORS_CHANGED: list[str] = []
 
 
 def _scan_partition_bytes(sf_dir: str) -> str:
@@ -183,6 +263,7 @@ def main() -> None:
     ingest_sec = round(time.perf_counter() - t0, 3)
 
     canaries = [_canary_sec(spark)]
+    canaries_arrow = [_canary_arrow_sec(spark)]
 
     # ≥3 round-robin passes, report per-query MEDIAN + spread: single-run
     # numbers drifted 15-30% uniformly between r1 and r2 on untouched
@@ -204,6 +285,9 @@ def main() -> None:
         # one canary sample per pass boundary: load that comes and goes
         # mid-suite shows up here, not just at the endpoints
         canaries.append(_canary_sec(spark, n=1 if rep < reps - 1 else 3))
+        canaries_arrow.append(
+            _canary_arrow_sec(spark, n=1 if rep < reps - 1 else 3)
+        )
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -213,12 +297,31 @@ def main() -> None:
     # median over (before, per-pass, after) samples: robust to a single
     # quiet or busy moment in either direction.
     load_factor = round(statistics.median(canaries) / CANARY_REF_SEC, 3)
+    load_factor_arrow = round(
+        statistics.median(canaries_arrow) / ARROW_CANARY_REF_SEC, 3
+    )
+    # drift vs the frozen per-query floors, over UNCHANGED queries only:
+    # the direct measurement of the uniform-shift mode both canaries are
+    # proxies for (VERDICT r12 #1 — decided by instrument, not argument)
+    drift_names = [
+        n for n in timings
+        if n in REF_FLOORS and REF_FLOORS[n] > 0 and n not in FLOORS_CHANGED
+    ]
+    drift_ratio_median = (
+        round(
+            statistics.median(timings[n] / REF_FLOORS[n] for n in drift_names),
+            3,
+        )
+        if drift_names
+        else None
+    )
     total = round(sum(timings.values()), 3)
     # the headline set has GROWN since r5 — "value" totals the full set,
     # so publish the original-set total too for round-over-round
     # like-for-like comparison
     total_core_set = round(sum(timings[n] for n in CORE_SET), 3)
     total_r11_set = round(sum(timings[n] for n in R11_SET), 3)
+    total_r12_set = round(sum(timings[n] for n in R12_SET), 3)
     # value_best = sum of per-query MIN-of-reps: the drift-resistant
     # statistic. r6→r7 the driver host ran ~15% slower uniformly across
     # touched AND untouched queries while the CPU canary read dead idle
@@ -241,6 +344,11 @@ def main() -> None:
         "queries_spread": spread,
         "headline_added": [n for n in HEADLINE if n not in CORE_SET],
         "canary_sec": {"samples": canaries, "ref_idle": CANARY_REF_SEC},
+        "canary_arrow_sec": {
+            "samples": canaries_arrow,
+            "ref_idle": ARROW_CANARY_REF_SEC,
+        },
+        "drift_floor_names": drift_names,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
     result = {
@@ -249,12 +357,15 @@ def main() -> None:
         "unit": "sec",
         "value_core_set": total_core_set,
         "value_r11_set": total_r11_set,
+        "value_r12_set": total_r12_set,
         "value_best": total_best,
         "queries": timings,
         "reps": reps,
         "spatial_store_build_sec": ingest_sec,
         "load_factor": load_factor,
-        "load_degraded": load_factor > 1.2,
+        "load_factor_arrow": load_factor_arrow,
+        "drift_ratio_median": drift_ratio_median,
+        "load_degraded": load_factor > 1.2 or load_factor_arrow > 1.2,
         "value_load_normalized": round(total / max(1.0, load_factor), 3),
         "sf": sf_val,
     }

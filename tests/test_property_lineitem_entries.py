@@ -29,6 +29,11 @@ ENTRIES = [
     # r6 coverage expansion
     "sql_surface_pricing",
     "stats_corr_regression",
+    # r13 (VERDICT r12 #4): the only r12 oracle entry that was outside
+    # the random-corpus harnesses — random co-order graphs exercise rank
+    # ties, isolated/degenerate components, and the DIV floor recurrence
+    # in ways the path-graph fixture can't
+    "pagerank_power_iters",
 ]
 
 FLAGS = ["A", "N", "R"]
@@ -56,7 +61,12 @@ def _write_lineitem(rows, dirname: str) -> None:
     df = pd.DataFrame(
         {
             "l_orderkey": [r[0] for r in rows],
-            "l_partkey": [r[0] * 3 + 1 for r in rows],
+            # varies WITHIN an order (by linenumber) over a small 13-key
+            # space: multi-part orders give the co-order graph real edges,
+            # cross-order collisions give shared nodes and rank ties
+            # (pagerank entries); derived, so every entry sees the same
+            # data on both engines
+            "l_partkey": [(r[0] * 3 + r[1]) % 13 + 1 for r in rows],
             "l_suppkey": [r[0] % 5 + 1 for r in rows],
             "l_linenumber": [r[1] for r in rows],
             "l_quantity": [float(r[2]) for r in rows],
