@@ -45,6 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (+ kmeans as the code-changed fourth), matching CLAUDE.md's r12
 # record.
 _DRIVER_PRIORITY = [
+    # never driver-graded (r13 wave 1)
+    "spatial_knn_join_ring",
     # code changed in r13: the quantile scale knobs (VERDICT r12 #6 —
     # auto-widen collect loop + recursion-within-bin replacing the hard
     # assert; the default-path plan's pass 2 is now interval-joined, so
@@ -80,9 +82,8 @@ _DRIVER_PRIORITY = [
     # twin minhash_neardup_oracle is in this same prefix)
     "similarity_join_lsh_oracle", "knn_ivf_oracle",
     "minhash_lsh_neardup", "simhash_poly_signature",
-    "embedding_quantize_int8",
-    # knn_int8_rerank displaced to the r14 queue head by the r13
-    # code-changed exact_quantiles_histogram (stays r9-proven)
+    # displaced to the r14 queue head by r13 stagings (stay r9-proven):
+    # embedding_quantize_int8, knn_int8_rerank
 ]
 
 

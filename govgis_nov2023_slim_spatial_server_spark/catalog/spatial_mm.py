@@ -758,3 +758,157 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "nearest_custkey", "dsq",
         (F.sqrt(F.col("dsq").cast("double")) / 8.0).alias("dist_deg"),
     )
+
+
+@query(
+    "spatial_knn_join_ring",
+    """
+    WITH f AS (
+      SELECT c_custkey,
+             (c_custkey % 50) * 8 + (c_custkey % 7) AS fx,
+             (c_custkey % 20) * 8 + (c_custkey % 5) AS fy
+      FROM customer WHERE c_custkey % 10 = 1),
+    p AS (
+      SELECT p_partkey,
+             (p_partkey * 13) % 401 AS px,
+             (p_partkey * 29) % 161 AS py
+      FROM part)
+    SELECT p_partkey, rn AS nn_rank, c_custkey AS nn_custkey, dsq,
+           sqrt(CAST(dsq AS DOUBLE)) / 8.0 AS dist_deg
+    FROM (
+      SELECT p.p_partkey, f.c_custkey,
+             (px - fx) * (px - fx) + (py - fy) * (py - fy) AS dsq,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY (px - fx) * (px - fx) + (py - fy) * (py - fy),
+                        f.c_custkey) AS rn
+      FROM p CROSS JOIN f)
+    WHERE rn <= 5
+    """,
+)
+def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NEAREST-neighbor spatial JOIN (k = 5) — every point gets its
+    five nearest facilities, distance-ordered: the PostGIS
+    `ORDER BY geom <-> point LIMIT k` lateral applied to a whole table
+    (reference parity: models.py:189's distance-ordered scan, the form
+    GIS users actually run; VERDICT r12 #3's generalization of
+    `spatial_nn_join_ring` from argmin to top-k).
+
+    Exact int64 lattice end-to-end (same facility/point derivations as
+    the k=1 entry, so the two entries cross-check each other: this
+    entry's rank-1 rows ARE the k=1 answer). The three k-generalizations:
+
+    * Position-dedup keeps the FIVE smallest custkeys per position (not
+      one) — still lossless: the global top-5 by (dsq, custkey) contains
+      at most 5 entries of any one position, and the tie-break forces
+      them to be that position's 5 smallest custkeys. Bounds the
+      broadcast ring table by 5 × position vocabulary.
+    * The ring guarantee moves to the K-TH distance: any facility
+      outside the 3×3 ring of 32-unit cells has dsq ≥ 33² = 1089, so IF
+      a point holds 5 ring candidates with dsq₅ ≤ 1088, all five are
+      globally correct (an outside facility can neither beat nor tie
+      any of them). Fewer than 5 candidates, or dsq₅ > 1088 → residual.
+    * The per-point reduction is slice(array_sort(collect_list(struct(
+      dsq, custkey))), 1, 5) — a bounded k-list, NOT a window: ring
+      candidates per point are capped by 5 × positions-per-ring (the
+      density bound that is the design's point), so the list never
+      outgrows a task, and array_sort's lexicographic struct order IS
+      the (dsq, custkey) tie-break. No global sort, no window shuffle,
+      no all-pairs anywhere engine-side (the quadratic lives only in
+      the oracle's CROSS JOIN).
+
+    The per-point candidate list is computed ONCE behind the same
+    localCheckpoint barrier as the k=1 entry (without it Catalyst
+    recomputes the candidate join under the residual branch — the
+    plan-asserted r12 lesson). Residual points re-rank against the
+    position-k-list table (lossless, see above) via a bounded broadcast
+    nested-loop — exact, and only the sparse-frontier tail takes it at
+    production density. 100 TB shape: cell-equi candidate join
+    (shuffle-free point side when cell-bucketed), broadcast ring dim,
+    bounded per-point k-list; denser tables shrink cells, larger
+    facility dims swap broadcast for the cell-bucketed join."""
+    ck = F.col("c_custkey")
+    # per-position bottom-5 custkeys (lossless for top-5 by (dsq, key))
+    f5 = (
+        _t(spark, sf_dir, "customer")
+        .where(ck % 10 == 1)
+        .select(
+            "c_custkey",
+            ((ck % 50) * 8 + (ck % 7)).cast("long").alias("fx"),
+            ((ck % 20) * 8 + (ck % 5)).cast("long").alias("fy"),
+        )
+        .groupBy("fx", "fy")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 5).alias(
+                "keys"
+            )
+        )
+        .select("fx", "fy", F.explode("keys").alias("c_custkey"))
+    )
+    pk = F.col("p_partkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        ((pk * 13) % 401).cast("long").alias("px"),
+        ((pk * 29) % 161).cast("long").alias("py"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    fring = (
+        f5.withColumn("dxc", off)
+        .withColumn("dyc", off)
+        .select(
+            "c_custkey", "fx", "fy",
+            (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
+            (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
+        )
+    )
+    pc = p.select(
+        "p_partkey", "px", "py",
+        F.expr("px DIV 32").alias("cellx"),
+        F.expr("py DIV 32").alias("celly"),
+    )
+    dsq = (
+        (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
+        + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
+    ).alias("dsq")
+    topk = F.slice(
+        F.array_sort(F.collect_list(F.struct("dsq", "c_custkey"))), 1, 5
+    ).alias("b")
+    base = (
+        pc.join(F.broadcast(fring), ["cellx", "celly"], "left")
+        .select(
+            "p_partkey", "px", "py",
+            F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
+            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("c_custkey"),
+        )
+        .groupBy("p_partkey", "px", "py")
+        .agg(topk)
+        .localCheckpoint()
+    )
+    guaranteed = (F.size("b") == 5) & (
+        F.element_at("b", 5).getField("dsq") <= 1088
+    )
+
+    def _emit(df: DataFrame) -> DataFrame:
+        e = df.select(
+            "p_partkey", F.posexplode("b").alias("pos", "cand")
+        )
+        return e.select(
+            "p_partkey",
+            (F.col("pos") + 1).alias("nn_rank"),
+            F.col("cand.c_custkey").alias("nn_custkey"),
+            F.col("cand.dsq").alias("dsq"),
+        )
+
+    kept = _emit(base.where(guaranteed))
+    residual = (
+        base.where(~guaranteed)
+        .select("p_partkey", "px", "py")
+        .crossJoin(F.broadcast(f5))
+        .select("p_partkey", dsq, "c_custkey")
+        .groupBy("p_partkey")
+        .agg(topk)
+    )
+    return kept.unionByName(_emit(residual)).select(
+        "p_partkey", "nn_rank", "nn_custkey", "dsq",
+        (F.sqrt(F.col("dsq").cast("double")) / 8.0).alias("dist_deg"),
+    )

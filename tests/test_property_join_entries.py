@@ -120,6 +120,10 @@ ENTRIES = [
     # guarantee and take the residual broadcast-argmin branch; the graded
     # corpora (150+ facilities) exercise the ring-kept branch
     "spatial_nn_join_ring",
+    # r13: the k=5 generalization — random dbs additionally force the
+    # fewer-than-k-facilities edge (top-k emits short groups) and the
+    # per-position bottom-5 dedup under co-located keys
+    "spatial_knn_join_ring",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -74,3 +74,124 @@ class TestQuantileRecursionKnobs:
         assert _spark_rows(spark, "exact_quantiles_histogram", SF_DIR) == (
             _oracle_rows("exact_quantiles_histogram", SF_DIR)
         )
+
+
+# ---------------------------------------------------------------------------
+# spatial_knn_join_ring — k-nearest-neighbor spatial join (k = 5)
+# ---------------------------------------------------------------------------
+
+import random  # noqa: E402
+
+import pandas as pd  # noqa: E402
+
+
+def _write_knn_db(custkeys, partkeys, tmp_path):
+    pd.DataFrame(
+        {
+            "c_custkey": pd.array(custkeys, dtype="int64"),
+            "c_name": [f"Customer#{k}" for k in custkeys],
+            "c_nationkey": pd.array([0] * len(custkeys), dtype="int32"),
+            "c_acctbal": [0.0] * len(custkeys),
+            "c_mktsegment": ["BUILDING"] * len(custkeys),
+        }
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "p_partkey": pd.array(partkeys, dtype="int64"),
+            "p_name": [f"part {k}" for k in partkeys],
+            "p_brand": ["Brand#1"] * len(partkeys),
+            "p_type": ["ECONOMY ANODIZED STEEL"] * len(partkeys),
+            "p_size": pd.array([1] * len(partkeys), dtype="int32"),
+            "p_retailprice": [100.0] * len(partkeys),
+        }
+    ).to_parquet(tmp_path / "part.parquet", index=False)
+
+
+def _knn_brute_force(custkeys, partkeys, k=5):
+    facs = [
+        (kk, (kk % 50) * 8 + (kk % 7), (kk % 20) * 8 + (kk % 5))
+        for kk in custkeys
+        if kk % 10 == 1
+    ]
+    out = {}
+    for pk in partkeys:
+        px, py = (pk * 13) % 401, (pk * 29) % 161
+        ranked = sorted(
+            ((px - fx) ** 2 + (py - fy) ** 2, ck) for ck, fx, fy in facs
+        )[:k]
+        for rn, (dsq, ck) in enumerate(ranked, start=1):
+            out[(pk, rn)] = (ck, dsq)
+    return out
+
+
+class TestKnnJoinRing:
+    def test_matches_brute_force_random_keysets(self, spark, tmp_path):
+        """Entry output == exact per-point top-5 by (dsq, custkey) on
+        random key sets. Dense draws activate the ring-kept branch
+        (5 candidates within the guarantee); sparse draws force the
+        residual fallback and the fewer-than-5-facilities edge; the
+        co-located draw (many custkeys ≡ same lattice position) proves
+        the per-position bottom-5 dedup is lossless for top-k."""
+        rng = random.Random(13)
+        for trial in range(6):
+            if trial % 3 == 0:  # dense: ring branch active
+                custkeys = sorted(rng.sample(range(1, 2000), 600) + [1])
+            elif trial % 3 == 1:  # sparse: residual dominant, < 5 facs
+                custkeys = sorted(rng.sample(range(1, 1000), 25) + [1])
+            else:  # co-located: many facilities share positions (lcm 700)
+                base_keys = rng.sample(range(1, 100), 8)
+                custkeys = sorted(
+                    {b + 700 * m for b in base_keys for m in range(6)}
+                )
+            partkeys = sorted(rng.sample(range(1, 3000), 30))
+            d = tmp_path / f"t{trial}"
+            d.mkdir()
+            _write_knn_db(custkeys, partkeys, d)
+            got = {
+                (r["p_partkey"], r["nn_rank"]): (r["nn_custkey"], r["dsq"])
+                for r in QUERIES["spatial_knn_join_ring"](
+                    spark, str(d)
+                ).collect()
+            }
+            want = _knn_brute_force(custkeys, partkeys)
+            assert got == want
+
+    def test_rank1_equals_nn_join(self, spark):
+        """The k=5 entry's rank-1 rows ARE the k=1 entry's answer —
+        the two mechanisms cross-check on the graded corpus."""
+        sf = "/root/testdata/sf0.001"
+        k1 = {
+            r["p_partkey"]: (r["nearest_custkey"], r["dsq"])
+            for r in QUERIES["spatial_nn_join_ring"](spark, sf).collect()
+        }
+        k5r1 = {
+            r["p_partkey"]: (r["nn_custkey"], r["dsq"])
+            for r in QUERIES["spatial_knn_join_ring"](spark, sf).collect()
+            if r["nn_rank"] == 1
+        }
+        assert k1 == k5r1
+
+    def test_guarantee_constant(self):
+        """Outside the 3x3 ring of 32-unit cells the coordinate gap is
+        >= 2*32 - 31 = 33, dsq >= 1089: holding 5 ring candidates with
+        dsq_5 <= 1088 makes all five globally correct."""
+        assert 2 * 32 - 31 == 33 and 33 * 33 == 1089
+
+    def test_plan_shapes(self, spark):
+        """Candidate k-lists are read from the localCheckpoint barrier
+        (no BroadcastHashJoin under either branch — the candidate join
+        ran pre-barrier once); the residual re-rank is one bounded
+        BroadcastNestedLoopJoin; nothing is a CartesianProduct and
+        nothing is a window sort (the per-point top-k is a bounded
+        k-list aggregate)."""
+        plan = (
+            QUERIES["spatial_knn_join_ring"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan ExistingRDD") >= 1
+        assert "BroadcastHashJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
