@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # record.
 _DRIVER_PRIORITY = [
     # never driver-graded (r13 wave 1)
-    "spatial_knn_join_ring",
+    "spatial_knn_join_ring", "spatial_clip_convex_pairs",
     # code changed in r13: the quantile scale knobs (VERDICT r12 #6 —
     # auto-widen collect loop + recursion-within-bin replacing the hard
     # assert; the default-path plan's pass 2 is now interval-joined, so
@@ -81,9 +81,9 @@ _DRIVER_PRIORITY = [
     # (minhash_lsh_neardup is rows-only by design; its exact mechanism
     # twin minhash_neardup_oracle is in this same prefix)
     "similarity_join_lsh_oracle", "knn_ivf_oracle",
-    "minhash_lsh_neardup", "simhash_poly_signature",
+    "minhash_lsh_neardup",
     # displaced to the r14 queue head by r13 stagings (stay r9-proven):
-    # embedding_quantize_int8, knn_int8_rerank
+    # simhash_poly_signature, embedding_quantize_int8, knn_int8_rerank
 ]
 
 

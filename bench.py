@@ -92,6 +92,12 @@ HEADLINE = CORE_SET + [
     # only localCheckpoint-in-plan headliner, so per-call barrier cost
     # stays measured)
     "spatial_nn_join_ring",
+    # r13 additions: the k=5 NN join (bounded k-list aggregate — the
+    # collect_list candidate reduction the k=1 entry avoids) and the
+    # exact convex clip (blocked bbox join + rational S-H Arrow kernel
+    # — the snap-free geometry path's per-pair Python cost)
+    "spatial_knn_join_ring",
+    "spatial_clip_convex_pairs",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same

@@ -1887,3 +1887,182 @@ def spatial_intersection_snap_rings(spark: SparkSession, sf_dir: str) -> DataFra
     )
     nation = load_table(spark, sf_dir, "nation")
     return _rings_result(geo, nation, "inter_area")
+
+
+# ---------------------------------------------------------------------------
+# Snap-free exact convex clipping (VERDICT r12 #5)
+# ---------------------------------------------------------------------------
+
+_CLIP_SQL = """
+    WITH a AS (
+      SELECT c_custkey AS akey,
+             4 * (c_custkey % 23) AS ax, 4 * (c_custkey % 17) AS ay,
+             8 + 4 * ((c_custkey // 2) % 2) AS r
+      FROM customer WHERE c_custkey % 2 = 1),
+    b AS (
+      SELECT c_custkey AS bkey,
+             4 * (c_custkey % 19) + 2 AS bx, 4 * (c_custkey % 13) + 2 AS by2,
+             4 * (c_custkey % 3) + 1 AS s
+      FROM customer WHERE c_custkey % 2 = 0),
+    av AS (
+      SELECT akey,
+        [struct_pack(x := ax-r+4, y := ay-r), struct_pack(x := ax+r-4, y := ay-r),
+         struct_pack(x := ax+r, y := ay-r+4), struct_pack(x := ax+r, y := ay+r-4),
+         struct_pack(x := ax+r-4, y := ay+r), struct_pack(x := ax-r+4, y := ay+r),
+         struct_pack(x := ax-r, y := ay+r-4), struct_pack(x := ax-r, y := ay-r+4)] AS vs,
+        ax-r AS xmin, ax+r AS xmax, ay-r AS ymin, ay+r AS ymax
+      FROM a),
+    bv AS (
+      SELECT bkey,
+        [struct_pack(x := bx+s, y := by2), struct_pack(x := bx, y := by2+s),
+         struct_pack(x := bx-s, y := by2), struct_pack(x := bx, y := by2-s)] AS vs,
+        bx-s AS xmin, bx+s AS xmax, by2-s AS ymin, by2+s AS ymax
+      FROM b),
+    pairs AS (
+      SELECT av.akey, bv.bkey, av.vs AS pa, bv.vs AS pb
+      FROM av JOIN bv ON av.xmin <= bv.xmax AND bv.xmin <= av.xmax
+                     AND av.ymin <= bv.ymax AND bv.ymin <= av.ymax),
+    sides AS (
+      SELECT akey, bkey, pa AS sub, pb AS clp FROM pairs
+      UNION ALL
+      SELECT akey, bkey, pb, pa FROM pairs),
+    edges AS (
+      SELECT akey, bkey, clp,
+             unnest(list_transform(generate_series(1, len(sub)),
+                    i -> struct_pack(p1 := sub[i],
+                                     p2 := sub[(i % len(sub)) + 1]))) AS e
+      FROM sides),
+    cons AS (
+      SELECT akey, bkey, e,
+             list_transform(generate_series(1, len(clp)), i ->
+               struct_pack(
+                 c0 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p1.y - clp[i].y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p1.x - clp[i].x),
+                 c1 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p2.y - e.p1.y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p2.x - e.p1.x))
+             ) AS cs
+      FROM edges),
+    iv AS (
+      SELECT akey, bkey, e,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 > 0),
+                                c -> [-c.c0, c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] >= y[1]*x[2] THEN x ELSE y END) AS lb,
+             list_reduce(
+               list_prepend([CAST(1 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 < 0),
+                                c -> [c.c0, -c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] <= y[1]*x[2] THEN x ELSE y END) AS ub,
+             len(list_filter(cs, c -> c.c1 = 0 AND c.c0 < 0)) > 0 AS emp
+      FROM cons),
+    pieces AS (
+      SELECT akey, bkey,
+             (2 * (e.p1.x * lb[2] + lb[1] * (e.p2.x - e.p1.x))) // lb[2] AS sx1,
+             (2 * (e.p1.y * lb[2] + lb[1] * (e.p2.y - e.p1.y))) // lb[2] AS sy1,
+             (2 * (e.p1.x * ub[2] + ub[1] * (e.p2.x - e.p1.x))) // ub[2] AS sx2,
+             (2 * (e.p1.y * ub[2] + ub[1] * (e.p2.y - e.p1.y))) // ub[2] AS sy2
+      FROM iv
+      WHERE NOT emp AND lb[1] * ub[2] < ub[1] * lb[2])
+    SELECT akey, bkey,
+           CAST(COUNT(*) AS INTEGER) AS n_vertices,
+           CAST(SUM(sx1 * sy2 - sy1 * sx2) * 1250 AS BIGINT) AS area_e4,
+           CAST(CAST(SUM(sx1 * sy2 - sy1 * sx2) * 1250 AS BIGINT) AS DOUBLE)
+             / 10000 AS area
+    FROM pieces
+    GROUP BY akey, bkey
+    HAVING SUM(sx1 * sy2 - sy1 * sx2) > 0
+"""
+
+
+@query("spatial_clip_convex_pairs", _CLIP_SQL)
+def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAP-FREE exact polygon intersection, first increment (VERDICT
+    r12 #5): convex×convex vertex clipping with NO tolerance and NO
+    grid — where the snap-seam entries rasterize general polygons at a
+    declared 1/16° tolerance, this entry computes the true vertex-level
+    clip, the PostGIS-`ST_Intersection`-on-parcels contract
+    (reference load_data.py:79's geometry(Polygon,4326) implies exact
+    overlay; this is the provable convex subset on the way to general
+    Vatti).
+
+    Stores: odd custkeys build octagons (axis-aligned square, 45°-cut
+    corners) with ALL vertex coordinates ≡ 0 (mod 4); even custkeys
+    build diamonds with centers ≡ 2 (mod 4) and radii ≡ 1 (mod 4). The
+    congruences prove general position ALGEBRAICALLY for every key pair
+    (no enumeration needed): A's support lines have constants ≡ 0
+    (mod 4) in x, y, x+y, x−y while B's vertices and 45° support-line
+    constants are all odd or ≡ 2 — so no collinear edge overlap and no
+    vertex-on-edge anywhere, and every crossing of an A-line with a
+    B-line lands on the half-integer lattice (exact dyadic,
+    denominator | 8 | 10⁴ ⇒ area_e4 is exact, the established
+    contract; tests/test_r13_catalog.py asserts the congruence sweep).
+
+    Engine: grid-blocked bbox equi-join (the repo's standard candidate
+    generator — complete for overlap, never all-pairs) → ONE
+    Arrow-batched kernel per candidate pair running Sutherland–Hodgman
+    in exact rational arithmetic (functions/spatial.convex_clip —
+    integer cross-product side tests, Fraction crossing points), keep
+    pairs with positive area. The oracle computes the same answer by a
+    DIFFERENT exact algorithm (per-edge Green's-theorem decomposition:
+    each polygon edge clipped to a parameter interval against the other
+    polygon's half-planes via integer cross-multiplied fraction
+    max/min, summing sub-segment cross products — 2·4·area in scaled
+    ints), so agreement proves the geometry, not the implementation. In
+    general position boundary pieces biject with intersection-polygon
+    vertices, so n_vertices grades the SHAPE, area_e4 the measure.
+
+    100 TB shape: candidates are cell-blocked (bounded per-cell work,
+    AQE-splittable on hot cells), the kernel is O(|A|·|B|) per pair on
+    ≤8×4-vertex polygons, and nothing driver-side scales with the data.
+    Overflow audit: coords ≤ ~102, side values < 10⁵, cross-multiplied
+    comparisons < 4·10⁹, scaled crosses < 10⁵, all << 2⁶³."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
+    ax, ay = (4 * (ck % 23)).cast("long"), (4 * (ck % 17)).cast("long")
+    a = c.where(ck % 2 == 1).select(
+        ck.alias("akey"),
+        F.array(
+            ax - r + 4, ax + r - 4, ax + r, ax + r,
+            ax + r - 4, ax - r + 4, ax - r, ax - r,
+        ).alias("axs"),
+        F.array(
+            ay - r, ay - r, ay - r + 4, ay + r - 4,
+            ay + r, ay + r, ay + r - 4, ay - r + 4,
+        ).alias("ays"),
+        (ax - r).cast("double").alias("xmin"),
+        (ay - r).cast("double").alias("ymin"),
+        (ax + r).cast("double").alias("xmax"),
+        (ay + r).cast("double").alias("ymax"),
+    )
+    bx = (4 * (ck % 19) + 2).cast("long")
+    by = (4 * (ck % 13) + 2).cast("long")
+    s = (4 * (ck % 3) + 1).cast("long")
+    b = c.where(ck % 2 == 0).select(
+        ck.alias("bkey"),
+        F.array(bx + s, bx, bx - s, bx).alias("bxs"),
+        F.array(by, by + s, by, by - s).alias("bys"),
+        (bx - s).cast("double").alias("xmin"),
+        (by - s).cast("double").alias("ymin"),
+        (bx + s).cast("double").alias("xmax"),
+        (by + s).cast("double").alias("ymax"),
+    )
+    from ..functions.spatial import make_convex_clip_stats_udf
+
+    pairs = grid_blocked_overlap_join(a, b, cell=32.0)
+    st = make_convex_clip_stats_udf()(
+        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    )
+    return (
+        pairs.select("akey", F.col("bkey_r").alias("bkey"), st.alias("st"))
+        .select(
+            "akey", "bkey",
+            F.col("st.n_vertices").alias("n_vertices"),
+            F.col("st.area_e4").alias("area_e4"),
+        )
+        .where(F.col("area_e4") > 0)
+        .withColumn(
+            "area", F.col("area_e4").cast("double") / F.lit(10000.0)
+        )
+    )

@@ -892,3 +892,109 @@ Point = tuple[float, float]
 
 def iter_flat(points: Iterable[Point]) -> list[float]:
     return [c for p in points for c in p]
+
+
+# ---------------------------------------------------------------------------
+# Exact convex polygon clipping (Sutherland–Hodgman in rational arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def convex_clip(subject, clipper):
+    """Sutherland–Hodgman clip of CCW convex ``subject`` by CCW convex
+    ``clipper`` in EXACT rational arithmetic — vertices are (x, y) pairs
+    of ints or :class:`fractions.Fraction`; output vertices are
+    Fractions. This is the snap-FREE exact boolean-geometry increment
+    (VERDICT r12 #5): where the lattice/snap entries rasterize, this
+    kernel clips at the vertex level with the same integer orientation
+    predicate family as ``_ring_orientations`` (cross-product side
+    tests), so no tolerance and no grid are involved.
+
+    Robustness contract (general-position inputs): a vertex exactly ON a
+    clip line is kept and no crossing point is added (the crossing IS
+    the vertex), so no duplicate vertices arise; crossing insertion
+    requires strictly opposite side signs. Empty output = disjoint (or
+    degenerate) intersection.
+    """
+    from fractions import Fraction
+
+    out = list(subject)
+    m = len(clipper)
+    for i in range(m):
+        if not out:
+            break
+        q1, q2 = clipper[i], clipper[(i + 1) % m]
+        dqx, dqy = q2[0] - q1[0], q2[1] - q1[1]
+        inp = out
+        out = []
+        sides = [dqx * (p[1] - q1[1]) - dqy * (p[0] - q1[0]) for p in inp]
+        n = len(inp)
+        for j in range(n):
+            cur, nxt = inp[j], inp[(j + 1) % n]
+            sc, sn = sides[j], sides[(j + 1) % n]
+            if sc >= 0:
+                out.append(cur)
+            if (sc > 0 > sn) or (sc < 0 < sn):
+                t = Fraction(sc, sc - sn)
+                out.append(
+                    (
+                        cur[0] + t * (nxt[0] - cur[0]),
+                        cur[1] + t * (nxt[1] - cur[1]),
+                    )
+                )
+    return out
+
+
+def convex_poly_area2(poly):
+    """Twice the signed shoelace area of an exact-vertex polygon
+    (Fractions in, Fraction out — no float anywhere)."""
+    from fractions import Fraction
+
+    s = Fraction(0)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def make_convex_clip_stats_udf():
+    """Arrow-batched kernel for the convex×convex clip entry: four
+    array<long> vertex-coordinate columns in (subject xs/ys, clip
+    xs/ys, both CCW), struct(n_vertices, area_e4) out. area_e4 =
+    floor(area · 10⁴) of the EXACT rational intersection area — exact
+    (no floor truncation) whenever the area's reduced denominator
+    divides 10⁴, which the 45°-edge-family store guarantees (all
+    intersection vertices are half-integers ⇒ denominator | 8 | 10⁴)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_vertices", IntegerType(), True),
+            StructField("area_e4", LongType(), True),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _clip_stats(
+        axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series
+    ) -> pd.DataFrame:
+        nv = np.zeros(len(axs), dtype=np.int32)
+        ae4 = np.zeros(len(axs), dtype=np.int64)
+        for i in range(len(axs)):
+            sub = list(zip([int(v) for v in axs[i]], [int(v) for v in ays[i]]))
+            clp = list(zip([int(v) for v in bxs[i]], [int(v) for v in bys[i]]))
+            poly = convex_clip(sub, clp)
+            if len(poly) >= 3:
+                a2 = convex_poly_area2(poly)
+                if a2 > 0:
+                    nv[i] = len(poly)
+                    ae4[i] = (a2.numerator * 5000) // a2.denominator
+        return pd.DataFrame({"n_vertices": nv, "area_e4": ae4})
+
+    return _clip_stats

@@ -124,6 +124,10 @@ ENTRIES = [
     # fewer-than-k-facilities edge (top-k emits short groups) and the
     # per-position bottom-5 dedup under co-located keys
     "spatial_knn_join_ring",
+    # r13: snap-free exact convex clipping — the general-position proof
+    # is algebraic in the key congruences, so EVERY random key set must
+    # agree with the oracle's independent Green's-decomposition path
+    "spatial_clip_convex_pairs",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

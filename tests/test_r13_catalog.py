@@ -195,3 +195,167 @@ class TestKnnJoinRing:
         assert plan.count("BroadcastNestedLoopJoin") == 1
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# spatial_clip_convex_pairs — snap-free exact convex clipping
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction  # noqa: E402
+
+from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (  # noqa: E402
+    convex_clip,
+    convex_poly_area2,
+)
+
+
+def _green_area2(pa, pb):
+    """INDEPENDENT exact reference: 2·Area(A∩B) by per-edge
+    Green's-theorem decomposition (each polygon edge clipped to a
+    parameter interval against the other polygon's half-planes), the
+    same algorithm as the DuckDB oracle but in Fractions — a different
+    computation path from Sutherland–Hodgman, so agreement proves the
+    geometry (the r7 integer-reference pattern)."""
+    total = Fraction(0)
+    for sub, clp in ((pa, pb), (pb, pa)):
+        n, m = len(sub), len(clp)
+        for j in range(n):
+            p1, p2 = sub[j], sub[(j + 1) % n]
+            dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+            tlo, thi = Fraction(0), Fraction(1)
+            empty = False
+            for i in range(m):
+                q1, q2 = clp[i], clp[(i + 1) % m]
+                dqx, dqy = q2[0] - q1[0], q2[1] - q1[1]
+                c0 = dqx * (p1[1] - q1[1]) - dqy * (p1[0] - q1[0])
+                c1 = dqx * dy - dqy * dx
+                if c1 > 0:
+                    tlo = max(tlo, Fraction(-c0, c1))
+                elif c1 < 0:
+                    thi = min(thi, Fraction(c0, -c1))
+                elif c0 < 0:
+                    empty = True
+                    break
+            if not empty and tlo < thi:
+                x1, y1 = p1[0] + tlo * dx, p1[1] + tlo * dy
+                x2, y2 = p1[0] + thi * dx, p1[1] + thi * dy
+                total += x1 * y2 - y1 * x2
+    return total
+
+
+def _hull(points):
+    """Andrew monotone chain on integer points, CCW, no collinear
+    interior vertices."""
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        return []
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while (
+                len(h) >= 2
+                and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                <= 0
+            ):
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def _lines_collide(pa, pb):
+    """True if any A-edge support line coincides with a B-edge line
+    (the one configuration the Green reference double-counts)."""
+    def lines(poly):
+        n = len(poly)
+        out = []
+        for i in range(n):
+            p, q = poly[i], poly[(i + 1) % n]
+            out.append((p, (q[0] - p[0], q[1] - p[1])))
+        return out
+
+    for (p, d1) in lines(pa):
+        for (q, d2) in lines(pb):
+            if d1[0] * d2[1] - d1[1] * d2[0] == 0:  # parallel
+                if d1[0] * (q[1] - p[1]) - d1[1] * (q[0] - p[0]) == 0:
+                    return True
+    return False
+
+
+class TestConvexClipKernel:
+    def test_random_convex_pairs_match_green_reference(self):
+        """400 random integer convex-hull pairs (arbitrary edge slopes,
+        NOT just the 45° store family): Sutherland–Hodgman area equals
+        the independent Green's-decomposition area exactly, in
+        Fractions. Draws where support lines coincide are skipped (the
+        reference double-counts shared boundary; the store proves that
+        case impossible by congruence)."""
+        random = __import__("random").Random(77)
+        checked = 0
+        for _ in range(400):
+            pa = _hull(
+                [(random.randint(0, 40), random.randint(0, 40)) for _ in range(7)]
+            )
+            dx0, dy0 = random.randint(-20, 50), random.randint(-20, 50)
+            pb = _hull(
+                [
+                    (dx0 + random.randint(0, 30), dy0 + random.randint(0, 30))
+                    for _ in range(6)
+                ]
+            )
+            if len(pa) < 3 or len(pb) < 3 or _lines_collide(pa, pb):
+                continue
+            checked += 1
+            poly = convex_clip(pa, pb)
+            sh_area2 = convex_poly_area2(poly) if len(poly) >= 3 else Fraction(0)
+            assert sh_area2 == _green_area2(pa, pb)
+            # symmetry: clipping B by A gives the same region
+            poly2 = convex_clip(pb, pa)
+            sh2 = convex_poly_area2(poly2) if len(poly2) >= 3 else Fraction(0)
+            assert sh2 == sh_area2
+        assert checked >= 300  # the skip filter must not eat the test
+
+    def test_store_congruences_exclude_degeneracy(self):
+        """The general-position proof is algebraic; sweep 20k keys and
+        assert the congruence classes it rests on: A coords ≡ 0 (mod 4)
+        so every A support-line constant (x, y, x+y, x−y families) is
+        ≡ 0 (mod 4); B vertex coords are never ≡ 0 (mod 4), B vertex
+        x±y sums are always ODD, and B 45°-line constants are ODD."""
+        for k in range(1, 20001):
+            if k % 2 == 1:  # A octagon
+                ax, ay, r = 4 * (k % 23), 4 * (k % 17), 8 + 4 * ((k // 2) % 2)
+                vs = [
+                    (ax - r + 4, ay - r), (ax + r - 4, ay - r),
+                    (ax + r, ay - r + 4), (ax + r, ay + r - 4),
+                    (ax + r - 4, ay + r), (ax - r + 4, ay + r),
+                    (ax - r, ay + r - 4), (ax - r, ay - r + 4),
+                ]
+                for x, y in vs:
+                    assert x % 4 == 0 and y % 4 == 0
+            else:  # B diamond
+                bx, by, s = 4 * (k % 19) + 2, 4 * (k % 13) + 2, 4 * (k % 3) + 1
+                vs = [(bx + s, by), (bx, by + s), (bx - s, by), (bx, by - s)]
+                for x, y in vs:
+                    assert x % 4 != 0 and y % 4 != 0
+                    assert (x + y) % 2 == 1 and (x - y) % 2 == 1
+                for const in (bx + by + s, bx + by - s, bx - by + s, bx - by - s):
+                    assert const % 2 == 1
+
+    def test_containment_and_disjoint_fixtures(self):
+        """B strictly inside A → the clip IS B (4 vertices, diamond
+        area 2s²); disjoint pair → empty."""
+        pa = [(0, 0), (40, 0), (40, 40), (0, 40)]
+        pb = [(25, 20), (20, 25), (15, 20), (20, 15)]  # s = 5 diamond
+        poly = convex_clip(pa, pb)
+        assert sorted(poly) == sorted([(Fraction(25), Fraction(20)),
+                                       (Fraction(20), Fraction(25)),
+                                       (Fraction(15), Fraction(20)),
+                                       (Fraction(20), Fraction(15))])
+        assert convex_poly_area2(poly) == 2 * 2 * 5 * 5
+        assert convex_clip([(0, 0), (4, 0), (4, 4), (0, 4)],
+                           [(10, 10), (14, 10), (14, 14), (10, 14)]) == []
