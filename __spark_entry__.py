@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # never driver-graded (r13 wave 1)
     "spatial_knn_join_ring", "spatial_clip_convex_pairs",
+    # never driver-graded (r13 wave 2)
+    "weighted_median_histogram", "stream_full_outer_join",
     # code changed in r13: the quantile scale knobs (VERDICT r12 #6 —
     # auto-widen collect loop + recursion-within-bin replacing the hard
     # assert; the default-path plan's pass 2 is now interval-joined, so
@@ -80,10 +82,10 @@ _DRIVER_PRIORITY = [
     # staleness re-proof: first 6 of the r9-proven queue
     # (minhash_lsh_neardup is rows-only by design; its exact mechanism
     # twin minhash_neardup_oracle is in this same prefix)
-    "similarity_join_lsh_oracle", "knn_ivf_oracle",
-    "minhash_lsh_neardup",
+    "similarity_join_lsh_oracle",
     # displaced to the r14 queue head by r13 stagings (stay r9-proven):
-    # simhash_poly_signature, embedding_quantize_int8, knn_int8_rerank
+    # knn_ivf_oracle, minhash_lsh_neardup, simhash_poly_signature,
+    # embedding_quantize_int8, knn_int8_rerank
 ]
 
 

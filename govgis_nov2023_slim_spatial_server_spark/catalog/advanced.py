@@ -1269,3 +1269,152 @@ def pagerank_power_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("l_partkey"), F.col("r").alias("pagerank_e12"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted exact quantiles (two-pass histogram, weighted ranks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_histogram",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS s,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    g AS (SELECT s, SUM(w) AS tw FROM c GROUP BY s),
+    r AS (
+      SELECT s, cents,
+             SUM(w) OVER (PARTITION BY s ORDER BY cents) AS cum
+      FROM c)
+    SELECT r.s AS l_returnflag,
+           CAST(MAX(g.tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cum >= (g.tw + 1) // 2 THEN cents END)
+             AS wp50_cents,
+           MIN(CASE WHEN cum >= (9 * g.tw + 9) // 10 THEN cents END)
+             AS wp90_cents,
+           CAST(MIN(CASE WHEN cum >= (g.tw + 1) // 2 THEN cents END)
+                AS DOUBLE) / 100 AS wp50,
+           CAST(MIN(CASE WHEN cum >= (9 * g.tw + 9) // 10 THEN cents END)
+                AS DOUBLE) / 100 AS wp90
+    FROM r JOIN g ON r.s = g.s
+    GROUP BY r.s
+    """,
+)
+def weighted_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED exact quantiles (weighted lower median and ceil-rank
+    weighted p90 of l_extendedprice, weighted by integral l_quantity)
+    per return flag, WITHOUT a global sort — the weighted-rank
+    generalization of `exact_quantiles_histogram` (quantity-weighted
+    price quantiles are the 'where does the median shipped unit price
+    sit' question; sample-weighted percentiles are the survey/training-
+    mixture form). Weighted rank semantics, identical in both engines
+    in pure int64: the weighted p-quantile is the SMALLEST value v whose
+    cumulative weight reaches r, with r50 = (W+1) DIV 2 and
+    r90 = (9W+9) DIV 10 = ceil(0.9·W); cumulative weight uses RANGE
+    framing (ties share their full tie-group total — both engines'
+    default ORDER BY frame), so duplicate prices cannot order-diverge.
+
+    Two passes, the sibling entry's shape with weighted counts: pass 1
+    map-combined SUM(weight) histogram per (flag, cents DIV W) —
+    |groups| × occupied-bins rows, corpus-size-independent; driver walk
+    locates each weighted rank's bin and its in-bin weight offset;
+    pass 2 re-scans ONLY target bins behind pushed-down price-range
+    predicates and takes MIN(cents) among rows whose in-bin RANGE
+    cumulative weight reaches the offset. The widen/recursion scale
+    knobs live in the sibling (same mechanism; this entry grades the
+    weighted-rank semantics at the sibling's default widths, where the
+    pass-1 collect is ~30 bins/group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    wcol = F.col("l_quantity").cast("long")
+    base = li.select(
+        F.col("l_returnflag").alias("s"),
+        cents.alias("cents"),
+        wcol.alias("w"),
+    )
+    hist = (
+        base.groupBy("s", F.expr(f"cents DIV {_QH_W}").alias("b"))
+        .agg(F.sum("w").alias("wsum"))
+        .limit(_QH_GUARD + 1)
+        .collect()
+    )
+    assert len(hist) <= _QH_GUARD, "see exact_quantiles_histogram knobs"
+    by_s: dict[str, list[tuple[int, int]]] = {}
+    for row in hist:
+        by_s.setdefault(row["s"], []).append((row["b"], row["wsum"]))
+    targets: list[tuple[str, int, int, str]] = []  # (s, bin, w-offset, tag)
+    tw_by_s: dict[str, int] = {}
+    for s, bl in by_s.items():
+        bl.sort()
+        tw = sum(c for _, c in bl)
+        tw_by_s[s] = tw
+        for tag, rank in (
+            ("wp50", (tw + 1) // 2),
+            ("wp90", (9 * tw + 9) // 10),
+        ):
+            cum = 0
+            for b, c in bl:
+                if cum + c >= rank:
+                    targets.append((s, b, rank - cum, tag))
+                    break
+                cum += c
+    if not targets:
+        return spark.createDataFrame(
+            [],
+            "l_returnflag string, total_weight long, wp50_cents long,"
+            " wp90_cents long, wp50 double, wp90 double",
+        )
+    cond = None
+    for s, b, _, _ in targets:
+        lo = (b * _QH_W) / 100.0 - 0.02
+        hi = ((b + 1) * _QH_W) / 100.0 + 0.02
+        cc = (
+            (F.col("l_returnflag") == s)
+            & (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") < hi)
+        )
+        cond = cc if cond is None else (cond | cc)
+    filt = (
+        li.where(cond)
+        .select(
+            F.col("l_returnflag").alias("s"),
+            cents.alias("cents"),
+            wcol.alias("w"),
+        )
+        .withColumn("b", F.expr(f"cents DIV {_QH_W}"))
+    )
+    tgt = spark.createDataFrame(
+        targets, "s string, b long, off long, tag string"
+    )
+    # RANGE cumulative (default frame under orderBy): tie groups share
+    # their full total on both engines
+    w = Window.partitionBy("s", "b").orderBy("cents")
+    picked = (
+        filt.withColumn("cum", F.sum("w").over(w))
+        .join(F.broadcast(tgt), ["s", "b"])
+        .where(F.col("cum") >= F.col("off"))
+        .groupBy("s", "tag")
+        .agg(F.min("cents").alias("cents"))
+    )
+    tw_map = F.create_map(
+        *[x for s, n in tw_by_s.items() for x in (F.lit(s), F.lit(n))]
+    )
+    out = picked.groupBy("s").agg(
+        F.max(F.when(F.col("tag") == "wp50", F.col("cents"))).alias(
+            "wp50_cents"
+        ),
+        F.max(F.when(F.col("tag") == "wp90", F.col("cents"))).alias(
+            "wp90_cents"
+        ),
+    )
+    return out.select(
+        F.col("s").alias("l_returnflag"),
+        F.element_at(tw_map, F.col("s")).alias("total_weight"),
+        "wp50_cents",
+        "wp90_cents",
+        (F.col("wp50_cents").cast("double") / 100).alias("wp50"),
+        (F.col("wp90_cents").cast("double") / 100).alias("wp90"),
+    )

@@ -1173,3 +1173,168 @@ def stream_hll_distinct_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _stop_quietly(q)
     return out
+
+
+@query(
+    "stream_full_outer_join",
+    """
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+           COALESCE(l.user_id, r.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 40 MINUTE AND r.ts <= l.ts
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join, actually
+    executed — the last missing member of the streaming join family
+    (inner: `stream_interval_join_pairs`; stream-static:
+    `stream_static_enrich`; left outer: `stream_left_outer_join`): BOTH
+    null sides must emit, each under its own watermark proof —
+    purchases with no qualifying click once the watermark passes the
+    purchase's event time, AND clicks that attributed no purchase once
+    the watermark proves no purchase in [r_ts, r_ts + 40 min] can still
+    arrive. The batch oracle is the plain FULL JOIN of the two
+    type-filtered sides.
+
+    Staging facts carried verbatim from the left-outer entry (each
+    earned empirically there, see its docstring): event-time-ordered
+    file split so partners are never evicted early; TWO trailing
+    watermark-advancer files whose sentinel rows pass BOTH sides'
+    type filters (the global watermark is the min across both watermark
+    nodes) and match nothing (negative user_ids); sentinels removed
+    only AFTER the sink on the COALESCED user key — an in-stream filter
+    would be pushed below the EventTimeWatermark node and pin the
+    watermark silently. The full-outer-specific check: sentinel rows
+    themselves emit as null-side rows (a sentinel purchase has no
+    click, a sentinel click no purchase), which is exactly why the
+    sink-side filter uses the coalesced key — it must drop BOTH
+    sentinel emission shapes.
+
+    At 100 TB this is reconciliation-with-absence in both directions
+    (unattributed conversions AND orphaned touchpoints in one pass):
+    state watermark-bounded per side, one user_id shuffle of each
+    stream, advancers played by real traffic."""
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n = ev.count()
+    lo = ev.agg(F.min("user_id").alias("m")).collect()[0]["m"]
+    if lo is not None and lo < 0:
+        raise AssertionError(
+            "stream_full_outer_join reserves negative user_ids for its "
+            f"watermark-advancer sentinels; data has user_id {lo}"
+        )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if max_ts is None:  # empty stream ⇒ empty join result
+        return spark.createDataFrame(
+            [], "purchase_id long, click_id long, user_id long"
+        )
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint(eager=True)
+    half = n // 2
+    real_slices = [
+        ("a_first", F.col("rn") <= half, half),
+        ("b_second", F.col("rn") > half, n - half),
+    ]
+
+    def _sentinels(offset_h: int):
+        t = max_ts + _dt.timedelta(hours=offset_h)
+        return spark.createDataFrame(
+            [
+                (-10 - offset_h, t, -1, "purchase"),
+                (-20 - offset_h, t, -2, "click"),
+            ],
+            schema=ranked.drop("rn").schema,
+        )
+
+    d = tempfile.mkdtemp(prefix="stream_fouter_")
+    q = None
+    try:
+        now = 1_700_000_000
+        n_files = 0
+
+        def _stage(df, fname):
+            nonlocal n_files
+            stage = os.path.join(d, f"_stage_{fname}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{fname}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now + 100 * n_files,) * 2)
+            n_files += 1
+
+        for fname, pred, size in real_slices:
+            if size > 0:
+                _stage(ranked.where(pred).drop("rn"), fname)
+        _stage(_sentinels(4), "c_advance1")
+        _stage(_sentinels(8), "d_advance2")
+
+        schema = ranked.drop("rn").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        left = (
+            src.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        right = (
+            src.where(F.col("event_type") == "click")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        j = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 40 MINUTES"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+            "full_outer",
+        )
+        _SINK_SEQ[0] += 1
+        name = f"__stream_fouter_{_SINK_SEQ[0]}"
+        q = (
+            j.select(
+                "purchase_id",
+                "click_id",
+                F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .where(F.col("user_id") >= 0)  # drops BOTH sentinel shapes
+            .select("purchase_id", "click_id", "user_id")
+            .localCheckpoint(eager=True)  # outlive the staged inputs
+        )
+    finally:
+        _stop_quietly(q)
+        shutil.rmtree(d, ignore_errors=True)
+    return out

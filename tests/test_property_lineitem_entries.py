@@ -34,6 +34,10 @@ ENTRIES = [
     # ties, isolated/degenerate components, and the DIV floor recurrence
     # in ways the path-graph fixture can't
     "pagerank_power_iters",
+    # r13: weighted exact quantiles — random weights/prices force
+    # weighted-rank boundaries onto tie groups (RANGE framing) and
+    # single-row / single-flag groups
+    "weighted_median_histogram",
 ]
 
 FLAGS = ["A", "N", "R"]

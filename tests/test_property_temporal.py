@@ -79,6 +79,10 @@ ENTRIES = [
     # ts ties at the file boundary, purchase-heavy/click-free users
     # (null-side emission), and single-event streams
     "stream_left_outer_join",
+    # r13: the FULL outer form — random corpora additionally exercise
+    # click-only users (right-null emission) and the both-sides-empty
+    # type mixes
+    "stream_full_outer_join",
     # r10: dropDuplicatesWithinWatermark re-emission across occurrence
     # islands — derives its synthetic islands from the random corpus's
     # DISTINCT user_id set, so key collisions / single-user corpora vary

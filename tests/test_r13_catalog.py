@@ -359,3 +359,57 @@ class TestConvexClipKernel:
         assert convex_poly_area2(poly) == 2 * 2 * 5 * 5
         assert convex_clip([(0, 0), (4, 0), (4, 4), (0, 4)],
                            [(10, 10), (14, 10), (14, 14), (10, 14)]) == []
+
+
+# ---------------------------------------------------------------------------
+# stream_full_outer_join — both-null-side emission
+# ---------------------------------------------------------------------------
+
+
+def test_stream_full_outer_join_both_null_sides(spark, tmp_path):
+    """Full-outer streaming contract: unmatched purchases emit one
+    NULL-click row, unmatched clicks emit one NULL-purchase row (the
+    side the left-outer entry cannot show), matches emit normally, and
+    clicks strictly after their user's purchase window attribute
+    nothing (they become orphans)."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [  # (event_id, user_id, seconds, type)
+        (1, 1, 1000, "click"),
+        (2, 1, 1500, "purchase"),  # matches click 1
+        (3, 2, 1600, "purchase"),  # no click -> purchase-null row
+        (4, 3, 5000, "purchase"),  # click later -> null + orphan click
+        (5, 3, 6000, "click"),
+        (6, 4, 9000, "click"),
+        (7, 4, 9100, "click"),
+        (8, 4, 9200, "purchase"),  # two matches
+        (9, 5, 9500, "click"),  # click-only user -> orphan click
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": [base + pd.Timedelta(seconds=r[2]) for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    rows_out = [
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["stream_full_outer_join"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    got = set(rows_out)
+    assert got == {
+        (None, 5),  # orphan click (arrived after its user's purchase)
+        (None, 9),  # click-only user
+        (2, 1),
+        (3, None),
+        (4, None),
+        (8, 6),
+        (8, 7),
+    }
+    assert len(rows_out) == 7  # no duplicate emissions
