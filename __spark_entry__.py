@@ -49,6 +49,8 @@ _DRIVER_PRIORITY = [
     "spatial_knn_join_ring", "spatial_clip_convex_pairs",
     # never driver-graded (r13 wave 2)
     "weighted_median_histogram", "stream_full_outer_join",
+    # never driver-graded (r13 wave 3)
+    "nucleus_vocab_coverage", "snapshot_diff_keys", "asof_join_nearest",
     # code changed in r13: the quantile scale knobs (VERDICT r12 #6 —
     # auto-widen collect loop + recursion-within-bin replacing the hard
     # assert; the default-path plan's pass 2 is now interval-joined, so
@@ -78,15 +80,15 @@ _DRIVER_PRIORITY = [
     "set_ops_all_variants", "null_safe_join_counts",
     "resample_ffill_15m", "order_date_spine_counts",
     "rank_with_ties_topk", "revenue_share_window",
-    "spatial_knn_rect_centroids", "multimodal_audio_windows",
-    # staleness re-proof: first 6 of the r9-proven queue
-    # (minhash_lsh_neardup is rows-only by design; its exact mechanism
-    # twin minhash_neardup_oracle is in this same prefix)
-    "similarity_join_lsh_oracle",
-    # displaced to the r14 queue head by r13 stagings (stay r9-proven):
-    # knn_ivf_oracle, minhash_lsh_neardup, simhash_poly_signature,
-    # embedding_quantize_int8, knn_int8_rerank
+    # displaced to the r14 queue head by the r13 stagings (8 new + 1
+    # code-changed consumed 9 slots; every displaced member keeps its
+    # r8/r9 proof and leads the r14 rotation, oldest first):
+    # spatial_knn_rect_centroids, multimodal_audio_windows (the last
+    # two r8-proven — r8 retires in r14, not r13), then the r9 queue:
+    # similarity_join_lsh_oracle, knn_ivf_oracle, minhash_lsh_neardup,
+    # simhash_poly_signature, embedding_quantize_int8, knn_int8_rerank
 ]
+assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
 
 def _ordered(mapping: dict) -> dict:

@@ -919,3 +919,65 @@ def quota_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("train_quota"),
         )
     )
+
+
+@query(
+    "nucleus_vocab_coverage",
+    """
+    WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+    u AS (SELECT unnest(w) AS token FROM t),
+    c AS (SELECT token, COUNT(*) AS cnt FROM u GROUP BY token),
+    g AS (SELECT SUM(cnt) AS total FROM c),
+    r AS (SELECT token, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+                 SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT rank, token, cnt, CAST(cum AS BIGINT) AS cum_cnt
+    FROM r, g
+    WHERE 10 * (cum - cnt) < 9 * total
+    """,
+)
+def nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) VOCABULARY selection — the minimal
+    frequency-ranked token prefix covering ≥ 90% of corpus token mass
+    (the vocabulary-truncation / nucleus-cutoff op an LLM data pipeline
+    runs before building token tables; the distribution-head dual of
+    `oov_rate_top_vocab`'s fixed-size vocabulary). A token is kept iff
+    the mass BEFORE it is still under the cutoff — exactly the minimal
+    covering prefix — decided in pure integers on both engines:
+    10·(cum − cnt) < 9·total (no 0.9·total float, no rounding class).
+    Ties inside a count level are ordered by token text, so the
+    boundary token is deterministic.
+
+    Scale shape: one map-combined token count, then a rank/cumsum over
+    the VOCABULARY (≪ corpus; the global window at test scale — the
+    two-phase per-partition-offset swap documented at
+    `pps_systematic_sample` applies verbatim when the vocabulary
+    itself outgrows one task), and total joins in as a scalar
+    broadcast. Output is the kept vocabulary with ranks and running
+    coverage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    )
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    r = c.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cnt"),
+    )
+    total = F.broadcast(
+        c.agg(F.sum("cnt").alias("__total"))
+    )
+    return (
+        r.crossJoin(total)
+        .where(10 * (F.col("cum_cnt") - F.col("cnt")) < 9 * F.col("__total"))
+        .select("rank", "token", "cnt", "cum_cnt")
+    )

@@ -2193,3 +2193,174 @@ def skyline_recursive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recursive_skyline(
         clustered, cost="cost", benefit="benefit", key="k", fit_rows=2000
     )
+
+
+@query(
+    "snapshot_diff_keys",
+    """
+    WITH cur AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 83 <> 0),
+    prev AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    j AS (
+      SELECT COALESCE(cur.k, prev.k) AS k, cur.k AS ck, prev.k AS pk,
+             cur.cents AS cc, prev.cents AS pc
+      FROM cur FULL JOIN prev ON cur.k = prev.k)
+    SELECT CASE WHEN pk IS NULL THEN 'added'
+                WHEN ck IS NULL THEN 'removed'
+                WHEN cc <> pc THEN 'changed'
+                ELSE 'same' END AS diff_class,
+           COUNT(*) AS n_keys,
+           CAST(SUM(COALESCE(cc, pc)) AS BIGINT) AS sum_cents
+    FROM j
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot DIFF — the data-versioning reconciliation op
+    (Delta/Iceberg table_changes, dbt snapshot audit, CDC backfill
+    verification): classify every key across two snapshot versions as
+    added / removed / changed / same with exact value sums per class.
+    The 'previous' snapshot is derived deterministically from the same
+    orders table (keys ≡ 0 mod 97 absent from prev = adds; keys ≡ 0
+    mod 83 absent from current = removes; keys ≡ 0 mod 89 price-shifted
+    in prev = changes), so the oracle replays it closed-form and every
+    class is non-empty at every SF.
+
+    Mechanism: ONE full-outer sort-merge join on the key (the
+    cdc_upsert_snapshot shape — both branch scans carry pushed-down
+    key-modulo filters), CASE classification, map-combined class
+    aggregate. All money exact int64 cents (the _revenue_e4
+    discipline). At 100 TB: snapshot diff is the canonical
+    co-partitioned join — bucketed snapshot storage makes the SMJ
+    shuffle-free, and the class aggregate is 4 rows."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cur = o.where(k % 83 != 0).select(
+        k.alias("ck"), cents.alias("cc")
+    )
+    prev = o.where(k % 97 != 0).select(
+        k.alias("pk"),
+        (cents + F.when(k % 89 == 0, F.lit(100)).otherwise(F.lit(0))).alias(
+            "pc"
+        ),
+    )
+    j = cur.join(prev, cur["ck"] == prev["pk"], "full_outer")
+    cls = (
+        F.when(F.col("pk").isNull(), F.lit("added"))
+        .when(F.col("ck").isNull(), F.lit("removed"))
+        .when(F.col("cc") != F.col("pc"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(cls.alias("diff_class"), F.coalesce("cc", "pc").alias("v"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("v").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "asof_join_nearest",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS sid, user_id, ts FROM events
+          WHERE event_type = 'signup'),
+    c AS (
+      SELECT p.pid, p.user_id, s.sid,
+             ABS(CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(s.ts)) AS BIGINT)) AS adiff,
+             CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS gap_s,
+             CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END AS fwd,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.pid
+               ORDER BY ABS(CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+                            - CAST(FLOOR(epoch(s.ts)) AS BIGINT)),
+                        CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN s.ts <= p.ts THEN -s.sid ELSE s.sid END
+             ) AS rn
+      FROM p JOIN s ON p.user_id = s.user_id)
+    SELECT pid AS purchase_id, user_id, sid AS nearest_signup_id,
+           adiff AS abs_gap_s, gap_s
+    FROM c WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'`` / kdb ``aj`` nearest variant): each purchase
+    gets the signup closest in time in EITHER direction, ties broken
+    toward the earlier (backward) signup — completing the as-of family
+    (`asof_join_purchase_signup` is backward-only). The oracle's
+    quadratic per-key candidate rank is exactly what the engine must
+    avoid.
+
+    Mechanism: the union-sort trick run BIDIRECTIONALLY under ONE
+    shuffle — tag and union both sides, sort each user's timeline once
+    by (ts, kind, sid) with signups before purchases at equal ts, then
+    two frames over the SAME window spec (Spark reuses the sort):
+    last(signup struct, ignorenulls) over unbounded-preceding = latest
+    signup at-or-before, first(...) over rows-following = earliest
+    strictly-after. The per-purchase pick is then a 2-way exact-int64
+    comparison: backward wins iff its gap ≤ the forward gap (tie →
+    backward, matching the oracle's fwd then ±sid ordering; within a
+    same-ts signup group backward takes the max sid — the sort's last —
+    and forward the min — the sort's first — which the oracle's
+    direction-signed sid mirrors). Purchases of users with no signup at
+    all drop (inner semantics, as the oracle's JOIN). One |p|+|s|-row
+    shuffle on user_id, no join explosion, fully codegen."""
+    e = _t(spark, sf_dir, "events")
+    es = F.col("ts").cast("long")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        es.alias("pts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("sid"),
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("pid"),
+        "user_id",
+        es.alias("pts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("sid"),
+    )
+    u = p.unionByName(s).withColumn(
+        "sp",
+        F.when(
+            F.col("kind") == 0, F.struct(F.col("pts").alias("sts"), "sid")
+        ),
+    )
+    base = Window.partitionBy("user_id").orderBy("pts", "kind", "sid")
+    bwd = F.last("sp", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("sp", ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    rows = (
+        u.select("pid", "user_id", "pts", "kind", bwd.alias("b"), fwd.alias("f"))
+        .where(F.col("kind") == 1)
+        .where(F.col("b").isNotNull() | F.col("f").isNotNull())
+    )
+    bgap = F.col("pts") - F.col("b.sts")
+    fgap = F.col("f.sts") - F.col("pts")
+    take_b = F.col("f").isNull() | (F.col("b").isNotNull() & (bgap <= fgap))
+    return rows.select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        F.when(take_b, F.col("b.sid")).otherwise(F.col("f.sid")).alias(
+            "nearest_signup_id"
+        ),
+        F.when(take_b, bgap).otherwise(fgap).alias("abs_gap_s"),
+        F.when(take_b, bgap).otherwise(-fgap).alias("gap_s"),
+    )

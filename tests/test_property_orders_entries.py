@@ -52,6 +52,9 @@ ENTRIES = [
     # r8: the MERGE INTO scorecard — full-outer coalesce on random key
     # sets (incl. empty orders, batch-only keys, snapshot-only keys)
     "cdc_upsert_snapshot",
+    # r13: snapshot diff — random key sets vary which modulo classes are
+    # populated (empty diff classes, all-removed, single-key tables)
+    "snapshot_diff_keys",
     # r11: largest-remainder quota apportionment — random stratum counts
     # hit every deficit value 0..4 and remainder ties (the key tie-break)
     "quota_stratified_split",

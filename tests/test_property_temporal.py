@@ -60,6 +60,10 @@ ENTRIES = [
     # r6 coverage expansion: remaining events-only oracle entries
     "sliding_window_1h_30m",
     "asof_join_purchase_signup",
+    # r13: the nearest-direction variant — random ts collisions force
+    # equal-gap ties (backward preference) and same-second signup
+    # groups (direction-signed sid tie-break)
+    "asof_join_nearest",
     "time_hierarchy_rollup",
     "resample_ffill_15m",
     "approx_stats_events",

@@ -98,6 +98,10 @@ ENTRIES = [
     # union vs span-sum diverge; self-repetition inside one doc adds
     # multi-diagonal overlapping spans
     "substring_trim_retention",
+    # r13: nucleus (top-p) vocabulary cutoff — tiny random vocabularies
+    # force the boundary token onto count ties (token-text tie-break)
+    # and the everything-kept / single-token regimes
+    "nucleus_vocab_coverage",
 ]
 
 VOCAB = ["a", "b", "ab", "aa", "the", "x"]
