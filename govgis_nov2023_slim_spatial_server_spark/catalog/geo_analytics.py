@@ -1896,12 +1896,12 @@ def spatial_intersection_snap_rings(spark: SparkSession, sf_dir: str) -> DataFra
 _CLIP_SQL = """
     WITH a AS (
       SELECT c_custkey AS akey,
-             4 * (c_custkey % 23) AS ax, 4 * (c_custkey % 17) AS ay,
+             4 * (c_custkey % 101) AS ax, 4 * (c_custkey % 89) AS ay,
              8 + 4 * ((c_custkey // 2) % 2) AS r
       FROM customer WHERE c_custkey % 2 = 1),
     b AS (
       SELECT c_custkey AS bkey,
-             4 * (c_custkey % 19) + 2 AS bx, 4 * (c_custkey % 13) + 2 AS by2,
+             4 * (c_custkey % 97) + 2 AS bx, 4 * (c_custkey % 103) + 2 AS by2,
              4 * (c_custkey % 3) + 1 AS s
       FROM customer WHERE c_custkey % 2 = 0),
     av AS (
@@ -2015,12 +2015,16 @@ def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: candidates are cell-blocked (bounded per-cell work,
     AQE-splittable on hot cells), the kernel is O(|A|·|B|) per pair on
     ≤8×4-vertex polygons, and nothing driver-side scales with the data.
-    Overflow audit: coords ≤ ~102, side values < 10⁵, cross-multiplied
-    comparisons < 4·10⁹, scaled crosses < 10⁵, all << 2⁶³."""
+    Store extent scales with the key moduli (101/89/97/103 — density,
+    and with it the per-cell pair count, stays bounded as the corpus
+    grows; a fixed-extent first cut measured 62k positive pairs at
+    sf0.01, the density-quadratic regime this lattice avoids). Overflow
+    audit: coords ≤ ~422, side values < 10⁵, cross-multiplied
+    comparisons < 2·10⁹, scaled crosses < 2·10⁶, all << 2⁶³."""
     c = load_table(spark, sf_dir, "customer")
     ck = F.col("c_custkey")
     r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
-    ax, ay = (4 * (ck % 23)).cast("long"), (4 * (ck % 17)).cast("long")
+    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
     a = c.where(ck % 2 == 1).select(
         ck.alias("akey"),
         F.array(
@@ -2036,8 +2040,8 @@ def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ax + r).cast("double").alias("xmax"),
         (ay + r).cast("double").alias("ymax"),
     )
-    bx = (4 * (ck % 19) + 2).cast("long")
-    by = (4 * (ck % 13) + 2).cast("long")
+    bx = (4 * (ck % 97) + 2).cast("long")
+    by = (4 * (ck % 103) + 2).cast("long")
     s = (4 * (ck % 3) + 1).cast("long")
     b = c.where(ck % 2 == 0).select(
         ck.alias("bkey"),

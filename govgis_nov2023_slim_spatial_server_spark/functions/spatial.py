@@ -958,14 +958,83 @@ def convex_poly_area2(poly):
     return s
 
 
+def _clip_pieces_int64(sx, sy, cx, cy):
+    """Vectorized per-edge Green's clip: for every batch row, clip each
+    edge of subject polygon (sx, sy) — shape (n, ns), CCW int64 — to its
+    parameter sub-interval inside convex clip polygon (cx, cy) — shape
+    (n, nc) — entirely in exact int64 (fraction bounds kept as (num,
+    den>0) pairs, compared by cross-multiplication). Returns
+    (valid, cross2): piece-exists mask (n, ns) and the piece's scaled
+    shoelace contribution cross(2·P(t_lo), 2·P(t_hi)) (n, ns).
+
+    EXACTNESS CONTRACT: the ×2-scaled clipped endpoints must be
+    integers (the 45°-edge-family store guarantee — every crossing is
+    half-integer). A non-integer endpoint raises rather than rounding,
+    so a store violating the lattice proof fails loudly. The general
+    (any-slope) reference is :func:`convex_clip` in rational
+    arithmetic, pinned equal to this kernel by test on random inputs."""
+    p1x, p1y = sx, sy
+    p2x, p2y = np.roll(sx, -1, axis=1), np.roll(sy, -1, axis=1)
+    dx, dy = p2x - p1x, p2y - p1y
+    q1x, q1y = cx, cy
+    q2x, q2y = np.roll(cx, -1, axis=1), np.roll(cy, -1, axis=1)
+    dqx, dqy = q2x - q1x, q2y - q1y
+    # c0 + t·c1 >= 0 per (row, subject-edge, clip-edge)
+    c0 = dqx[:, None, :] * (p1y[:, :, None] - q1y[:, None, :]) - dqy[
+        :, None, :
+    ] * (p1x[:, :, None] - q1x[:, None, :])
+    c1 = dqx[:, None, :] * dy[:, :, None] - dqy[:, None, :] * dx[:, :, None]
+    n, ns = p1x.shape
+    la = np.zeros((n, ns), dtype=np.int64)  # t_lo = la/lb, max over lowers
+    lb = np.ones((n, ns), dtype=np.int64)
+    ua = np.ones((n, ns), dtype=np.int64)  # t_hi = ua/ub, min over uppers
+    ub = np.ones((n, ns), dtype=np.int64)
+    emp = np.zeros((n, ns), dtype=bool)
+    for i in range(c0.shape[2]):
+        a_i, b_i = -c0[:, :, i], c1[:, :, i]
+        low = (b_i > 0) & (a_i * lb > la * b_i)
+        la = np.where(low, a_i, la)
+        lb = np.where(low, b_i, lb)
+        a_u, b_u = c0[:, :, i], -c1[:, :, i]
+        upp = (b_u > 0) & (a_u * ub < ua * b_u)
+        ua = np.where(upp, a_u, ua)
+        ub = np.where(upp, b_u, ub)
+        emp |= (b_i == 0) & (c0[:, :, i] < 0)
+    valid = (~emp) & (la * ub < ua * lb)
+    lb_s = np.where(valid, lb, 1)
+    ub_s = np.where(valid, ub, 1)
+    nx1 = 2 * (p1x * lb_s + np.where(valid, la, 0) * dx)
+    ny1 = 2 * (p1y * lb_s + np.where(valid, la, 0) * dy)
+    nx2 = 2 * (p1x * ub_s + np.where(valid, ua, 0) * dx)
+    ny2 = 2 * (p1y * ub_s + np.where(valid, ua, 0) * dy)
+    if (
+        np.any(nx1[valid] % lb_s[valid])
+        or np.any(ny1[valid] % lb_s[valid])
+        or np.any(nx2[valid] % ub_s[valid])
+        or np.any(ny2[valid] % ub_s[valid])
+    ):
+        raise ValueError(
+            "convex clip endpoint off the half-integer lattice — input "
+            "violates the 45°-edge-family store contract"
+        )
+    sx1, sy1 = nx1 // lb_s, ny1 // lb_s
+    sx2, sy2 = nx2 // ub_s, ny2 // ub_s
+    return valid, np.where(valid, sx1 * sy2 - sy1 * sx2, 0)
+
+
 def make_convex_clip_stats_udf():
     """Arrow-batched kernel for the convex×convex clip entry: four
     array<long> vertex-coordinate columns in (subject xs/ys, clip
-    xs/ys, both CCW), struct(n_vertices, area_e4) out. area_e4 =
-    floor(area · 10⁴) of the EXACT rational intersection area — exact
-    (no floor truncation) whenever the area's reduced denominator
-    divides 10⁴, which the 45°-edge-family store guarantees (all
-    intersection vertices are half-integers ⇒ denominator | 8 | 10⁴)."""
+    xs/ys, both CCW, FIXED arities), struct(n_vertices, area_e4) out.
+    area_e4 = area · 10⁴ of the EXACT intersection area (half-integer
+    crossings ⇒ denominator | 8 | 10⁴, no truncation). Implementation
+    is the fully numpy-vectorized int64 per-edge Green decomposition
+    (`_clip_pieces_int64` both directions; pieces biject with
+    intersection vertices in general position) — the rational
+    Sutherland–Hodgman `convex_clip` is the general-slope reference it
+    is test-pinned against; the first per-pair Fraction cut of this
+    kernel measured 40 s on 251k pairs at sf0.1 vs milliseconds
+    vectorized."""
     from pyspark.sql.types import (
         IntegerType,
         LongType,
@@ -984,17 +1053,32 @@ def make_convex_clip_stats_udf():
     def _clip_stats(
         axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series
     ) -> pd.DataFrame:
-        nv = np.zeros(len(axs), dtype=np.int32)
-        ae4 = np.zeros(len(axs), dtype=np.int64)
-        for i in range(len(axs)):
-            sub = list(zip([int(v) for v in axs[i]], [int(v) for v in ays[i]]))
-            clp = list(zip([int(v) for v in bxs[i]], [int(v) for v in bys[i]]))
-            poly = convex_clip(sub, clp)
-            if len(poly) >= 3:
-                a2 = convex_poly_area2(poly)
-                if a2 > 0:
-                    nv[i] = len(poly)
-                    ae4[i] = (a2.numerator * 5000) // a2.denominator
+        if not len(axs):
+            return pd.DataFrame(
+                {
+                    "n_vertices": np.zeros(0, dtype=np.int32),
+                    "area_e4": np.zeros(0, dtype=np.int64),
+                }
+            )
+        def _mat(col: pd.Series) -> np.ndarray:
+            # fixed-arity list column → (n, arity) int64 without a
+            # per-row Python loop (np.concatenate iterates in C)
+            flat = np.concatenate(col.to_numpy()).astype(np.int64, copy=False)
+            return flat.reshape(len(col), -1)
+
+        ax, ay, bx, by = _mat(axs), _mat(ays), _mat(bxs), _mat(bys)
+        va, ca = _clip_pieces_int64(ax, ay, bx, by)
+        vb, cb = _clip_pieces_int64(bx, by, ax, ay)
+        total = ca.sum(axis=1) + cb.sum(axis=1)  # = 8 · area
+        pos = total > 0
+        nv = np.where(pos, va.sum(axis=1) + vb.sum(axis=1), 0).astype(
+            np.int32
+        )
+        ae4 = np.where(pos, total * 1250, 0)
         return pd.DataFrame({"n_vertices": nv, "area_e4": ae4})
 
-    return _clip_stats
+    # The kernel is PURE; the marker exists only to pin ONE evaluation:
+    # filtering on one struct field while projecting the others makes
+    # Catalyst extract TWO ArrowEvalPython nodes for a deterministic UDF
+    # (measured: the whole 279k-candidate batch ran the kernel twice).
+    return _clip_stats.asNondeterministic()

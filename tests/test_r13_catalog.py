@@ -328,7 +328,7 @@ class TestConvexClipKernel:
         x±y sums are always ODD, and B 45°-line constants are ODD."""
         for k in range(1, 20001):
             if k % 2 == 1:  # A octagon
-                ax, ay, r = 4 * (k % 23), 4 * (k % 17), 8 + 4 * ((k // 2) % 2)
+                ax, ay, r = 4 * (k % 101), 4 * (k % 89), 8 + 4 * ((k // 2) % 2)
                 vs = [
                     (ax - r + 4, ay - r), (ax + r - 4, ay - r),
                     (ax + r, ay - r + 4), (ax + r, ay + r - 4),
@@ -338,7 +338,7 @@ class TestConvexClipKernel:
                 for x, y in vs:
                     assert x % 4 == 0 and y % 4 == 0
             else:  # B diamond
-                bx, by, s = 4 * (k % 19) + 2, 4 * (k % 13) + 2, 4 * (k % 3) + 1
+                bx, by, s = 4 * (k % 97) + 2, 4 * (k % 103) + 2, 4 * (k % 3) + 1
                 vs = [(bx + s, by), (bx, by + s), (bx - s, by), (bx, by - s)]
                 for x, y in vs:
                     assert x % 4 != 0 and y % 4 != 0
@@ -413,3 +413,57 @@ def test_stream_full_outer_join_both_null_sides(spark, tmp_path):
         (8, 7),
     }
     assert len(rows_out) == 7  # no duplicate emissions
+
+
+def test_vectorized_kernel_equals_rational_sh_on_store_family():
+    """Close the proof triangle directly: the numpy int64 Green kernel
+    (`_clip_pieces_int64`, what the entry executes) equals the rational
+    Sutherland–Hodgman `convex_clip` (the general reference) on a
+    3000-key sweep of the actual store family — piece count AND
+    8·area, pair by pair."""
+    import numpy as np
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+        _clip_pieces_int64,
+    )
+
+    pairs = []
+    keys = list(range(1, 160))
+    A = [
+        (k, 4 * (k % 101), 4 * (k % 89), 8 + 4 * ((k // 2) % 2))
+        for k in keys
+        if k % 2 == 1
+    ]
+    B = [
+        (k, 4 * (k % 97) + 2, 4 * (k % 103) + 2, 4 * (k % 3) + 1)
+        for k in keys
+        if k % 2 == 0
+    ]
+    for ak, ax, ay, r in A:
+        for bk, bx, by, s in B:
+            if (
+                ax - r <= bx + s and bx - s <= ax + r
+                and ay - r <= by + s and by - s <= ay + r
+            ):
+                av = [
+                    (ax - r + 4, ay - r), (ax + r - 4, ay - r),
+                    (ax + r, ay - r + 4), (ax + r, ay + r - 4),
+                    (ax + r - 4, ay + r), (ax - r + 4, ay + r),
+                    (ax - r, ay + r - 4), (ax - r, ay - r + 4),
+                ]
+                bv = [(bx + s, by), (bx, by + s), (bx - s, by), (bx, by - s)]
+                pairs.append((av, bv))
+    assert len(pairs) >= 50
+    axm = np.array([[p[0] for p in av] for av, _ in pairs], dtype=np.int64)
+    aym = np.array([[p[1] for p in av] for av, _ in pairs], dtype=np.int64)
+    bxm = np.array([[p[0] for p in bv] for _, bv in pairs], dtype=np.int64)
+    bym = np.array([[p[1] for p in bv] for _, bv in pairs], dtype=np.int64)
+    va, ca = _clip_pieces_int64(axm, aym, bxm, bym)
+    vb, cb = _clip_pieces_int64(bxm, bym, axm, aym)
+    for i, (av, bv) in enumerate(pairs):
+        poly = convex_clip(av, bv)
+        a2 = convex_poly_area2(poly) if len(poly) >= 3 else 0
+        total = int(ca[i].sum() + cb[i].sum())
+        assert total == 4 * a2  # 8·area both paths
+        if a2 > 0:
+            assert int(va[i].sum() + vb[i].sum()) == len(poly)
