@@ -828,7 +828,11 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-point k-list; denser tables shrink cells, larger
     facility dims swap broadcast for the cell-bucketed join."""
     ck = F.col("c_custkey")
-    # per-position bottom-5 custkeys (lossless for top-5 by (dsq, key))
+    # per-position bottom-5 custkeys kept AS AN ARRAY (lossless for
+    # top-5 by (dsq, key)) — the array rides the candidate join
+    # unexploded, so join fan-out is positions, not positions×5
+    # (measured: the exploded first cut spent its 20×-rehearsal wall in
+    # a 5×-wider collect_list input; α 0.69 → see SCALING run 17)
     f5 = (
         _t(spark, sf_dir, "customer")
         .where(ck % 10 == 1)
@@ -843,7 +847,6 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keys"
             )
         )
-        .select("fx", "fy", F.explode("keys").alias("c_custkey"))
     )
     pk = F.col("p_partkey")
     p = _t(spark, sf_dir, "part").select(
@@ -856,7 +859,7 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f5.withColumn("dxc", off)
         .withColumn("dyc", off)
         .select(
-            "c_custkey", "fx", "fy",
+            "keys", "fx", "fy",
             (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
             (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
         )
@@ -870,20 +873,48 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
         + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
     ).alias("dsq")
-    topk = F.slice(
-        F.array_sort(F.collect_list(F.struct("dsq", "c_custkey"))), 1, 5
+    # top-5 POSITIONS provably contain the top-5 individuals: keys are
+    # unique, so a position holding one of the 5 smallest (dsq, key)
+    # candidates has min-key ≤ the 5th smallest at its dsq level, while
+    # any non-holder's min-key is strictly larger — under the
+    # (dsq, keys-array) lexicographic position sort every holder
+    # precedes every non-holder, and there are ≤ 5 holders. The
+    # flattened ≤25 candidates are re-sorted before the final slice:
+    # positions TYING on dsq interleave their key sets, so flatten
+    # order alone is NOT (dsq, custkey) order (caught by the sf0.01
+    # oracle on symmetric facility positions).
+    top_pos = F.slice(
+        F.array_sort(F.collect_list(F.struct("dsq", "keys"))), 1, 5
+    ).alias("bp")
+    flat5 = F.slice(
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.col("bp"),
+                    lambda x: F.transform(
+                        x["keys"],
+                        lambda k: F.struct(
+                            x["dsq"].alias("dsq"), k.alias("c_custkey")
+                        ),
+                    ),
+                )
+            )
+        ),
+        1,
+        5,
     ).alias("b")
     base = (
         pc.join(F.broadcast(fring), ["cellx", "celly"], "left")
         .select(
             "p_partkey", "px", "py",
             F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
-            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("c_custkey"),
+            F.coalesce(F.col("keys"), F.array(F.lit(-1))).alias("keys"),
         )
         .groupBy("p_partkey", "px", "py")
-        .agg(topk)
+        .agg(top_pos)
         .localCheckpoint()
     )
+    ranked = base.select("p_partkey", "px", "py", flat5)
     guaranteed = (F.size("b") == 5) & (
         F.element_at("b", 5).getField("dsq") <= 1088
     )
@@ -899,14 +930,15 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cand.dsq").alias("dsq"),
         )
 
-    kept = _emit(base.where(guaranteed))
+    kept = _emit(ranked.where(guaranteed))
     residual = (
-        base.where(~guaranteed)
+        ranked.where(~guaranteed)
         .select("p_partkey", "px", "py")
         .crossJoin(F.broadcast(f5))
-        .select("p_partkey", dsq, "c_custkey")
+        .select("p_partkey", dsq, "keys")
         .groupBy("p_partkey")
-        .agg(topk)
+        .agg(top_pos)
+        .select("p_partkey", flat5)
     )
     return kept.unionByName(_emit(residual)).select(
         "p_partkey", "nn_rank", "nn_custkey", "dsq",

@@ -143,7 +143,10 @@ class TestKnnJoinRing:
                 custkeys = sorted(
                     {b + 700 * m for b in base_keys for m in range(6)}
                 )
-            partkeys = sorted(rng.sample(range(1, 3000), 30))
+            # 80 probe points: cross-position dsq ties (symmetric
+            # facilities around a point) need density to show up — the
+            # flatten-order bug the sf0.01 oracle caught survived 30
+            partkeys = sorted(rng.sample(range(1, 3000), 80))
             d = tmp_path / f"t{trial}"
             d.mkdir()
             _write_knn_db(custkeys, partkeys, d)

@@ -150,6 +150,33 @@ QUERIES_UNDER_TEST = {
     # (fewer residual fallbacks), so the candidate join should stay
     # ~N× while the broadcast-argmin residual SHRINKS
     "spatial_nn_join_ring": (["part", "customer"], "docs"),
+    # r13: the k=5 NN join — same replica regime as the k=1 entry; the
+    # bounded k-list aggregate replaces min(struct), so the exponent
+    # should match while the constant carries the 5× ring-table rows
+    "spatial_knn_join_ring": (["part", "customer"], "docs"),
+    # r13: exact convex clipping — key-shifted customers land on FRESH
+    # lattice positions (1e6 mod 101/89/97/103 ≠ 0), so density per cell
+    # grows N× and candidate pairs grow ~N² in the fixed rehearsal
+    # extent: the hot-cell-style OUTPUT-driven regime (genuine overlaps
+    # grow too); at production the extent grows with geography instead
+    "spatial_clip_convex_pairs": (["customer"], "docs"),
+    # r13: weighted two-pass quantiles — both passes scan-bound like the
+    # unweighted sibling (α ≈ scan's)
+    "weighted_median_histogram": (["lineitem"], "fact"),
+    # r13: FULL outer stream-stream join — REAL availableNow drain;
+    # state watermark-bounded, wall should track the staging writes +
+    # two-batch drain like the left-outer sibling
+    "stream_full_outer_join": (["events"], "fact"),
+    # r13: nucleus vocabulary — suffixed replicas grow the VOCABULARY
+    # ~N× (per-replica suffixes make tokens distinct), so the global
+    # rank window's input grows N× while the corpus count stays
+    # map-combined
+    "nucleus_vocab_coverage": (["documents"], "docs"),
+    # r13: snapshot diff — one full-outer SMJ, both sides N×
+    "snapshot_diff_keys": (["orders"], "fact"),
+    # r13: nearest as-of — one union-sort shuffle on user_id (user count
+    # grows N×, per-user chains preserved)
+    "asof_join_nearest": (["events"], "fact"),
 }
 
 
