@@ -80,8 +80,8 @@ _DRIVER_PRIORITY = [
     "set_ops_all_variants", "null_safe_join_counts",
     "resample_ffill_15m", "order_date_spine_counts",
     "rank_with_ties_topk", "revenue_share_window",
-    # displaced to the r14 queue head by the r13 stagings (8 new + 1
-    # code-changed consumed 9 slots; every displaced member keeps its
+    # displaced to the r14 queue head by the r13 stagings (7 new + 1
+    # code-changed consumed 8 slots; every displaced member keeps its
     # r8/r9 proof and leads the r14 rotation, oldest first):
     # spatial_knn_rect_centroids, multimodal_audio_windows (the last
     # two r8-proven — r8 retires in r14, not r13), then the r9 queue:
