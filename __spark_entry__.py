@@ -56,6 +56,22 @@ _DRIVER_PRIORITY = [
     # assert; the default-path plan's pass 2 is now interval-joined, so
     # the entry re-stages per the store_width convention)
     "exact_quantiles_histogram",
+    # code changed in r13: the property suite's ONE find this round —
+    # the oracle's outer ORDER BY d_full resolved to the ROUNDED select
+    # alias (DuckDB alias shadowing) while the engine ordered raw; now
+    # qualified to the inner raw column. The same session also fixed
+    # fmt_vec_sql to emit EXACT decimal expansions (DuckDB 1.0's
+    # decimal→DOUBLE parse is not correctly rounded — ~13% of reprs one
+    # ulp off, incl. 11/64 PROBE_VEC components); that byte-changes many
+    # vector oracles' literals — a documented mass non-staging: most
+    # affected entries are ALREADY in this prefix (similarity_join_topk,
+    # embedding_near_dup(+blocked), knn_euclidean, dot_product_ranking,
+    # vector_centroids_by_label, kmeans_assign_step, knn_topk,
+    # knn_lsh_oracle…), the full local gate re-certified 239/0/4 at all
+    # three SFs post-change, and the alias-shadowing sweep over all 239
+    # oracles found exactly one other ORDER-BY-rounded-alias (bm25 —
+    # whose Spark side orders by the rounded value too, consistent).
+    "matryoshka_rerank_16",
     # staleness re-proof: ALL 44 remaining r8-proven, oldest first
     # (the ledger queue; r8 retires after a green r13). As r13 entries
     # land, never-graded + code-changed names are inserted at the HEAD
@@ -79,12 +95,13 @@ _DRIVER_PRIORITY = [
     "window_percent_rank_prices", "user_retention_cohorts",
     "set_ops_all_variants", "null_safe_join_counts",
     "resample_ffill_15m", "order_date_spine_counts",
-    "rank_with_ties_topk", "revenue_share_window",
-    # displaced to the r14 queue head by the r13 stagings (7 new + 1
-    # code-changed consumed 8 slots; every displaced member keeps its
+    "rank_with_ties_topk",
+    # displaced to the r14 queue head by the r13 stagings (7 new + 2
+    # code-changed consumed 9 slots; every displaced member keeps its
     # r8/r9 proof and leads the r14 rotation, oldest first):
-    # spatial_knn_rect_centroids, multimodal_audio_windows (the last
-    # two r8-proven — r8 retires in r14, not r13), then the r9 queue:
+    # revenue_share_window, spatial_knn_rect_centroids,
+    # multimodal_audio_windows (the last three r8-proven — r8 retires
+    # in r14, not r13), then the r9 queue:
     # similarity_join_lsh_oracle, knn_ivf_oracle, minhash_lsh_neardup,
     # simhash_poly_signature, embedding_quantize_int8, knn_int8_rerank
 ]

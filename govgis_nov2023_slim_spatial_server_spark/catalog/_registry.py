@@ -37,9 +37,28 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def fmt_float_sql(x: float) -> str:
+    """One double → a DuckDB literal that parses to EXACTLY that double.
+
+    repr() is NOT safe here: DuckDB 1.0's decimal→DOUBLE parser is not
+    correctly rounded — ~13% of 17-digit round-trippable reprs parse one
+    ulp off (measured r13; 11 of the 64 PROBE_VEC components misparsed).
+    The one-ulp probe skew propagated through every fold, hidden by the
+    4-decimal output rounding until a property run landed an ORDER
+    BY+LIMIT boundary between two ulp-adjacent distances
+    (matryoshka_rerank_16's coarse cut). The EXACT finite decimal
+    expansion of the double (every binary64 has one) parses with zero
+    rounding — verified 0/4000 mismatches on both the bare-literal and
+    CAST('…') paths."""
+    from decimal import Decimal
+
+    return format(Decimal(float(x)), "f")
+
+
 def fmt_vec_sql(vec: list[float]) -> str:
-    """Python float list → DuckDB DOUBLE[] literal (repr round-trips)."""
-    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+    """Python float list → DuckDB DOUBLE[] literal (bit-exact parse —
+    see fmt_float_sql)."""
+    return "[" + ", ".join(fmt_float_sql(x) for x in vec) + "]"
 
 
 def rnd_nz(col, n: int):

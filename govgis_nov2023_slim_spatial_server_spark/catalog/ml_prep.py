@@ -781,10 +781,10 @@ def _matryoshka_oracle() -> str:
       FROM embeddings
       ORDER BY {d16}, vec_id
       LIMIT 30)
-    SELECT vec_id, label, ROUND(d16, 4) + 0.0 AS d16,
-           ROUND(d_full, 4) + 0.0 AS d_full
+    SELECT vec_id, label, ROUND(cand.d16, 4) + 0.0 AS d16,
+           ROUND(cand.d_full, 4) + 0.0 AS d_full
     FROM cand
-    ORDER BY d_full, vec_id
+    ORDER BY cand.d_full, vec_id
     LIMIT 10
     """
 
