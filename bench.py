@@ -102,10 +102,19 @@ HEADLINE = CORE_SET + [
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
 # way CORE_SET froze the r1–r5 set: published as "value_r11_set" so the
-# r11→r12→… totals stay comparable as HEADLINE keeps growing.
-R11_SET = [n for n in HEADLINE if n not in
-           ("spatial_intersection_rings", "spatial_union_snap_rings",
-            "spatial_nn_join_ring")]
+# r11→r12→… totals stay comparable as HEADLINE keeps growing. Explicit
+# snapshot since r13 — the original derived-from-HEADLINE comprehension
+# silently grew to 30 names when r13 added headliners (the exact
+# r7-ADVICE hazard; caught comparing floor sums, r13): the r13 session's
+# bench passes B/C published value_r11_set over 30 names — subtract the
+# two r13 entries' timings to compare those two readings against r11/r12.
+R11_SET = CORE_SET + [
+    "ann_recall_at_10", "kmeans_two_iterations", "bigram_lm_cross_entropy",
+    "ngram_containment_topk", "ngram_containment_capped", "pq_adc_topk",
+    "pareto_frontier_parts", "skyline_recursive_parts",
+    "spatial_buffer_union_area", "spatial_union_rings",
+    "substring_dup_chains",
+]
 
 # The r12 headline set (31 names), FROZEN at the r13 boundary
 # (VERDICT r12 #7): published as "value_r12_set". An explicit snapshot,
