@@ -118,6 +118,24 @@ def main() -> None:
             for n in qs[50:]
             if n in graded and graded[n] < freshest_in
         ]
+        # oldest-staleness omissions get their OWN loud warning (r13
+        # VERDICT #1: revenue_share_window — the third remaining r8-proven
+        # entry — was silently left out of a staged prefix; it appeared in
+        # the generic deferred-older list below but that list is routinely
+        # long and was missed. The oldest bucket should be empty outside
+        # the prefix unless each member is a deliberate --defer.)
+        oldest_round = min((graded[n] for n in qs if n in graded), default=0)
+        oldest_out = [
+            n
+            for n in qs[50:]
+            if graded.get(n) == oldest_round and n not in deferred_new
+        ]
+        if oldest_out:
+            print(
+                f"WARN: OLDEST-staleness (r{oldest_round}) entries OUTSIDE "
+                f"the prefix — the rotation's next-up group; confirm each "
+                f"deliberately or re-stage: {oldest_out}"
+            )
         print(f"\nprefix check: freshest prefix member proof = r{freshest_in}")
         if deferred:
             print("deferred-older entries (confirm each is deliberate):")
