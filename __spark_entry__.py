@@ -37,6 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # retirements survive up to five stagings; displaced members keep
 # their proofs and head the r15 queue.
 _DRIVER_PRIORITY = [
+    # code changed in r14 (the ADVICE r13 fixes, each re-staged):
+    # asof_join_nearest — oracle now classifies direction at SECOND
+    # granularity (FLOOR(epoch)) matching the engine's cast('long'),
+    # sub-second fixture in tests/test_asof.py; spatial_knn_join_ring —
+    # guarantee predicate via try_element_at (ANSI-safe on <5-candidate
+    # cells); stream_full_outer_join — post-sink sentinel filter keeps
+    # NULL-coalesced-user rows (real null-side emissions), fixture in
+    # tests/test_streaming.py.
+    "asof_join_nearest", "spatial_knn_join_ring", "stream_full_outer_join",
     # staleness re-proof: the 3 r8-proven displaced from the r13 prefix
     # (oldest staleness in the ledger — r8 retires after a green r14)
     "revenue_share_window", "spatial_knn_rect_centroids",
@@ -65,12 +74,12 @@ _DRIVER_PRIORITY = [
     "stream_tumbling_event_counts", "stream_interval_join_pairs",
     "stream_sliding_event_counts", "stream_session_user_totals",
     "stream_topk_types_per_window", "stream_static_enrich",
-    # staleness re-proof: the first 5 of the r10 queue. These five are
-    # the displacement buffer — r14 new/code-changed entries replace
-    # them tail-first (ivf_cell_balance first), keeping the r8/r9
-    # retirements intact.
-    "ann_recall_at_10", "lsh_bucket_balance", "ivf_recall_at_10",
-    "retrieval_ndcg_labels", "ivf_cell_balance",
+    # staleness re-proof: the remaining displacement buffer (first of
+    # the r10 queue). The three ADVICE code-changed stagings above
+    # displaced ivf_cell_balance, retrieval_ndcg_labels,
+    # ivf_recall_at_10 tail-first (oldest-LAST, VERDICT r13 #6); the
+    # displaced members keep their r10 proofs and head the r15 queue.
+    "ann_recall_at_10", "lsh_bucket_balance",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -2281,13 +2281,16 @@ def snapshot_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CAST(FLOOR(epoch(s.ts)) AS BIGINT)) AS adiff,
              CAST(FLOOR(epoch(p.ts)) AS BIGINT)
                - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS gap_s,
-             CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END AS fwd,
+             CASE WHEN FLOOR(epoch(s.ts)) <= FLOOR(epoch(p.ts))
+                  THEN 0 ELSE 1 END AS fwd,
              ROW_NUMBER() OVER (
                PARTITION BY p.pid
                ORDER BY ABS(CAST(FLOOR(epoch(p.ts)) AS BIGINT)
                             - CAST(FLOOR(epoch(s.ts)) AS BIGINT)),
-                        CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END,
-                        CASE WHEN s.ts <= p.ts THEN -s.sid ELSE s.sid END
+                        CASE WHEN FLOOR(epoch(s.ts)) <= FLOOR(epoch(p.ts))
+                             THEN 0 ELSE 1 END,
+                        CASE WHEN FLOOR(epoch(s.ts)) <= FLOOR(epoch(p.ts))
+                             THEN -s.sid ELSE s.sid END
              ) AS rn
       FROM p JOIN s ON p.user_id = s.user_id)
     SELECT pid AS purchase_id, user_id, sid AS nearest_signup_id,
@@ -2302,7 +2305,12 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward the earlier (backward) signup — completing the as-of family
     (`asof_join_purchase_signup` is backward-only). The oracle's
     quadratic per-key candidate rank is exactly what the engine must
-    avoid.
+    avoid. The entry's declared granularity is SECONDS end-to-end: the
+    oracle classifies direction with FLOOR(epoch(...)) on both sides,
+    matching the engine's ts.cast('long') truncation (ADVICE r13 — a
+    raw-ts comparison would diverge on a signup raw-after but
+    second-equal to the purchase; sub-second fixture pinned in
+    tests/test_asof.py).
 
     Mechanism: the union-sort trick run BIDIRECTIONALLY under ONE
     shuffle — tag and union both sides, sort each user's timeline once

@@ -915,8 +915,14 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     ranked = base.select("p_partkey", "px", "py", flat5)
+    # try_element_at, not element_at: sparse-cell points carry <5
+    # candidates and ANSI element_at(b, 5) would hard-error there —
+    # correctness must not lean on And short-circuit order surviving
+    # Catalyst predicate transforms (ADVICE r13; the r8 kmeans
+    # try_element_at convention). NULL <= 1088 is NULL, and
+    # false & NULL = false, so short arrays stay un-guaranteed.
     guaranteed = (F.size("b") == 5) & (
-        F.element_at("b", 5).getField("dsq") <= 1088
+        F.try_element_at("b", F.lit(5)).getField("dsq") <= 1088
     )
 
     def _emit(df: DataFrame) -> DataFrame:

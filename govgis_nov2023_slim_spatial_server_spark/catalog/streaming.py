@@ -1330,7 +1330,16 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         out = (
             spark.table(name)
-            .where(F.col("user_id") >= 0)  # drops BOTH sentinel shapes
+            # drops BOTH sentinel emission shapes (a sentinel purchase
+            # emits left-null-side, a sentinel click right-null-side —
+            # each with its own NEGATIVE coalesced user_id). NULL
+            # coalesced user_ids are REAL rows, not sentinels: a
+            # NULL-user event never equi-joins, so it emits as its own
+            # null-side row exactly as the oracle's FULL JOIN does —
+            # keep it (ADVICE r13; the negative-id guard above ignores
+            # NULLs by SQL semantics, and current testdata has no NULL
+            # user_ids, so this is latent-proofing, not a live fix).
+            .where((F.col("user_id") >= 0) | F.col("user_id").isNull())
             .select("purchase_id", "click_id", "user_id")
             .localCheckpoint(eager=True)  # outlive the staged inputs
         )

@@ -82,3 +82,63 @@ def test_asof_null_payload_from_latest_row(spark):
     assert row["price_right"] is None   # NOT 1.0 from the older row
     assert row["tag_right"] == "new"
     assert row["ts_right"] == _ts(20)
+
+
+def test_asof_nearest_subsecond_direction_ties_match_oracle(spark, tmp_path):
+    """ADVICE r13 (medium): `asof_join_nearest` declares SECOND
+    granularity end-to-end, so the oracle must classify direction with
+    FLOOR(epoch(...)) like the engine's ts.cast('long') — a raw-ts
+    comparison diverges exactly here: a purchase with two signups tying
+    at the same second-granularity adiff, one raw-BEFORE and one
+    raw-AFTER within the purchase's own second. Both are "backward" at
+    second granularity, so the winner is the max-sid signup; a raw
+    comparison would have called the raw-after one "forward" and picked
+    the raw-before signup instead. All driver testdata carries
+    sub-second components, so this is the
+    latent-against-regenerated-driver-data class (r5 q5 lesson)."""
+    import duckdb
+    import pandas as pd
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+    base = pd.Timestamp("2024-03-01 10:00:05")
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # user 7: purchase at .700; signups at .200 (raw-before, sid 100)
+        # and .900 (raw-after, SAME truncated second, sid 200)
+        (1, base + 700_000 * us, 7, "purchase"),
+        (100, base + 200_000 * us, 7, "signup"),
+        (200, base + 900_000 * us, 7, "signup"),
+        # user 8: equal one-second gaps on both sides at sub-second raw
+        # offsets — backward must win the adiff tie on both engines
+        (2, base + pd.Timedelta(seconds=10) + 500_000 * us, 8, "purchase"),
+        (300, base + pd.Timedelta(seconds=9) + 900_000 * us, 8, "signup"),
+        (400, base + pd.Timedelta(seconds=11) + 100_000 * us, 8, "signup"),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[1] for r in rows], dtype="datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = sorted(
+        tuple(r) for r in QUERIES["asof_join_nearest"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["asof_join_nearest"]).fetchall())
+    con.close()
+    assert got == want
+    by_pid = {r[0]: r for r in got}
+    # user 7: the raw-after same-second signup (sid 200) wins on BOTH
+    # engines — second-classified backward, max sid
+    assert by_pid[1][2] == 200 and by_pid[1][3] == 0
+    # user 8: one-second tie resolves backward (sid 300)
+    assert by_pid[2][2] == 300 and by_pid[2][3] == 1 and by_pid[2][4] == 1

@@ -226,3 +226,64 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
     want = {tuple(r) for r in con.execute(ORACLES["stream_tumbling_event_counts"]).fetchall()}
     con.close()
     assert got and got == want
+
+
+def test_stream_full_outer_join_keeps_null_user_rows(spark, tmp_path):
+    """ADVICE r13 (low): the post-sink sentinel filter must not swallow
+    rows whose COALESCED user_id is NULL — a NULL-user purchase/click
+    never equi-joins, so the oracle's FULL JOIN emits it as a null-side
+    row and the engine must too. Sentinels stay dropped (they carry
+    negative, non-null user_ids)."""
+    import duckdb
+    import pandas as pd
+
+    from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        # matched pair for user 1
+        (1, base, 1, "purchase"),
+        (2, base - pd.Timedelta(minutes=5), 1, "click"),
+        # NULL-user purchase AND click: each must emit its own
+        # null-side row (they do not join each other)
+        (3, base + pd.Timedelta(minutes=10), None, "purchase"),
+        (4, base + pd.Timedelta(minutes=20), None, "click"),
+        # unmatched real users on both sides
+        (5, base + pd.Timedelta(minutes=30), 2, "purchase"),
+        (6, base + pd.Timedelta(minutes=40), 3, "click"),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[1] for r in rows], dtype="datetime64[us]"),
+            "user_id": pd.array([r[2] for r in rows], dtype="Int64"),
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = sorted(
+        (
+            tuple(r)
+            for r in QUERIES["stream_full_outer_join"](
+                spark, str(tmp_path)
+            ).collect()
+        ),
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in con.execute(ORACLES["stream_full_outer_join"]).fetchall()
+        ),
+        key=repr,
+    )
+    con.close()
+    assert got == want
+    # both NULL-user null-side rows survived the sentinel filter
+    assert (3, None, None) in got and (None, 4, None) in got
