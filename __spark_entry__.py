@@ -46,6 +46,16 @@ _DRIVER_PRIORITY = [
     # NULL-coalesced-user rows (real null-side emissions), fixture in
     # tests/test_streaming.py.
     "asof_join_nearest", "spatial_knn_join_ring", "stream_full_outer_join",
+    # code changed in r14 (VERDICT r13 #3): weighted_median_histogram
+    # now shares the sibling's auto-widen (_qh_hist_collect) and grew
+    # its own recursion-within-bin path, replacing the bare guard
+    # assert; knob paths pinned in tests/test_r14_catalog.py. The
+    # sibling exact_quantiles_histogram's change is a PURE EXTRACTION
+    # (its widen loop moved verbatim into the shared helper — plan and
+    # results identical, all five r13 knob-path tests re-run green), so
+    # it is a documented non-staging (the r12 hll_registers_by_group
+    # extraction precedent); it was driver-graded r13 as code-changed.
+    "weighted_median_histogram",
     # staleness re-proof: the 3 r8-proven displaced from the r13 prefix
     # (oldest staleness in the ledger — r8 retires after a green r14)
     "revenue_share_window", "spatial_knn_rect_centroids",
@@ -75,11 +85,11 @@ _DRIVER_PRIORITY = [
     "stream_sliding_event_counts", "stream_session_user_totals",
     "stream_topk_types_per_window", "stream_static_enrich",
     # staleness re-proof: the remaining displacement buffer (first of
-    # the r10 queue). The three ADVICE code-changed stagings above
-    # displaced ivf_cell_balance, retrieval_ndcg_labels,
-    # ivf_recall_at_10 tail-first (oldest-LAST, VERDICT r13 #6); the
+    # the r10 queue). The four code-changed stagings above displaced
+    # ivf_cell_balance, retrieval_ndcg_labels, ivf_recall_at_10,
+    # lsh_bucket_balance tail-first (oldest-LAST, VERDICT r13 #6); the
     # displaced members keep their r10 proofs and head the r15 queue.
-    "ann_recall_at_10", "lsh_bucket_balance",
+    "ann_recall_at_10",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -954,6 +954,27 @@ _QH_GUARD = 10_000
 _QH_BIN_ROWS_MAX = 1 << 22
 
 
+def _qh_hist_collect(base, aggs, w0: int):
+    """Limit-guarded pass-1 histogram collect with the ×16 auto-widen
+    (r12 VERDICT #6; factored in r14 per r13 VERDICT #3 so BOTH quantile
+    entries share it): a histogram wider than ``_QH_GUARD`` (group × bin)
+    rows is rebuilt at 16× the width — the LIMIT caps every attempt's
+    collect at guard+1 rows, so the driver never materializes an
+    overflow. ``base`` must carry columns ``s`` (group) and ``cents``
+    (int64 value); returns ``(rows, width)``."""
+    w = w0
+    while True:
+        hist = (
+            base.groupBy("s", F.expr(f"cents DIV {w}").alias("b"))
+            .agg(*aggs)
+            .limit(_QH_GUARD + 1)
+            .collect()
+        )
+        if len(hist) <= _QH_GUARD:
+            return hist, w
+        w <<= 4  # auto-widen: one extra bounded pass per factor-16 step
+
+
 @query(
     "exact_quantiles_histogram",
     """
@@ -1013,17 +1034,7 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     base = o.select(F.col("o_orderstatus").alias("s"), cents.alias("cents"))
-    w0 = _QH_W
-    while True:
-        hist = (
-            base.groupBy("s", F.expr(f"cents DIV {w0}").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .limit(_QH_GUARD + 1)
-            .collect()
-        )
-        if len(hist) <= _QH_GUARD:
-            break
-        w0 <<= 4  # auto-widen: one extra bounded pass per factor-16 step
+    hist, w0 = _qh_hist_collect(base, [F.count(F.lit(1)).alias("cnt")], _QH_W)
     by_s: dict[str, list[tuple[int, int]]] = {}
     for row in hist:
         by_s.setdefault(row["s"], []).append((row["b"], row["cnt"]))
@@ -1322,11 +1333,18 @@ def weighted_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| × occupied-bins rows, corpus-size-independent; driver walk
     locates each weighted rank's bin and its in-bin weight offset;
     pass 2 re-scans ONLY target bins behind pushed-down price-range
-    predicates and takes MIN(cents) among rows whose in-bin RANGE
-    cumulative weight reaches the offset. The widen/recursion scale
-    knobs live in the sibling (same mechanism; this entry grades the
-    weighted-rank semantics at the sibling's default widths, where the
-    pass-1 collect is ~30 bins/group)."""
+    predicates and takes MIN(cents) among rows whose in-interval RANGE
+    cumulative weight reaches the offset. BOTH scale knobs are shared
+    CODE with the sibling (r13 VERDICT #3 — this entry used to assert
+    at the guard): pass 1 goes through `_qh_hist_collect` (auto-widen
+    ×16 under the LIMIT-guarded collect), and a target bin whose ROW
+    count exceeds _QH_BIN_ROWS_MAX is re-histogrammed WITHIN itself at
+    128× finer width — the refine guard is row count (window-sort cost
+    is rows) while rank location advances by cumulative WEIGHT; a
+    width-1 bin resolves driver-side (every row in it IS the value, so
+    the off-th weighted rank is the bin itself). Knob paths pinned in
+    tests/test_r14_catalog.py against the oracle at forced-narrow
+    widths."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     wcol = F.col("l_quantity").cast("long")
@@ -1335,70 +1353,137 @@ def weighted_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         wcol.alias("w"),
     )
-    hist = (
-        base.groupBy("s", F.expr(f"cents DIV {_QH_W}").alias("b"))
-        .agg(F.sum("w").alias("wsum"))
-        .limit(_QH_GUARD + 1)
-        .collect()
+    hist, w0 = _qh_hist_collect(
+        base,
+        [F.sum("w").alias("wsum"), F.count(F.lit(1)).alias("cnt")],
+        _QH_W,
     )
-    assert len(hist) <= _QH_GUARD, "see exact_quantiles_histogram knobs"
-    by_s: dict[str, list[tuple[int, int]]] = {}
+    by_s: dict[str, list[tuple[int, int, int]]] = {}
     for row in hist:
-        by_s.setdefault(row["s"], []).append((row["b"], row["wsum"]))
-    targets: list[tuple[str, int, int, str]] = []  # (s, bin, w-offset, tag)
+        by_s.setdefault(row["s"], []).append(
+            (row["b"], row["wsum"], row["cnt"])
+        )
+    # targets: dicts {s, lo, hi, off, cnt, tag} — the smallest cents in
+    # the half-open interval [lo, hi) whose in-interval RANGE-cumulative
+    # WEIGHT reaches off; cnt is the interval's ROW count (refine guard)
+    targets: list[dict] = []
     tw_by_s: dict[str, int] = {}
     for s, bl in by_s.items():
         bl.sort()
-        tw = sum(c for _, c in bl)
+        tw = sum(ws for _, ws, _ in bl)
         tw_by_s[s] = tw
         for tag, rank in (
             ("wp50", (tw + 1) // 2),
             ("wp90", (9 * tw + 9) // 10),
         ):
             cum = 0
-            for b, c in bl:
-                if cum + c >= rank:
-                    targets.append((s, b, rank - cum, tag))
+            for b, ws, c in bl:
+                if cum + ws >= rank:
+                    targets.append(
+                        {"s": s, "lo": b * w0, "hi": (b + 1) * w0,
+                         "off": rank - cum, "cnt": c, "tag": tag}
+                    )
                     break
-                cum += c
+                cum += ws
     if not targets:
         return spark.createDataFrame(
             [],
             "l_returnflag string, total_weight long, wp50_cents long,"
             " wp90_cents long, wp50 double, wp90 double",
         )
-    cond = None
-    for s, b, _, _ in targets:
-        lo = (b * _QH_W) / 100.0 - 0.02
-        hi = ((b + 1) * _QH_W) / 100.0 + 0.02
-        cc = (
-            (F.col("l_returnflag") == s)
-            & (F.col("l_extendedprice") >= lo)
-            & (F.col("l_extendedprice") < hi)
+
+    def _interval_cond(ts: list[dict]):
+        # price RANGE predicates (pushed to parquet row-group pruning;
+        # widened ±2 cents so float rounding can't exclude a boundary
+        # row) — the exact int64 cents bounds are the downstream refine
+        cond = None
+        for t in ts:
+            c = (
+                (F.col("l_returnflag") == t["s"])
+                & (F.col("l_extendedprice") >= t["lo"] / 100.0 - 0.02)
+                & (F.col("l_extendedprice") < t["hi"] / 100.0 + 0.02)
+            )
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    # recursion-within-bin (the sibling's loop, weighted offsets): every
+    # level narrows ALL still-oversized targets — oversized by ROW count,
+    # located by cumulative WEIGHT — with ONE bounded histogram pass
+    cur_w = w0
+    while cur_w > 1:
+        oversized = [t for t in targets if t["cnt"] > _QH_BIN_ROWS_MAX]
+        if not oversized:
+            break
+        sub_w = max(1, cur_w >> 7)
+        sub_hist = (
+            li.where(_interval_cond(oversized))
+            .select(
+                F.col("l_returnflag").alias("s"),
+                cents.alias("cents"),
+                wcol.alias("w"),
+            )
+            .groupBy(
+                "s",
+                F.expr(f"cents DIV {cur_w}").alias("pb"),
+                F.expr(f"cents DIV {sub_w}").alias("sb"),
+            )
+            .agg(F.sum("w").alias("wsum"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )  # bounded: ≤ |oversized| × (cur_w/sub_w ≤ 128) rows
+        sub_by: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+        for row in sub_hist:
+            sub_by.setdefault((row["s"], row["pb"]), []).append(
+                (row["sb"], row["wsum"], row["cnt"])
+            )
+        for t in oversized:
+            sl = sorted(sub_by[(t["s"], t["lo"] // cur_w)])
+            cum = 0
+            for sb, ws, c in sl:
+                if cum + ws >= t["off"]:
+                    t["lo"], t["hi"] = sb * sub_w, (sb + 1) * sub_w
+                    t["off"], t["cnt"] = t["off"] - cum, c
+                    break
+                cum += ws
+        cur_w = sub_w
+
+    # width-1 intervals resolve driver-side: every row in [lo, lo+1) has
+    # cents == lo, so the off-th weighted rank IS lo — no scan needed
+    direct = [t for t in targets if t["hi"] - t["lo"] == 1]
+    scan = [t for t in targets if t["hi"] - t["lo"] != 1]
+    parts = []
+    if scan:
+        tgt = spark.createDataFrame(
+            [(t["s"], t["lo"], t["hi"], t["off"], t["tag"]) for t in scan],
+            "ts string, lo long, hi long, off long, tag string",
         )
-        cond = cc if cond is None else (cond | cc)
-    filt = (
-        li.where(cond)
-        .select(
+        filt = li.where(_interval_cond(scan)).select(
             F.col("l_returnflag").alias("s"),
             cents.alias("cents"),
             wcol.alias("w"),
         )
-        .withColumn("b", F.expr(f"cents DIV {_QH_W}"))
-    )
-    tgt = spark.createDataFrame(
-        targets, "s string, b long, off long, tag string"
-    )
-    # RANGE cumulative (default frame under orderBy): tie groups share
-    # their full total on both engines
-    w = Window.partitionBy("s", "b").orderBy("cents")
-    picked = (
-        filt.withColumn("cum", F.sum("w").over(w))
-        .join(F.broadcast(tgt), ["s", "b"])
-        .where(F.col("cum") >= F.col("off"))
-        .groupBy("s", "tag")
-        .agg(F.min("cents").alias("cents"))
-    )
+        joined = filt.join(
+            F.broadcast(tgt),
+            (F.col("s") == F.col("ts"))
+            & (F.col("cents") >= F.col("lo"))
+            & (F.col("cents") < F.col("hi")),
+        )
+        # RANGE cumulative (default frame under orderBy): tie groups
+        # share their full total on both engines
+        w = Window.partitionBy("ts", "lo", "tag").orderBy("cents")
+        parts.append(
+            joined.withColumn("cum", F.sum("w").over(w))
+            .where(F.col("cum") >= F.col("off"))
+            .groupBy("s", "tag")
+            .agg(F.min("cents").alias("cents"))
+        )
+    if direct:
+        parts.append(
+            spark.createDataFrame(
+                [(t["s"], t["tag"], t["lo"]) for t in direct],
+                "s string, tag string, cents long",
+            )
+        )
+    picked = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     tw_map = F.create_map(
         *[x for s, n in tw_by_s.items() for x in (F.lit(s), F.lit(n))]
     )
