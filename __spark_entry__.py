@@ -56,6 +56,11 @@ _DRIVER_PRIORITY = [
     # it is a documented non-staging (the r12 hll_registers_by_group
     # extraction precedent); it was driver-graded r13 as code-changed.
     "weighted_median_histogram",
+    # never driver-graded (r14): snap-free exact NON-convex clipping via
+    # engine-side trapezoid convex decomposition (VERDICT r13 #2) —
+    # notched-octagon subjects (incl. C-shapes), piece-sum through the
+    # r13 int64 kernel, oracle = independent signed difference form.
+    "spatial_clip_concave_pairs",
     # staleness re-proof: the 3 r8-proven displaced from the r13 prefix
     # (oldest staleness in the ledger — r8 retires after a green r14)
     "revenue_share_window", "spatial_knn_rect_centroids",
@@ -84,12 +89,14 @@ _DRIVER_PRIORITY = [
     "stream_tumbling_event_counts", "stream_interval_join_pairs",
     "stream_sliding_event_counts", "stream_session_user_totals",
     "stream_topk_types_per_window", "stream_static_enrich",
-    # staleness re-proof: the remaining displacement buffer (first of
-    # the r10 queue). The four code-changed stagings above displaced
-    # ivf_cell_balance, retrieval_ndcg_labels, ivf_recall_at_10,
-    # lsh_bucket_balance tail-first (oldest-LAST, VERDICT r13 #6); the
-    # displaced members keep their r10 proofs and head the r15 queue.
-    "ann_recall_at_10",
+    # The five-slot displacement buffer (first of the r10 queue) is now
+    # fully consumed: the four code-changed stagings + one new entry
+    # displaced ivf_cell_balance, retrieval_ndcg_labels,
+    # ivf_recall_at_10, lsh_bucket_balance, ann_recall_at_10 tail-first
+    # (oldest-LAST, VERDICT r13 #6); the displaced members keep their
+    # r10 proofs and head the r15 queue. Any FURTHER r14 staging would
+    # displace an r9-proven member and delay r9's retirement — the
+    # round plan caps at five for exactly this reason.
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

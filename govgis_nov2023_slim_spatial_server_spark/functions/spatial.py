@@ -1022,6 +1022,139 @@ def _clip_pieces_int64(sx, sy, cx, cy):
     return valid, np.where(valid, sx1 * sy2 - sy1 * sx2, 0)
 
 
+def trapezoid_decompose(xs, ys):
+    """Exact-int64 VERTICAL (trapezoidal) decomposition of a SIMPLE CCW
+    polygon into convex 4-gons — the convex-decomposition step that
+    extends the snap-free clip family to NON-convex subjects (VERDICT
+    r13 #2; reference parity: PostGIS ST_Intersection on arbitrary
+    ``geometry(Polygon,4326)``, reference backend/load_data.py:79).
+    Cuts at every distinct vertex x; within each slab, edges spanning it
+    are sorted by (y@x1, y@x2) and paired even-odd, so MULTI-strip slabs
+    (C-shapes) come out correctly — each strip is a trapezoid with
+    vertical internal edges at the cut lines.
+
+    Contract (all checked, never rounded):
+    - integer vertices, strictly positive shoelace (CCW simple ring);
+    - every non-vertical edge must pass through integer y at every
+      integer x it spans (axis-aligned and 45° edges always do — the
+      store family's guarantee; so do all integer slopes). This keeps
+      internal cut edges ON the input's lattice family, preserving the
+      half-integer-crossing contract of :func:`_clip_pieces_int64`
+      downstream — the reason this is a trapezoid sweep and NOT an
+      ear-clip triangulation, whose arbitrary-slope diagonals would
+      break that contract.
+
+    Returns ``(a2, pieces)``: the polygon's doubled shoelace area and a
+    list of ``((x1, x2, x2, x1), (l1, l2, u2, u1))`` CCW 4-gons
+    (degenerate duplicate vertices where a side collapses to a point —
+    harmless to the clip kernel, which zero-weights point edges). The
+    pieces tile the interior: their doubled areas sum to ``a2``
+    (verified before returning — a loud partition check on every call).
+    """
+    n = len(xs)
+    a2 = sum(
+        xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n)
+    )
+    if a2 <= 0:
+        raise ValueError("trapezoid_decompose needs a CCW simple polygon")
+    cuts = sorted(set(xs))
+    pieces = []
+    tot = 0
+    for x1, x2 in zip(cuts, cuts[1:]):
+        span = []
+        for i in range(n):
+            x_a, y_a = xs[i], ys[i]
+            x_b, y_b = xs[(i + 1) % n], ys[(i + 1) % n]
+            if x_a == x_b:
+                continue  # vertical edges live ON cut lines, never span
+            if min(x_a, x_b) <= x1 and max(x_a, x_b) >= x2:
+                dx, dy = x_b - x_a, y_b - y_a
+                n1 = y_a * dx + dy * (x1 - x_a)
+                n2 = y_a * dx + dy * (x2 - x_a)
+                if n1 % dx or n2 % dx:
+                    raise ValueError(
+                        "edge y off the integer lattice at a cut — input "
+                        "violates the integer-slope-at-cuts contract"
+                    )
+                span.append((n1 // dx, n2 // dx))
+        # no vertex lies strictly inside a slab (cuts ARE the vertex
+        # x-set) and a simple polygon's edges cannot cross in the open
+        # slab, so order at x1 (x2 breaks shared-vertex ties) is the
+        # order throughout; consecutive sorted pairs bound the interior
+        # strips by the even-odd rule
+        span.sort()
+        if len(span) % 2:
+            raise ValueError("odd strip-edge count — polygon not simple")
+        for j in range(0, len(span), 2):
+            (l1, l2), (u1, u2) = span[j], span[j + 1]
+            px = (x1, x2, x2, x1)
+            py = (l1, l2, u2, u1)
+            tot += sum(
+                px[i] * py[(i + 1) % 4] - px[(i + 1) % 4] * py[i]
+                for i in range(4)
+            )
+            pieces.append((px, py))
+    if tot != a2:
+        raise ValueError("decomposition pieces do not tile the polygon")
+    return a2, pieces
+
+
+def make_trapezoid_pieces_udf():
+    """Arrow-batched wrapper over :func:`trapezoid_decompose` for the
+    non-convex clip entry: two array<long> vertex-coordinate columns in,
+    ``struct(a2, pieces: array<struct<xs, ys>>)`` out. Runs once per
+    SUBJECT row (store-sized, not pair-sized — decomposition cost never
+    scales with the join), pure Python per ≤12-vertex ring. Marked
+    nondeterministic for the same reason as the clip kernel: projecting
+    two fields of one UDF result must not re-run the UDF per field."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("a2", LongType(), True),
+            StructField(
+                "pieces",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("xs", ArrayType(LongType()), True),
+                            StructField("ys", ArrayType(LongType()), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _decomp(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        if not len(xs):
+            return pd.DataFrame(
+                {
+                    "a2": pd.Series([], dtype="int64"),
+                    "pieces": pd.Series([], dtype="object"),
+                }
+            )
+        a2s, pss = [], []
+        for xa, ya in zip(xs, ys):
+            a2, pieces = trapezoid_decompose(
+                [int(v) for v in xa], [int(v) for v in ya]
+            )
+            a2s.append(a2)
+            pss.append(
+                [{"xs": list(px), "ys": list(py)} for px, py in pieces]
+            )
+        return pd.DataFrame({"a2": a2s, "pieces": pss})
+
+    return _decomp.asNondeterministic()
+
+
 def make_convex_clip_stats_udf():
     """Arrow-batched kernel for the convex×convex clip entry: four
     array<long> vertex-coordinate columns in (subject xs/ys, clip

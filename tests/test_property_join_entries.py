@@ -128,6 +128,11 @@ ENTRIES = [
     # is algebraic in the key congruences, so EVERY random key set must
     # agree with the oracle's independent Green's-decomposition path
     "spatial_clip_convex_pairs",
+    # r14: the NON-convex extension — random key sets vary notch side/
+    # depth/size mixes (bottom-notch vs C-shape left-notch subjects);
+    # the trapezoid piece-sum must agree with the oracle's signed
+    # difference form on every draw
+    "spatial_clip_concave_pairs",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

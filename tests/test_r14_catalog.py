@@ -76,3 +76,223 @@ class TestWeightedQuantileKnobs:
         assert _spark_rows(spark, "weighted_median_histogram", SF_DIR) == (
             _oracle_rows("weighted_median_histogram", SF_DIR)
         )
+
+
+# ---------------------------------------------------------------------------
+# spatial_clip_concave_pairs — non-convex snap-free clipping (VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+
+import random
+from fractions import Fraction
+
+from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+    _clip_pieces_int64,
+    convex_clip,
+    convex_poly_area2,
+    trapezoid_decompose,
+)
+
+import numpy as np
+
+
+def _notched(ax, ay, r, d, side):
+    if side == 1:  # bottom notch
+        xs = [ax - r + 4, ax - 4, ax - 4, ax + 4, ax + 4, ax + r - 4,
+              ax + r, ax + r, ax + r - 4, ax - r + 4, ax - r, ax - r]
+        ys = [ay - r, ay - r, ay - r + d, ay - r + d, ay - r, ay - r,
+              ay - r + 4, ay + r - 4, ay + r, ay + r, ay + r - 4,
+              ay - r + 4]
+    else:  # left notch (C-shape: multi-strip slabs)
+        xs = [ax - r + 4, ax + r - 4, ax + r, ax + r, ax + r - 4,
+              ax - r + 4, ax - r, ax - r, ax - r + d, ax - r + d,
+              ax - r, ax - r]
+        ys = [ay - r, ay - r, ay - r + 4, ay + r - 4, ay + r, ay + r,
+              ay + r - 4, ay + 4, ay + 4, ay - 4, ay - 4, ay - r + 4]
+    return xs, ys
+
+
+def _even_odd_inside(xs, ys, px, py):
+    """Exact even-odd ray cast (rightward) for a FRACTION point strictly
+    off every edge line — the independent membership reference."""
+    n = len(xs)
+    cnt = 0
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (y1 > py) == (y2 > py):
+            continue
+        # x at the crossing, exact
+        t = Fraction(py - y1, y2 - y1)
+        cx = x1 + t * (x2 - x1)
+        if cx > px:
+            cnt += 1
+    return cnt % 2 == 1
+
+
+def _inside_convex4(px4, py4, px, py):
+    """Point strictly inside a CCW convex 4-gon (duplicate vertices OK)."""
+    for i in range(4):
+        x1, y1 = px4[i], py4[i]
+        x2, y2 = px4[(i + 1) % 4], py4[(i + 1) % 4]
+        if x1 == x2 and y1 == y2:
+            continue
+        if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) <= 0:
+            return False
+    return True
+
+
+class TestTrapezoidDecompose:
+    def test_store_sweep_partition_and_closed_form(self):
+        """Every graded store shape: piece-sum == closed-form area, and
+        500 off-lattice sample points per shape land in the polygon iff
+        they land in EXACTLY ONE piece (the partition proof — signed
+        areas alone could cancel an overlap against a gap)."""
+        rng = random.Random(14)
+        for r in (12, 16):
+            for d in (4, 8):
+                for side in (1, 3):
+                    xs, ys = _notched(120, 96, r, d, side)
+                    a2, pieces = trapezoid_decompose(xs, ys)
+                    assert a2 == 2 * (4 * r * r - 32 - 8 * d)
+                    for _ in range(500):
+                        # (odd/8, odd/16): strictly off axis lines
+                        # (integer constants) and 45 deg lines (x+-y =
+                        # odd/16, never integer) of BOTH the polygon
+                        # and the vertical cut edges
+                        px = Fraction(2 * rng.randrange(-80, 180) + 1, 8)
+                        py = Fraction(2 * rng.randrange(-160, 360) + 1, 16)
+                        inside = _even_odd_inside(xs, ys, px, py)
+                        hits = sum(
+                            1 for p4x, p4y in pieces
+                            if _inside_convex4(p4x, p4y, px, py)
+                        )
+                        assert hits == (1 if inside else 0), (
+                            r, d, side, px, py, inside, hits
+                        )
+
+    def test_multi_strip_slab_c_shape(self):
+        """The left-notch store shape's notch slab must hold TWO strips
+        (below and above the notch) — the branch an x-monotone-only
+        sweep would get wrong."""
+        xs, ys = _notched(0, 0, 12, 8, 3)
+        _, pieces = trapezoid_decompose(xs, ys)
+        # slabs starting at x = -12 and x = -8 each split into 2 strips
+        assert len(pieces) == 6
+        notch_slab = [p for p in pieces if p[0][0] == -12]
+        assert len(notch_slab) == 2
+
+    def test_rejects_cw_and_off_lattice(self):
+        xs, ys = _notched(0, 0, 12, 4, 1)
+        with pytest.raises(ValueError):
+            trapezoid_decompose(xs[::-1], ys[::-1])  # CW
+        with pytest.raises(ValueError):
+            # slope 1/3 edge: y not integer at interior cuts
+            trapezoid_decompose([0, 3, 3, 1, 0], [0, 1, 5, 5, 4])
+
+    def test_random_comb_polygons_partition(self):
+        """Random rightward COMBS (bar + k teeth — every tooth gap makes
+        a multi-strip slab) in exact ints: piece areas sum to the
+        shoelace and 200 sample points confirm the partition."""
+        rng = random.Random(7)
+        for _ in range(30):
+            k = rng.randrange(2, 6)
+            widths = [rng.randrange(1, 5) * 2 for _ in range(k)]
+            # CCW: up the left edge, teeth emitted on the way DOWN the
+            # right side profile
+            xs, ys = [0], [0]
+            top = 4 * k
+            xs += [2]
+            ys += [0]
+            # right profile from bottom to top as (y, x) steps: teeth at
+            # y in [4i+1, 4i+3) extend to 2+w_i
+            prof = []
+            for i in range(k):
+                w = widths[i]
+                prof += [
+                    (4 * i + 1, 2), (4 * i + 1, 2 + w),
+                    (4 * i + 3, 2 + w), (4 * i + 3, 2),
+                ]
+            # walk up the right side
+            for y, x in prof:
+                if ys[-1] != y:
+                    xs.append(xs[-1])
+                    ys.append(y)
+                if xs[-1] != x:
+                    xs.append(x)
+                    ys.append(y)
+            if ys[-1] != top:
+                xs.append(xs[-1])
+                ys.append(top)
+            xs.append(0)
+            ys.append(top)
+            n = len(xs)
+            a2, pieces = trapezoid_decompose(xs, ys)
+            want = sum(
+                xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i]
+                for i in range(n)
+            )
+            assert a2 == want
+            for _ in range(200):
+                px = Fraction(2 * rng.randrange(-2, 30) + 1, 8)
+                py = Fraction(2 * rng.randrange(-4, 8 * k) + 1, 16)
+                inside = _even_odd_inside(xs, ys, px, py)
+                hits = sum(
+                    1 for p4x, p4y in pieces
+                    if _inside_convex4(p4x, p4y, px, py)
+                )
+                assert hits == (1 if inside else 0)
+
+
+class TestConcaveClipFractionReference:
+    def test_piece_sum_matches_fraction_difference_form(self):
+        """400 random store-lattice pairs: the engine path (trapezoid
+        pieces through the int64 kernel, summed) must equal the EXACT
+        Fraction difference form (rational Sutherland-Hodgman clip of
+        octagon and notch separately, areas subtracted) — two
+        independent exact algorithms."""
+        rng = random.Random(1414)
+        agree_pos = 0
+        for _ in range(400):
+            r = rng.choice((12, 16))
+            d = rng.choice((4, 8))
+            side = rng.choice((1, 3))
+            ax, ay = 4 * rng.randrange(0, 30), 4 * rng.randrange(0, 30)
+            if rng.random() < 0.5:  # half the draws near-centered on A
+                bx = ax + 4 * rng.randrange(-4, 5) + 2
+                by = ay + 4 * rng.randrange(-4, 5) + 2
+            else:
+                bx = 4 * rng.randrange(0, 30) + 2
+                by = 4 * rng.randrange(0, 30) + 2
+            s = 4 * rng.randrange(0, 3) + 1
+            dia = [(bx + s, by), (bx, by + s), (bx - s, by), (bx, by - s)]
+            xs, ys = _notched(ax, ay, r, d, side)
+            _, pieces = trapezoid_decompose(xs, ys)
+            tot = 0
+            cx = np.array([[p[0] for p in dia]], dtype=np.int64)
+            cy = np.array([[p[1] for p in dia]], dtype=np.int64)
+            for px4, py4 in pieces:
+                sx = np.array([px4], dtype=np.int64)
+                sy = np.array([py4], dtype=np.int64)
+                _, ca = _clip_pieces_int64(sx, sy, cx, cy)
+                _, cb = _clip_pieces_int64(cx, cy, sx, sy)
+                tot += int(ca.sum() + cb.sum())
+            octagon = [
+                (ax - r + 4, ay - r), (ax + r - 4, ay - r),
+                (ax + r, ay - r + 4), (ax + r, ay + r - 4),
+                (ax + r - 4, ay + r), (ax - r + 4, ay + r),
+                (ax - r, ay + r - 4), (ax - r, ay - r + 4),
+            ]
+            if side == 1:
+                ntc = [(ax - 4, ay - r), (ax + 4, ay - r),
+                       (ax + 4, ay - r + d), (ax - 4, ay - r + d)]
+            else:
+                ntc = [(ax - r, ay - 4), (ax - r + d, ay - 4),
+                       (ax - r + d, ay + 4), (ax - r, ay + 4)]
+            ref8 = 4 * (
+                convex_poly_area2(convex_clip(octagon, dia))
+                - convex_poly_area2(convex_clip(ntc, dia))
+            )
+            assert Fraction(tot) == ref8, (ax, ay, r, d, side, bx, by, s)
+            if tot > 0:
+                agree_pos += 1
+        assert agree_pos > 100  # the biased half genuinely hits overlaps
