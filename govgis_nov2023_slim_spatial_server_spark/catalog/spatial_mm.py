@@ -672,7 +672,11 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     store is cell-bucketed), the facility ring table is a broadcast dim,
     and the per-point argmin is a map-combined min(struct) — no window,
     no all-pairs anywhere; denser facility tables shrink the cell size,
-    larger ones swap the broadcast for the same join bucketed by cell.
+    larger ones swap the broadcast for the same join bucketed by cell —
+    that swap is CODE since r14: `operators.spatial_join.
+    cell_bucketed_ring_join` writes both sides bucketed by (cellx,
+    celly) and joins with no Exchange on either side (plan + row
+    equality pinned in tests/test_r14_catalog.py).
 
     The per-point best is computed ONCE over a LEFT candidate join (a
     sentinel (2^62, -1) stands in for no-ring-candidate — real dsq is
@@ -826,7 +830,9 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     production density. 100 TB shape: cell-equi candidate join
     (shuffle-free point side when cell-bucketed), broadcast ring dim,
     bounded per-point k-list; denser tables shrink cells, larger
-    facility dims swap broadcast for the cell-bucketed join."""
+    facility dims swap broadcast for the cell-bucketed join
+    (`operators.spatial_join.cell_bucketed_ring_join`, code since
+    r14)."""
     ck = F.col("c_custkey")
     # per-position bottom-5 custkeys kept AS AN ARRAY (lossless for
     # top-5 by (dsq, key)) — the array rides the candidate join

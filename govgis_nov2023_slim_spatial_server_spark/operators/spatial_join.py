@@ -92,3 +92,75 @@ def grid_blocked_overlap_join(
         .where(overlap & canonical)
         .drop("__cx", "__cy", "__rcx", "__rcy")
     )
+
+
+def cell_bucketed_ring_join(
+    spark,
+    points: DataFrame,
+    fring: DataFrame,
+    name_prefix: str = "bkt_nnring",
+    n_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Co-located form of the ring NN/kNN CANDIDATE join (VERDICT r13 #4
+    made code): when the facility dimension outgrows a broadcast — the
+    large-dim regime `spatial_nn_join_ring` / `spatial_knn_join_ring`
+    document as "swap the broadcast for the same join bucketed by
+    cell" — write BOTH sides bucketed (and bucket-sorted) by
+    ``(cellx, celly)`` and join in place: bucket i joins bucket i with
+    NO Exchange feeding either side of the join (the
+    `bucketed_join_revenue` pattern applied to the spatial cell key;
+    tests/test_r14_catalog.py pins the plan). The result rows are
+    IDENTICAL to ``points.join(broadcast(fring), ["cellx", "celly"],
+    how)`` — bucketing changes the physical plan, never the answer
+    (also pinned, row-for-row, in the same test).
+
+    Inputs carry integer ``cellx``/``celly`` plus disjoint payload
+    columns (the ring entries' point/facility frames already do); pass
+    ``how="left"`` for the k=1 entry's sentinel form. The pay-once
+    economics at 100 TB: the point side's bucketed layout is the
+    table's resident storage layout (written once, reused by every
+    ring join and per-cell aggregate), and the facility ring —
+    |facilities| × 9 rows — shuffles only at write time. The merge
+    hint pins SortMergeJoin so a small test-scale dimension cannot
+    fall back to a BroadcastExchange and hide the co-location.
+
+    Warehouse hygiene matches `bucketed_join_revenue`: pid-suffixed
+    table names (concurrent runs never rmtree each other), atexit
+    removal, and the dead-pid sweep on entry — all reused from
+    catalog.relational (imported lazily; catalog imports operators at
+    module load, so the reverse import must stay function-local)."""
+    import os
+
+    from ..catalog.relational import (
+        _atexit_rm_bucketed,
+        _rm_warehouse_dir,
+        _sweep_stale_bucketed,
+    )
+
+    if not name_prefix.startswith("bkt_"):
+        raise ValueError(
+            "name_prefix must start with 'bkt_' so the stale-warehouse "
+            "sweeper recognizes leaked directories"
+        )
+    _sweep_stale_bucketed(spark)
+    names = [
+        f"{name_prefix}_pts_{os.getpid()}",
+        f"{name_prefix}_fr_{os.getpid()}",
+    ]
+    _atexit_rm_bucketed(spark, names)
+
+    def _bucketed(df: DataFrame, name: str) -> DataFrame:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _rm_warehouse_dir(spark, name)
+        (
+            df.write.bucketBy(n_buckets, "cellx", "celly")
+            .sortBy("cellx", "celly")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+
+    bp = _bucketed(points, names[0])
+    bf = _bucketed(fring, names[1])
+    return bp.hint("merge").join(bf, ["cellx", "celly"], how)

@@ -296,3 +296,137 @@ class TestConcaveClipFractionReference:
             if tot > 0:
                 agree_pos += 1
         assert agree_pos > 100  # the biased half genuinely hits overlaps
+
+
+# ---------------------------------------------------------------------------
+# cell_bucketed_ring_join — the large-facility-dim NN join form (r13 #4)
+# ---------------------------------------------------------------------------
+
+
+class TestCellBucketedRingJoin:
+    def _frames(self, spark, sf_dir):
+        """The spatial_nn_join_ring point/facility-ring frames, verbatim
+        derivations (position-dedup'd facilities, 3x3 ring, 32-unit
+        cells)."""
+        from pyspark.sql import functions as F
+
+        from govgis_nov2023_slim_spatial_server_spark.schemas import load_table
+
+        c = load_table(spark, sf_dir, "customer")
+        ck = F.col("c_custkey")
+        f = (
+            c.where(ck % 10 == 1)
+            .select(
+                "c_custkey",
+                ((ck % 50) * 8 + (ck % 7)).cast("long").alias("fx"),
+                ((ck % 20) * 8 + (ck % 5)).cast("long").alias("fy"),
+            )
+            .groupBy("fx", "fy")
+            .agg(F.min("c_custkey").alias("c_custkey"))
+        )
+        off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+        fring = (
+            f.withColumn("dxc", off)
+            .withColumn("dyc", off)
+            .select(
+                "c_custkey", "fx", "fy",
+                (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
+                (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
+            )
+        )
+        p = load_table(spark, sf_dir, "part")
+        pk = F.col("p_partkey")
+        pc = p.select(
+            "p_partkey",
+            ((pk * 13) % 401).cast("long").alias("px"),
+            ((pk * 29) % 161).cast("long").alias("py"),
+            F.expr("((p_partkey * 13) % 401) DIV 32").alias("cellx"),
+            F.expr("((p_partkey * 29) % 161) DIV 32").alias("celly"),
+        )
+        return pc, fring
+
+    def test_no_exchange_feeds_join_and_matches_broadcast(self, spark):
+        from pyspark.sql import functions as F
+
+        from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+            cell_bucketed_ring_join,
+        )
+
+        pc, fring = self._frames(spark, "/root/testdata/sf0.001")
+        cand = cell_bucketed_ring_join(
+            spark, pc, fring, name_prefix="bkt_t14ring"
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # co-located: nothing repartitions the cell key into the join,
+        # the scans are bucketed, and the merge hint held (no broadcast
+        # fallback hiding the co-location)
+        assert "Exchange hashpartitioning(cellx" not in plan
+        assert "Exchange hashpartitioning(celly" not in plan
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        assert "BroadcastExchange" not in plan
+
+        bcast = pc.join(F.broadcast(fring), ["cellx", "celly"])
+        got = sorted(
+            tuple(r)
+            for r in cand.select(
+                "p_partkey", "c_custkey", "px", "py", "fx", "fy"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bcast.select(
+                "p_partkey", "c_custkey", "px", "py", "fx", "fy"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_left_form_argmin_equals_entry_ring_branch(self, spark):
+        """Running the k=1 sentinel argmin over the BUCKETED left join
+        reproduces the broadcast path's per-point best exactly — the
+        drop-in the entries document."""
+        from pyspark.sql import functions as F
+
+        from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+            cell_bucketed_ring_join,
+        )
+
+        pc, fring = self._frames(spark, "/root/testdata/sf0.001")
+
+        def _best(cand):
+            dsq = (
+                (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
+                + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
+            ).alias("dsq")
+            return sorted(
+                tuple(r)
+                for r in (
+                    cand.select(
+                        "p_partkey",
+                        F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
+                        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias(
+                            "c_custkey"
+                        ),
+                    )
+                    .groupBy("p_partkey")
+                    .agg(F.min(F.struct("dsq", "c_custkey")).alias("b"))
+                    .select("p_partkey", "b.dsq", "b.c_custkey")
+                ).collect()
+            )
+
+        bucketed = cell_bucketed_ring_join(
+            spark, pc, fring, name_prefix="bkt_t14left", how="left"
+        )
+        broadcast = pc.join(F.broadcast(fring), ["cellx", "celly"], "left")
+        assert _best(bucketed) == _best(broadcast)
+
+    def test_rejects_unsweepable_prefix(self, spark):
+        import pytest as _pt
+
+        from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+            cell_bucketed_ring_join,
+        )
+
+        pc, fring = self._frames(spark, "/root/testdata/sf0.001")
+        with _pt.raises(ValueError):
+            cell_bucketed_ring_join(spark, pc, fring, name_prefix="nope")
