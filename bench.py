@@ -98,6 +98,10 @@ HEADLINE = CORE_SET + [
     # — the snap-free geometry path's per-pair Python cost)
     "spatial_knn_join_ring",
     "spatial_clip_convex_pairs",
+    # r14 addition: the NON-convex clip (trapezoid decompose UDF +
+    # per-piece kernel + per-pair sum — the heaviest snap-free geometry
+    # path, ~413k positive pairs at sf0.1)
+    "spatial_clip_concave_pairs",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
@@ -127,6 +131,12 @@ R12_SET = CORE_SET + [
     "spatial_buffer_union_area", "spatial_union_rings",
     "substring_dup_chains", "spatial_intersection_rings",
     "spatial_union_snap_rings", "spatial_nn_join_ring",
+]
+
+# The r13 headline set (33 names), FROZEN at the r14 boundary: published
+# as "value_r13_set". Explicit snapshot per the r7-ADVICE convention.
+R13_SET = R12_SET + [
+    "spatial_knn_join_ring", "spatial_clip_convex_pairs",
 ]
 
 
@@ -368,6 +378,7 @@ def main() -> None:
     total_core_set = round(sum(timings[n] for n in CORE_SET), 3)
     total_r11_set = round(sum(timings[n] for n in R11_SET), 3)
     total_r12_set = round(sum(timings[n] for n in R12_SET), 3)
+    total_r13_set = round(sum(timings[n] for n in R13_SET), 3)
     # value_best = sum of per-query MIN-of-reps: the drift-resistant
     # statistic. r6→r7 the driver host ran ~15% slower uniformly across
     # touched AND untouched queries while the CPU canary read dead idle
@@ -404,6 +415,7 @@ def main() -> None:
         "value_core_set": total_core_set,
         "value_r11_set": total_r11_set,
         "value_r12_set": total_r12_set,
+        "value_r13_set": total_r13_set,
         "value_best": total_best,
         "queries": timings,
         "reps": reps,

@@ -2079,14 +2079,14 @@ def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLIP_CONCAVE_SQL = """
     WITH a AS (
       SELECT c_custkey AS akey,
-             4 * (c_custkey % 101) AS ax, 4 * (c_custkey % 89) AS ay,
+             4 * (c_custkey % 211) AS ax, 4 * (c_custkey % 179) AS ay,
              12 + 4 * ((c_custkey // 2) % 2) AS r,
              4 + 4 * ((c_custkey // 4) % 2) AS d,
              c_custkey % 4 AS sd
       FROM customer WHERE c_custkey % 2 = 1),
     b AS (
       SELECT c_custkey AS bkey,
-             4 * (c_custkey % 97) + 2 AS bx, 4 * (c_custkey % 103) + 2 AS by2,
+             4 * (c_custkey % 193) + 2 AS bx, 4 * (c_custkey % 199) + 2 AS by2,
              4 * (c_custkey % 3) + 1 AS s
       FROM customer WHERE c_custkey % 2 = 0),
     av AS (
@@ -2222,14 +2222,18 @@ def spatial_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, O(n²) on ≤12-vertex rings); candidates stay cell-blocked
     and AQE-splittable; the per-pair SUM is map-side combinable;
     nothing driver-side scales with the data. Store extent scales with
-    the key moduli (101/89/97/103) like the convex entry, keeping
-    per-cell density bounded across SFs. Overflow: coords ≤ ~424+16,
-    same envelope as r13 (cross-multiplied comparisons < 2·10⁹)."""
+    the key moduli — 211/179/193/199 here, chosen LARGER than the
+    convex entry's (MEASURED: at sf0.1 the 101/89-family store put this
+    entry in the 446k-bbox-pair / 413k-positive-pair density regime and
+    the oracle's quadratic side ran >19 min; the wider lattice reads
+    111.7k bbox pairs, the same per-cell density family the convex
+    entry has at its own moduli). Overflow: coords ≤ ~860, side values
+    < 10⁵, cross-multiplied comparisons < 10¹⁰, all << 2⁶³."""
     c = load_table(spark, sf_dir, "customer")
     ck = F.col("c_custkey")
     r = (12 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
     d = (4 + 4 * (F.expr("c_custkey DIV 4") % 2)).cast("long")
-    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
+    ax, ay = (4 * (ck % 211)).cast("long"), (4 * (ck % 179)).cast("long")
     bottom_xs = F.array(
         ax - r + 4, ax - 4, ax - 4, ax + 4, ax + 4, ax + r - 4,
         ax + r, ax + r, ax + r - 4, ax - r + 4, ax - r, ax - r,
@@ -2274,8 +2278,8 @@ def spatial_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("p.ys").cast("double").alias("ymax"),
         )
     )
-    bx = (4 * (ck % 97) + 2).cast("long")
-    by = (4 * (ck % 103) + 2).cast("long")
+    bx = (4 * (ck % 193) + 2).cast("long")
+    by = (4 * (ck % 199) + 2).cast("long")
     s = (4 * (ck % 3) + 1).cast("long")
     b = c.where(ck % 2 == 0).select(
         ck.alias("bkey"),
