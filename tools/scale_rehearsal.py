@@ -177,6 +177,12 @@ QUERIES_UNDER_TEST = {
     # r13: nearest as-of — one union-sort shuffle on user_id (user count
     # grows N×, per-user chains preserved)
     "asof_join_nearest": (["events"], "fact"),
+    # r14: NON-convex clipping — key-shifted customers land on fresh
+    # lattice positions (1e6 mod 211/179/193/199 ≠ 0), so density per
+    # cell grows N× and positive pairs ~N² in the fixed rehearsal extent
+    # — the convex entry's output-driven regime, plus the per-subject
+    # trapezoid decomposition (store-sized, should stay ~N×)
+    "spatial_clip_concave_pairs": (["customer"], "docs"),
 }
 
 
@@ -521,6 +527,150 @@ def _skew_aqe_mode(spark, repeats: int) -> None:
         print(f"speedup: {off[2] / on[2]:.2f}x; split fired: {on[3] > 0}")
 
 
+
+
+def _bucketed_nn_mode(spark, repeats: int) -> None:
+    """Broadcast vs cell-bucketed ring NN candidate join at a LARGE
+    facility vocabulary (VERDICT r13 #4's optional measurement).
+
+    The graded ring entries broadcast a position-dedup'd facility ring
+    (<= 700 positions on the store lattice), which is right at any SF of
+    the graded corpora. The regime the bucketed operator exists for is a
+    large position VOCABULARY: here a synthetic 40000-unit extent
+    (1250 x 1250 32-unit cells), ~400k distinct facility positions
+    (ring table ~3.6M rows — far past sane broadcast size) and 3M
+    points. Both forms read identical parquet and compute the identical
+    per-point argmin (checksum-compared); measured per form: join +
+    argmin wall, best of `repeats`, plan rebuilt per repeat (the run-9
+    shuffle-reuse trap). The bucketed layout's pay-once write cost is
+    reported separately — at 100 TB that layout is the table's resident
+    format, amortized across every ring join and per-cell aggregate.
+    autoBroadcastJoinThreshold=-1 in the bucketed runs so the comparison
+    is explicit-broadcast vs co-located SMJ, nothing in between.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.operators.spatial_join import (
+        cell_bucketed_ring_join,
+    )
+
+    E = 40_000
+    n_f, n_p = 400_000, 3_000_000
+    fac = (
+        spark.range(1, n_f + 1)
+        .select(
+            F.col("id").alias("c_custkey"),
+            ((F.col("id") * 7919) % E).alias("fx"),
+            ((F.col("id") * 104729) % E).alias("fy"),
+        )
+        .groupBy("fx", "fy")
+        .agg(F.min("c_custkey").alias("c_custkey"))
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    fring = (
+        fac.withColumn("dxc", off)
+        .withColumn("dyc", off)
+        .select(
+            "c_custkey", "fx", "fy",
+            (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
+            (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
+        )
+    )
+    pts = (
+        spark.range(1, n_p + 1)
+        .select(
+            F.col("id").alias("p_partkey"),
+            ((F.col("id") * 13) % E).alias("px"),
+            ((F.col("id") * 29) % E).alias("py"),
+        )
+        .withColumn("cellx", F.expr("px DIV 32"))
+        .withColumn("celly", F.expr("py DIV 32"))
+    )
+    _os.makedirs(WORK, exist_ok=True)
+    fring.write.mode("overwrite").parquet(f"{WORK}/bn_fring")
+    pts.write.mode("overwrite").parquet(f"{WORK}/bn_pts")
+
+    def _checksum(cand):
+        dsq = (
+            (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
+            + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
+        ).alias("dsq")
+        best = (
+            cand.select(
+                "p_partkey",
+                F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
+                F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("ck"),
+            )
+            .groupBy("p_partkey")
+            .agg(F.min(F.struct("dsq", "ck")).alias("b"))
+        )
+        sent = F.lit(2**62).cast("long")
+        r = best.agg(
+            F.count(F.lit(1)).alias("n"),
+            # sentinel dsq (no ring candidate) excluded: ~10% of points
+            # at this density x 2^62 overflows a plain SUM under ANSI
+            F.count(F.when(F.col("b.dsq") < sent, 1)).alias("nm"),
+            F.sum(F.when(F.col("b.dsq") < sent, F.col("b.dsq"))).alias("sd"),
+            F.sum(F.when(F.col("b.dsq") < sent, F.col("b.ck"))).alias("sk"),
+        ).collect()[0]
+        return (r["n"], r["nm"], r["sd"], r["sk"])
+
+    results = {}
+    # broadcast form: plan rebuilt per repeat
+    ts = []
+    for _ in range(repeats):
+        p_df = spark.read.parquet(f"{WORK}/bn_pts")
+        f_df = spark.read.parquet(f"{WORK}/bn_fring")
+        t0 = time.time()
+        chk = _checksum(p_df.join(F.broadcast(f_df), ["cellx", "celly"], "left"))
+        ts.append(time.time() - t0)
+    results["broadcast"] = (min(ts), chk)
+
+    # bucketed form: pay-once layout write, then join-only repeats from
+    # the saved tables (the resident-layout economics)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        cand = cell_bucketed_ring_join(
+            spark,
+            spark.read.parquet(f"{WORK}/bn_pts"),
+            spark.read.parquet(f"{WORK}/bn_fring"),
+            name_prefix="bkt_nnrehe",
+            n_buckets=32,
+            how="left",
+        )
+        chk_b = _checksum(cand)
+        layout_and_first = time.time() - t0
+        pid = _os.getpid()
+        bp = spark.table(f"bkt_nnrehe_pts_{pid}")
+        bf = spark.table(f"bkt_nnrehe_fr_{pid}")
+        ts = []
+        for _ in range(repeats):
+            bp2 = spark.table(f"bkt_nnrehe_pts_{pid}")
+            bf2 = spark.table(f"bkt_nnrehe_fr_{pid}")
+            t0 = time.time()
+            chk_b = _checksum(
+                bp2.hint("merge").join(bf2, ["cellx", "celly"], "left")
+            )
+            ts.append(time.time() - t0)
+        results["bucketed"] = (min(ts), chk_b)
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    print(f"facilities={n_f} (ring rows ~{9 * n_f}) points={n_p} extent={E}")
+    print(f"bucketed layout write + first join: {layout_and_first:.2f}s")
+    print("| form | join+argmin best s | checksum |")
+    print("|---|---|---|")
+    for form, (t, chk) in results.items():
+        print(f"| {form} | {t:.2f} | {chk} |")
+    b, k = results["broadcast"], results["bucketed"]
+    print(f"match: {b[1] == k[1]}; bucketed/broadcast wall: {k[0] / b[0]:.2f}x")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs-reps", type=int, default=20)
@@ -549,8 +699,14 @@ def main() -> None:
         help="measure AQE skew-join splitting on the hot-cell spatial "
         "regime: wall time + plan proof, skewJoin off vs on (VERDICT r7 #3)",
     )
+    ap.add_argument(
+        "--bucketed-nn",
+        action="store_true",
+        help="measure broadcast vs cell-bucketed ring NN join at a large "
+        "facility vocabulary (VERDICT r13 #4 optional row)",
+    )
     args = ap.parse_args()
-    if args.spatial or args.skew_aqe:
+    if args.spatial or args.skew_aqe or args.bucketed_nn:
         from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
         spark = get_spark(app_name="scale-rehearsal-spatial")
@@ -560,6 +716,8 @@ def main() -> None:
                 _spatial_mode(spark, args.repeats)
             if args.skew_aqe:
                 _skew_aqe_mode(spark, args.repeats)
+            if args.bucketed_nn:
+                _bucketed_nn_mode(spark, args.repeats)
         finally:
             shutil.rmtree(WORK, ignore_errors=True)
         return
