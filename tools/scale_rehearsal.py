@@ -558,16 +558,22 @@ def _bucketed_nn_mode(spark, repeats: int) -> None:
 
     E = 40_000
     n_f, n_p = 400_000, 3_000_000
+    # PRIME position moduli (39989/39979), not E: modulo E=40000 the
+    # (fx, fy) map has period exactly 40000, so 400k ids would collapse
+    # to a 40k-position vocabulary and the dedup'd ring table would be
+    # 360k rows — not the large-vocabulary regime this mode exists to
+    # measure (caught by counting the dedup'd store on the first run)
     fac = (
         spark.range(1, n_f + 1)
         .select(
             F.col("id").alias("c_custkey"),
-            ((F.col("id") * 7919) % E).alias("fx"),
-            ((F.col("id") * 104729) % E).alias("fy"),
+            ((F.col("id") * 7919) % 39989).alias("fx"),
+            ((F.col("id") * 104729) % 39979).alias("fy"),
         )
         .groupBy("fx", "fy")
         .agg(F.min("c_custkey").alias("c_custkey"))
     )
+    n_pos = fac.count()
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     fring = (
         fac.withColumn("dxc", off)
@@ -661,7 +667,10 @@ def _bucketed_nn_mode(spark, repeats: int) -> None:
         if saved is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
-    print(f"facilities={n_f} (ring rows ~{9 * n_f}) points={n_p} extent={E}")
+    print(
+        f"facilities={n_f} distinct_positions={n_pos} "
+        f"(ring rows ~{9 * n_pos}) points={n_p} extent={E}"
+    )
     print(f"bucketed layout write + first join: {layout_and_first:.2f}s")
     print("| form | join+argmin best s | checksum |")
     print("|---|---|---|")
