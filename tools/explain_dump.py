@@ -105,6 +105,14 @@ NOTES = {
     "stream_hll_distinct_windows": "STATEFUL streaming aggregate with sketch-bounded state: groupBy(win, register).MAX(rho) keeps 64 rows per window whatever the arrival count; complete-mode availableNow drain, then register_sum/estimate derive batch-side from the tiny snapshot (plan shown is the batch tail over the localCheckpointed snapshot).",
     "spatial_intersection_snap_rings": "the snap-union store build (inline jittered WKB, width-sized repartition) rasterized ONCE with the layer tag in the run key; then the lattice intersection's sweep + ring reconstruction unchanged — one event aggregate, one (key, iy) window, ONE dissolve-key Exchange.",
     "spatial_nn_join_ring": "per-point best computed ONCE (facility position-dedup → broadcast 3×3 cell-ring → cell equi BroadcastHashJoin → map-combined min(struct)) behind a localCheckpoint barrier — the shown plan reads Scan ExistingRDD, splits kept (dsq ≤ 1088 ring guarantee) from residual, and the residual's full search is the ONE bounded BroadcastNestedLoopJoin; without the barrier Catalyst recomputed the whole candidate join under the residual branch.",
+    "spatial_knn_join_ring": "k=5 form of the ring join: per-position bottom-5 key arrays ride the cell equi-join UNEXPLODED (the exploded cut multiplied join fan-out 5× — SCALING 17); bounded slice(array_sort(collect_list)) k-list, no window; guarantee predicate reads try_element_at(b, 5) (ANSI-safe on sparse cells, r14); same localCheckpoint barrier before the kept/residual split.",
+    "spatial_clip_convex_pairs": "grid-blocked bbox equi-join → ONE ArrowEvalPython running the vectorized int64 per-edge Green kernel (asNondeterministic pins single evaluation under filter+project — Catalyst extracted TWO nodes for the deterministic form); TakeOrderedAndProject absent by design (full result graded).",
+    "spatial_clip_concave_pairs": "TWO ArrowEvalPython nodes by design: trapezoid decomposition ONCE per subject row (store-sized, nondeterministic-pinned), then the convex kernel per (piece, diamond) candidate after the cell equi-join; per-pair SUM is a map-combined HashAggregate; subj_area_e4 rides the piece rows so the partition grade needs no extra join.",
+    "weighted_median_histogram": "pass 2 only (pass 1 = the shared _qh_hist_collect bounded-collect job): widened price ranges reach row-group pruning as PushedFilters, the RANGE-framed cumulative-weight window runs over interval-sized partitions, targets probe via BroadcastHashJoin, total_weight rejoins as a literal map.",
+    "stream_full_outer_join": "REAL availableNow drain shown post-sink: watermarked stream-stream full-outer interval join, sentinel advancers on BOTH sides removed only after the sink on the coalesced key (NULL-coalesced users kept — real null-side rows, r14); plan tail is the localCheckpointed memory-sink read.",
+    "nucleus_vocab_coverage": "map-combined token count absorbs the corpus; the rank/cumsum window sees only the VOCABULARY; the ≥90% cutoff is pure-integer (10·(cum−cnt) < 9·total) inside codegen.",
+    "snapshot_diff_keys": "ONE full-outer SortMergeJoin on the key (both branch scans carry pushed key-modulo filters); class CASE + exact-cents coalesce are map-side; 4-group map-combined scorecard agg.",
+    "asof_join_nearest": "union-sort trick run bidirectionally: ONE Exchange on user_id, TWO frames over the SAME window sort (last-ignorenulls backward, first-following forward); the nearest pick is a codegen int64 gap compare — no join node anywhere.",
 }
 
 
