@@ -252,15 +252,22 @@ REF_FLOORS: dict[str, float] = {
     "skyline_recursive_parts": 1.994, "spatial_buffer_union_area": 1.927,
     "spatial_union_rings": 2.929, "substring_dup_chains": 2.712,
     "spatial_intersection_rings": 2.961, "spatial_union_snap_rings": 3.311,
-    "spatial_nn_join_ring": 1.075, "spatial_knn_join_ring": 2.824,
-    "spatial_clip_convex_pairs": 2.872,
+    "spatial_nn_join_ring": 1.075, "spatial_knn_join_ring": 2.925,
+    "spatial_clip_convex_pairs": 2.872, "spatial_clip_concave_pairs": 3.326,
 }
 # queries whose code changed since their floor was recorded (excluded
 # from drift_ratio_median until the floor is re-recorded). r14:
 # spatial_knn_join_ring's guarantee predicate moved to try_element_at
-# (ADVICE r13) — floor re-recorded at this session's quietest window
-# before BENCH_r14 (VERDICT r13 #5 discipline).
-FLOORS_CHANGED: list[str] = ["spatial_knn_join_ring"]
+# (ADVICE r13) — floor re-recorded 2.925 (min over the session's three
+# passes; the session's quietest window still read arrow-canary
+# 1.14-1.28, so this floor is conservative like the r13 batch) — and
+# spatial_clip_concave_pairs' first floor (3.326) was recorded in the
+# same passes; both stay excluded from drift_ratio_median THIS round
+# (a same-session floor would read ~1.0 and dilute the estimate) and
+# rejoin in r15 (VERDICT r13 #5 discipline).
+FLOORS_CHANGED: list[str] = [
+    "spatial_knn_join_ring", "spatial_clip_concave_pairs",
+]
 
 
 def _scan_partition_bytes(sf_dir: str) -> str:
