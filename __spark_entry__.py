@@ -61,6 +61,14 @@ _DRIVER_PRIORITY = [
     # notched-octagon subjects (incl. C-shapes), piece-sum through the
     # r13 int64 kernel, oracle = independent signed difference form.
     "spatial_clip_concave_pairs",
+    # never driver-graded (r14 wave 2): the general x general completion
+    # — BOTH sides non-convex (mod-8 congruence scheme), piece x piece
+    # sums, oracle = four-term inclusion-exclusion. This sixth staging
+    # exceeds the five-slot r10 buffer, so it displaces the PREFIX TAIL
+    # (stream_static_enrich, r9-proven — oldest-LAST rule, VERDICT r13
+    # #6): r8 still retires and 41 of 42 r9 members re-prove;
+    # stream_static_enrich keeps its r9 proof and heads the r15 queue.
+    "spatial_clip_general_pairs",
     # staleness re-proof: the 3 r8-proven displaced from the r13 prefix
     # (oldest staleness in the ledger — r8 retires after a green r14)
     "revenue_share_window", "spatial_knn_rect_centroids",
@@ -88,15 +96,15 @@ _DRIVER_PRIORITY = [
     "cdc_upsert_snapshot", "spatial_join_hot_cell",
     "stream_tumbling_event_counts", "stream_interval_join_pairs",
     "stream_sliding_event_counts", "stream_session_user_totals",
-    "stream_topk_types_per_window", "stream_static_enrich",
-    # The five-slot displacement buffer (first of the r10 queue) is now
-    # fully consumed: the four code-changed stagings + one new entry
-    # displaced ivf_cell_balance, retrieval_ndcg_labels,
-    # ivf_recall_at_10, lsh_bucket_balance, ann_recall_at_10 tail-first
-    # (oldest-LAST, VERDICT r13 #6); the displaced members keep their
-    # r10 proofs and head the r15 queue. Any FURTHER r14 staging would
-    # displace an r9-proven member and delay r9's retirement — the
-    # round plan caps at five for exactly this reason.
+    "stream_topk_types_per_window",
+    # The five-slot displacement buffer (first of the r10 queue) was
+    # consumed by the four code-changed stagings + the concave entry
+    # (displaced tail-first: ivf_cell_balance, retrieval_ndcg_labels,
+    # ivf_recall_at_10, lsh_bucket_balance, ann_recall_at_10 — each
+    # keeps its r10 proof). The sixth staging (the general clip, wave 2)
+    # displaced stream_static_enrich per the oldest-LAST rule — the one
+    # r9 proof that carries to r15; it heads the r15 queue together
+    # with the five buffer members.
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -98,10 +98,12 @@ HEADLINE = CORE_SET + [
     # — the snap-free geometry path's per-pair Python cost)
     "spatial_knn_join_ring",
     "spatial_clip_convex_pairs",
-    # r14 addition: the NON-convex clip (trapezoid decompose UDF +
-    # per-piece kernel + per-pair sum — the heaviest snap-free geometry
-    # path, ~413k positive pairs at sf0.1)
+    # r14 additions: the NON-convex clip (trapezoid decompose UDF +
+    # per-piece kernel + per-pair sum) and the general x general
+    # completion (BOTH stores decomposed — three ArrowEval passes, the
+    # heaviest snap-free geometry path)
     "spatial_clip_concave_pairs",
+    "spatial_clip_general_pairs",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same

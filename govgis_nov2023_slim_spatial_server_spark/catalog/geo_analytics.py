@@ -2313,3 +2313,269 @@ def spatial_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("area_e4").cast("double") / 10000.0).alias("area"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snap-free exact GENERAL x GENERAL clipping (both sides non-convex)
+# ---------------------------------------------------------------------------
+
+# subject-family SQL fragments: a notched octagon's octagon ring and notch
+# rectangle as DuckDB struct lists, parameterized by center/size columns
+# (cut = notch half-width = 8 throughout the r14 general store)
+_GEN_OCT_SQL = """
+        [struct_pack(x := {cx}-{r}+8, y := {cy}-{r}), struct_pack(x := {cx}+{r}-8, y := {cy}-{r}),
+         struct_pack(x := {cx}+{r}, y := {cy}-{r}+8), struct_pack(x := {cx}+{r}, y := {cy}+{r}-8),
+         struct_pack(x := {cx}+{r}-8, y := {cy}+{r}), struct_pack(x := {cx}-{r}+8, y := {cy}+{r}),
+         struct_pack(x := {cx}-{r}, y := {cy}+{r}-8), struct_pack(x := {cx}-{r}, y := {cy}-{r}+8)]"""
+_GEN_NTC_SQL = """
+        CASE WHEN {side} = 1 THEN
+          [struct_pack(x := {cx}-8, y := {cy}-{r}), struct_pack(x := {cx}+8, y := {cy}-{r}),
+           struct_pack(x := {cx}+8, y := {cy}-{r}+{d}), struct_pack(x := {cx}-8, y := {cy}-{r}+{d})]
+        ELSE
+          [struct_pack(x := {cx}-{r}, y := {cy}-8), struct_pack(x := {cx}-{r}+{d}, y := {cy}-8),
+           struct_pack(x := {cx}-{r}+{d}, y := {cy}+8), struct_pack(x := {cx}-{r}, y := {cy}+8)]
+        END"""
+
+_CLIP_GENERAL_SQL = (
+    """
+    WITH a AS (
+      SELECT c_custkey AS akey,
+             8 * (c_custkey % 569) AS ax, 8 * (c_custkey % 587) AS ay,
+             24 + 8 * ((c_custkey // 2) % 2) AS r,
+             8 + 8 * ((c_custkey // 4) % 2) AS d,
+             CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 3 END AS sd
+      FROM customer WHERE c_custkey % 2 = 1),
+    b AS (
+      SELECT c_custkey AS bkey,
+             8 * (c_custkey % 593) + 2 AS bx, 8 * (c_custkey % 599) + 4 AS by2,
+             24 + 8 * ((c_custkey // 2) % 2) AS r,
+             8 + 8 * ((c_custkey // 4) % 2) AS d,
+             CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 3 END AS sd
+      FROM customer WHERE c_custkey % 2 = 0),
+    av AS (
+      SELECT akey, r, d,"""
+    + _GEN_OCT_SQL.format(cx="ax", cy="ay", r="r")
+    + " AS oct,"
+    + _GEN_NTC_SQL.format(cx="ax", cy="ay", r="r", d="d", side="sd")
+    + """ AS ntc,
+        ax-r AS xmin, ax+r AS xmax, ay-r AS ymin, ay+r AS ymax
+      FROM a),
+    bv AS (
+      SELECT bkey, r AS rb, d AS db,"""
+    + _GEN_OCT_SQL.format(cx="bx", cy="by2", r="r")
+    + " AS oct,"
+    + _GEN_NTC_SQL.format(cx="bx", cy="by2", r="r", d="d", side="sd")
+    + """ AS ntc,
+        bx-r AS xmin, bx+r AS xmax, by2-r AS ymin, by2+r AS ymax
+      FROM b),
+    pairs AS (
+      SELECT av.akey, bv.bkey,
+             av.oct AS octa, av.ntc AS ntca, bv.oct AS octb, bv.ntc AS ntcb
+      FROM av JOIN bv ON av.xmin <= bv.xmax AND bv.xmin <= av.xmax
+                     AND av.ymin <= bv.ymax AND bv.ymin <= av.ymax),
+    sides AS (
+      SELECT akey, bkey, octa AS sub, octb AS clp, 1 AS sgn FROM pairs
+      UNION ALL SELECT akey, bkey, octb, octa, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, octa, ntcb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntcb, octa, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntca, octb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, octb, ntca, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntca, ntcb, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntcb, ntca, 1 FROM pairs),
+    edges AS (
+      SELECT akey, bkey, sgn, clp,
+             unnest(list_transform(generate_series(1, len(sub)),
+                    i -> struct_pack(p1 := sub[i],
+                                     p2 := sub[(i % len(sub)) + 1]))) AS e
+      FROM sides),
+    cons AS (
+      SELECT akey, bkey, sgn, e,
+             list_transform(generate_series(1, len(clp)), i ->
+               struct_pack(
+                 c0 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p1.y - clp[i].y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p1.x - clp[i].x),
+                 c1 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p2.y - e.p1.y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p2.x - e.p1.x))
+             ) AS cs
+      FROM edges),
+    iv AS (
+      SELECT akey, bkey, sgn, e,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 > 0),
+                                c -> [-c.c0, c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] >= y[1]*x[2] THEN x ELSE y END) AS lb,
+             list_reduce(
+               list_prepend([CAST(1 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 < 0),
+                                c -> [c.c0, -c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] <= y[1]*x[2] THEN x ELSE y END) AS ub,
+             len(list_filter(cs, c -> c.c1 = 0 AND c.c0 < 0)) > 0 AS emp
+      FROM cons),
+    pieces AS (
+      SELECT akey, bkey, sgn,
+             (2 * (e.p1.x * lb[2] + lb[1] * (e.p2.x - e.p1.x))) // lb[2] AS sx1,
+             (2 * (e.p1.y * lb[2] + lb[1] * (e.p2.y - e.p1.y))) // lb[2] AS sy1,
+             (2 * (e.p1.x * ub[2] + ub[1] * (e.p2.x - e.p1.x))) // ub[2] AS sx2,
+             (2 * (e.p1.y * ub[2] + ub[1] * (e.p2.y - e.p1.y))) // ub[2] AS sy2
+      FROM iv
+      WHERE NOT emp AND lb[1] * ub[2] < ub[1] * lb[2]),
+    agg AS (
+      SELECT akey, bkey,
+             SUM(sgn * (sx1 * sy2 - sy1 * sx2)) AS t8
+      FROM pieces
+      GROUP BY akey, bkey
+      HAVING SUM(sgn * (sx1 * sy2 - sy1 * sx2)) > 0)
+    SELECT agg.akey, agg.bkey,
+           CAST((4 * a.r * a.r - 128 - 16 * a.d) * 10000 AS BIGINT)
+             AS subj_a_area_e4,
+           CAST((4 * bv.rb * bv.rb - 128 - 16 * bv.db) * 10000 AS BIGINT)
+             AS subj_b_area_e4,
+           CAST(t8 * 1250 AS BIGINT) AS area_e4,
+           CAST(CAST(t8 * 1250 AS BIGINT) AS DOUBLE) / 10000 AS area
+    FROM agg JOIN a ON agg.akey = a.akey JOIN bv ON agg.bkey = bv.bkey
+"""
+)
+
+
+def _notched_octagon_arrays(cx, cy, r, d, is_bottom):
+    """Spark array columns for the ×8-scaled notched octagon (corner cut
+    8, notch half-width 8) used by the general×general clip stores."""
+    bottom_xs = F.array(
+        cx - r + 8, cx - 8, cx - 8, cx + 8, cx + 8, cx + r - 8,
+        cx + r, cx + r, cx + r - 8, cx - r + 8, cx - r, cx - r,
+    )
+    bottom_ys = F.array(
+        cy - r, cy - r, cy - r + d, cy - r + d, cy - r, cy - r,
+        cy - r + 8, cy + r - 8, cy + r, cy + r, cy + r - 8, cy - r + 8,
+    )
+    left_xs = F.array(
+        cx - r + 8, cx + r - 8, cx + r, cx + r, cx + r - 8, cx - r + 8,
+        cx - r, cx - r, cx - r + d, cx - r + d, cx - r, cx - r,
+    )
+    left_ys = F.array(
+        cy - r, cy - r, cy - r + 8, cy + r - 8, cy + r, cy + r,
+        cy + r - 8, cy + 8, cy + 8, cy - 8, cy - 8, cy - r + 8,
+    )
+    return (
+        F.when(is_bottom, bottom_xs).otherwise(left_xs),
+        F.when(is_bottom, bottom_ys).otherwise(left_ys),
+    )
+
+
+@query("spatial_clip_general_pairs", _CLIP_GENERAL_SQL)
+def spatial_clip_general_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAP-FREE exact polygon intersection with BOTH sides NON-convex —
+    the general×general completion of the clip family (convex×convex
+    r13, concave×convex `spatial_clip_concave_pairs`): both stores are
+    notched octagons (bottom- or left-notched by key; the left-notch
+    shapes are C-shapes), both trapezoid-decomposed engine-side, and
+    area(A∩B) = Σᵢⱼ area(pieceᵢ(A) ∩ pieceⱼ(B)) — the piece×piece sum
+    is decomposition-invariant on both axes, so the oracle again uses a
+    DIFFERENT algorithm entirely.
+
+    General position moves from the r13 mod-4 scheme to MOD 8 (two
+    45°-edge families must not share diagonal constants, which mod 4
+    cannot express: diag class = x-class + y-class forces a collision
+    in every mod-4 assignment): A's constants are ≡ 0 (mod 8) in
+    x, y, x±y while B's centers sit at (≡2, ≡4) so B's lines read
+    x ≡ 2, y ≡ 4, x+y ≡ 6, x−y ≡ 6 (mod 8) — no collinear overlap, no
+    vertex-on-edge anywhere, axis×axis and axis×45° crossings INTEGER,
+    45°×45° crossings x = (a+b)/2 with a+b ≡ 6 (mod 8) also integer —
+    everything on the kernel's half-integer lattice (assert-enforced;
+    a 400-random-pair Fraction cross-check in tests/test_r14_catalog.py
+    proves the scheme empirically too).
+
+    Engine: both stores decompose ONCE per subject row
+    (`trapezoid_decompose` Arrow UDF — store-sized), pieces explode on
+    both sides, grid-blocked bbox equi-join (cell 64) over piece
+    bboxes, ONE vectorized int64 kernel evaluation per (pieceA, pieceB)
+    candidate, map-combined SUM per (akey, bkey). Both subjects'
+    piece-sum shoelaces ride along and are graded against the oracle's
+    closed-form key arithmetic (4r² − 128 − 16d)·10⁴ — the partition
+    check on BOTH decompositions.
+
+    Oracle: inclusion-exclusion over FOUR convex×convex terms —
+    (Oa∖Na) ∩ (Ob∖Nb) has area |OaOb| − |OaNb| − |NaOb| + |NaNb|
+    (both notches are subsets of their octagons, so the signed sum is
+    exact) — each term the r13 per-edge Green SQL decomposition, eight
+    signed side rows per candidate pair.
+
+    100 TB shape: identical to the concave entry (store-sized
+    decomposition, cell-blocked AQE-splittable candidates, map-combined
+    sum); extent via prime moduli 569/587 vs 593/599 (MEASURED: the 283-family read 127k bbox pairs at sf0.1 — concave-entry territory with an 8-side oracle on top; the wider lattice reads 40k while sf0.01 still grades thousands) keeps per-cell
+    density in the family the sibling entries measured. Overflow:
+    coords ≤ ~4800, c0 ≤ ~4·10⁵, cross-multiplied comparisons
+    ≤ ~1.6·10¹¹, scaled crosses ≤ ~3·10⁷ — all ≪ 2⁶³."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+
+    from ..functions.spatial import (
+        make_convex_clip_stats_udf,
+        make_trapezoid_pieces_udf,
+    )
+
+    def _pieces(df, key_alias, a2_alias, xs_alias, ys_alias):
+        dec = make_trapezoid_pieces_udf()(F.col("sxs"), F.col("sys"))
+        return (
+            df.select(key_alias, dec.alias("dc"))
+            .select(
+                key_alias,
+                F.col("dc.a2").alias(a2_alias),
+                F.explode("dc.pieces").alias("p"),
+            )
+            .select(
+                key_alias, a2_alias,
+                F.col("p.xs").alias(xs_alias), F.col("p.ys").alias(ys_alias),
+                F.array_min("p.xs").cast("double").alias("xmin"),
+                F.array_min("p.ys").cast("double").alias("ymin"),
+                F.array_max("p.xs").cast("double").alias("xmax"),
+                F.array_max("p.ys").cast("double").alias("ymax"),
+            )
+        )
+
+    r = (24 + 8 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
+    d = (8 + 8 * (F.expr("c_custkey DIV 4") % 2)).cast("long")
+    ax, ay = (8 * (ck % 569)).cast("long"), (8 * (ck % 587)).cast("long")
+    axs, ays = _notched_octagon_arrays(ax, ay, r, d, ck % 4 == 1)
+    a = _pieces(
+        c.where(ck % 2 == 1).select(
+            ck.alias("akey"), axs.alias("sxs"), ays.alias("sys")
+        ),
+        "akey", "subj2a", "axs", "ays",
+    )
+    bx = (8 * (ck % 593) + 2).cast("long")
+    by = (8 * (ck % 599) + 4).cast("long")
+    bxs, bys = _notched_octagon_arrays(bx, by, r, d, ck % 4 == 0)
+    b = _pieces(
+        c.where(ck % 2 == 0).select(
+            ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys")
+        ),
+        "bkey", "subj2b", "bxs", "bys",
+    )
+    pairs = grid_blocked_overlap_join(a, b, cell=64.0)
+    st = make_convex_clip_stats_udf()(
+        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    )
+    return (
+        pairs.select(
+            "akey", "subj2a",
+            F.col("bkey_r").alias("bkey"),
+            F.col("subj2b_r").alias("subj2b"),
+            st.getField("area_e4").alias("pa"),
+        )
+        .groupBy("akey", "bkey")
+        .agg(
+            F.max("subj2a").alias("subj2a"),
+            F.max("subj2b").alias("subj2b"),
+            F.sum("pa").alias("area_e4"),
+        )
+        .where(F.col("area_e4") > 0)
+        .select(
+            "akey", "bkey",
+            (F.col("subj2a") * 5000).alias("subj_a_area_e4"),
+            (F.col("subj2b") * 5000).alias("subj_b_area_e4"),
+            "area_e4",
+            (F.col("area_e4").cast("double") / 10000.0).alias("area"),
+        )
+    )

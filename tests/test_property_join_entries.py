@@ -133,6 +133,10 @@ ENTRIES = [
     # the trapezoid piece-sum must agree with the oracle's signed
     # difference form on every draw
     "spatial_clip_concave_pairs",
+    # r14: general x general — BOTH sides non-convex under the mod-8
+    # congruence scheme; the piece x piece sum must agree with the
+    # oracle's four-term inclusion-exclusion on every draw
+    "spatial_clip_general_pairs",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -430,3 +430,127 @@ class TestCellBucketedRingJoin:
         pc, fring = self._frames(spark, "/root/testdata/sf0.001")
         with _pt.raises(ValueError):
             cell_bucketed_ring_join(spark, pc, fring, name_prefix="nope")
+
+
+# ---------------------------------------------------------------------------
+# spatial_clip_general_pairs — general x general (both sides non-convex)
+# ---------------------------------------------------------------------------
+
+
+def _notched8(cx, cy, r, d, side):
+    """The ×8-scaled notched octagon (corner cut 8, notch half-width 8)
+    both general-clip stores build."""
+    if side == 1:
+        xs = [cx - r + 8, cx - 8, cx - 8, cx + 8, cx + 8, cx + r - 8,
+              cx + r, cx + r, cx + r - 8, cx - r + 8, cx - r, cx - r]
+        ys = [cy - r, cy - r, cy - r + d, cy - r + d, cy - r, cy - r,
+              cy - r + 8, cy + r - 8, cy + r, cy + r, cy + r - 8,
+              cy - r + 8]
+    else:
+        xs = [cx - r + 8, cx + r - 8, cx + r, cx + r, cx + r - 8,
+              cx - r + 8, cx - r, cx - r, cx - r + d, cx - r + d,
+              cx - r, cx - r]
+        ys = [cy - r, cy - r, cy - r + 8, cy + r - 8, cy + r, cy + r,
+              cy + r - 8, cy + 8, cy + 8, cy - 8, cy - 8, cy - r + 8]
+    return xs, ys
+
+
+def _oct8(cx, cy, r):
+    return [(cx - r + 8, cy - r), (cx + r - 8, cy - r),
+            (cx + r, cy - r + 8), (cx + r, cy + r - 8),
+            (cx + r - 8, cy + r), (cx - r + 8, cy + r),
+            (cx - r, cy + r - 8), (cx - r, cy - r + 8)]
+
+
+def _ntc8(cx, cy, r, d, side):
+    if side == 1:
+        return [(cx - 8, cy - r), (cx + 8, cy - r),
+                (cx + 8, cy - r + d), (cx - 8, cy - r + d)]
+    return [(cx - r, cy - 8), (cx - r + d, cy - 8),
+            (cx - r + d, cy + 8), (cx - r, cy + 8)]
+
+
+class TestGeneralClipFractionReference:
+    def test_mod8_congruence_classes(self):
+        """The general-position scheme, enumerated: A line constants are
+        ≡ 0 (mod 8) in x, y, x+y, x−y while B's are ≡ 2, 4, 6, 6 — the
+        four families pairwise distinct, so no collinear overlap exists
+        for ANY key pair, and every 45°×45° crossing x = (a+b)/2 has
+        a+b ≡ 6 (mod 8), hence integer."""
+        for k in range(1, 1200, 2):  # odd keys → A store
+            cx, cy = 8 * (k % 569), 8 * (k % 587)
+            r = 24 + 8 * ((k // 2) % 2)
+            d = 8 + 8 * ((k // 4) % 2)
+            xs, ys = _notched8(cx, cy, r, d, 1 if k % 4 == 1 else 3)
+            n = len(xs)
+            for i in range(n):
+                x1, y1, x2, y2 = xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n]
+                if x1 == x2:
+                    assert x1 % 8 == 0
+                elif y1 == y2:
+                    assert y1 % 8 == 0
+                else:
+                    c = (x1 + y1) if (x2 - x1) == -(y2 - y1) else (x1 - y1)
+                    assert c % 8 == 0
+        for k in range(2, 1200, 2):  # even keys → B store
+            cx, cy = 8 * (k % 593) + 2, 8 * (k % 599) + 4
+            r = 24 + 8 * ((k // 2) % 2)
+            d = 8 + 8 * ((k // 4) % 2)
+            xs, ys = _notched8(cx, cy, r, d, 1 if k % 4 == 0 else 3)
+            n = len(xs)
+            for i in range(n):
+                x1, y1, x2, y2 = xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n]
+                if x1 == x2:
+                    assert x1 % 8 == 2
+                elif y1 == y2:
+                    assert y1 % 8 == 4
+                else:
+                    c = (x1 + y1) if (x2 - x1) == -(y2 - y1) else (x1 - y1)
+                    assert c % 8 == 6
+
+    def test_piece_by_piece_sum_matches_fraction_inclusion_exclusion(self):
+        """400 random store-lattice pairs: the engine path (BOTH sides
+        trapezoid-decomposed, every piece×piece through the int64
+        kernel, summed) must equal the EXACT Fraction inclusion-
+        exclusion |OaOb| − |OaNb| − |NaOb| + |NaNb| via rational
+        Sutherland–Hodgman — two independent exact algorithms, and the
+        kernel's half-integer lattice assert doubles as the mod-8
+        scheme's empirical proof."""
+        rng = random.Random(888)
+        pos = 0
+        for _ in range(400):
+            ra, rb = rng.choice((24, 32)), rng.choice((24, 32))
+            da, db = rng.choice((8, 16)), rng.choice((8, 16))
+            sa, sb = rng.choice((1, 3)), rng.choice((1, 3))
+            ax, ay = 8 * rng.randrange(0, 14), 8 * rng.randrange(0, 14)
+            if rng.random() < 0.5:
+                bx = ax + 8 * rng.randrange(-6, 7) + 2
+                by = ay + 8 * rng.randrange(-6, 7) + 4
+            else:
+                bx = 8 * rng.randrange(0, 14) + 2
+                by = 8 * rng.randrange(0, 14) + 4
+            axs, ays = _notched8(ax, ay, ra, da, sa)
+            bxs, bys = _notched8(bx, by, rb, db, sb)
+            _, pa = trapezoid_decompose(axs, ays)
+            _, pb = trapezoid_decompose(bxs, bys)
+            tot = 0
+            for p4x, p4y in pa:
+                sx = np.array([p4x], dtype=np.int64)
+                sy = np.array([p4y], dtype=np.int64)
+                for q4x, q4y in pb:
+                    cx = np.array([q4x], dtype=np.int64)
+                    cy = np.array([q4y], dtype=np.int64)
+                    _, ca = _clip_pieces_int64(sx, sy, cx, cy)
+                    _, cb = _clip_pieces_int64(cx, cy, sx, sy)
+                    tot += int(ca.sum() + cb.sum())
+            Oa, Na = _oct8(ax, ay, ra), _ntc8(ax, ay, ra, da, sa)
+            Ob, Nb = _oct8(bx, by, rb), _ntc8(bx, by, rb, db, sb)
+
+            def _a2(p, q):
+                return convex_poly_area2(convex_clip(p, q))
+
+            ref8 = 4 * (_a2(Oa, Ob) - _a2(Oa, Nb) - _a2(Na, Ob) + _a2(Na, Nb))
+            assert Fraction(tot) == ref8, (ax, ay, ra, da, sa, bx, by, rb, db, sb)
+            if tot > 0:
+                pos += 1
+        assert pos > 100

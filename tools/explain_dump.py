@@ -108,6 +108,7 @@ NOTES = {
     "spatial_knn_join_ring": "k=5 form of the ring join: per-position bottom-5 key arrays ride the cell equi-join UNEXPLODED (the exploded cut multiplied join fan-out 5× — SCALING 17); bounded slice(array_sort(collect_list)) k-list, no window; guarantee predicate reads try_element_at(b, 5) (ANSI-safe on sparse cells, r14); same localCheckpoint barrier before the kept/residual split.",
     "spatial_clip_convex_pairs": "grid-blocked bbox equi-join → ONE ArrowEvalPython running the vectorized int64 per-edge Green kernel (asNondeterministic pins single evaluation under filter+project — Catalyst extracted TWO nodes for the deterministic form); TakeOrderedAndProject absent by design (full result graded).",
     "spatial_clip_concave_pairs": "TWO ArrowEvalPython nodes by design: trapezoid decomposition ONCE per subject row (store-sized, nondeterministic-pinned), then the convex kernel per (piece, diamond) candidate after the cell equi-join; per-pair SUM is a map-combined HashAggregate; subj_area_e4 rides the piece rows so the partition grade needs no extra join.",
+    "spatial_clip_general_pairs": "THREE ArrowEvalPython nodes by design: one trapezoid decomposition per STORE (each store-sized, nondeterministic-pinned) + the convex kernel per (pieceA, pieceB) candidate after the cell equi-join; both subjects' piece-sum shoelaces ride the piece rows, so the double partition grade adds no join.",
     "weighted_median_histogram": "pass 2 only (pass 1 = the shared _qh_hist_collect bounded-collect job): widened price ranges reach row-group pruning as PushedFilters, the RANGE-framed cumulative-weight window runs over interval-sized partitions, targets probe via BroadcastHashJoin, total_weight rejoins as a literal map.",
     "stream_full_outer_join": "REAL availableNow drain shown post-sink: watermarked stream-stream full-outer interval join, sentinel advancers on BOTH sides removed only after the sink on the coalesced key (NULL-coalesced users kept — real null-side rows, r14); plan tail is the localCheckpointed memory-sink read.",
     "nucleus_vocab_coverage": "map-combined token count absorbs the corpus; the rank/cumsum window sees only the VOCABULARY; the ≥90% cutoff is pure-integer (10·(cum−cnt) < 9·total) inside codegen.",
