@@ -256,6 +256,7 @@ REF_FLOORS: dict[str, float] = {
     "spatial_intersection_rings": 2.961, "spatial_union_snap_rings": 3.311,
     "spatial_nn_join_ring": 1.075, "spatial_knn_join_ring": 2.925,
     "spatial_clip_convex_pairs": 2.872, "spatial_clip_concave_pairs": 3.326,
+    "spatial_clip_general_pairs": 4.096,
 }
 # queries whose code changed since their floor was recorded (excluded
 # from drift_ratio_median until the floor is re-recorded). r14:
@@ -269,6 +270,11 @@ REF_FLOORS: dict[str, float] = {
 # rejoin in r15 (VERDICT r13 #5 discipline).
 FLOORS_CHANGED: list[str] = [
     "spatial_knn_join_ring", "spatial_clip_concave_pairs",
+    # first floor recorded at arrow-canary 1.39-1.40 (the session's
+    # late-window contention — solo reps read 3.1-3.8 s, so re-record
+    # at the next genuinely quiet window); excluded from the drift
+    # stat this round like the other two
+    "spatial_clip_general_pairs",
 ]
 
 
