@@ -23,88 +23,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r13), so insertion order
-# decides which queries get correctness rows. r14 prefix: shipped from
-# the LEDGER, not the r13 CLAUDE.md prose (VERDICT r13 #1 — the prose
-# was off by one: THREE r8-proven members were displaced from the r13
-# prefix, not two; revenue_share_window was the omission). Layout: the
-# 3 r8-proven displaced from r13 (r8 retires after a green r14) + ALL
-# 42 remaining r9-proven (r9 retires too) + the first 5 of the r10
-# queue = 50, exactly `proof_ledger.py --assume-next-green` order. New
-# r14 entries and r14 code-changed entries jump this queue as always,
-# displacing members from the TAIL — the r10-queue members first
-# (oldest-LAST, the VERDICT r13 #6 displacement rule), so the r8/r9
-# retirements survive up to five stagings; displaced members keep
-# their proofs and head the r15 queue.
+# (verified key-by-key against CORRECTNESS_r01..r14), so insertion order
+# decides which queries get correctness rows. r15 prefix: shipped from
+# the LEDGER (`proof_ledger.py --assume-next-green` after the green r14
+# card): stream_static_enrich FIRST (the ONE proof older than r10 —
+# displaced from the r14 prefix by the wave-2 general-clip staging; r9
+# fully retires after a green r15) + ALL 49 remaining r10-proven in
+# ledger order — the five r14 displacement-buffer members, then the 44
+# original r10-proven — = 50 exactly. r10 retires too after a green
+# r15. DISPLACEMENT BUFFER (pre-agreed victim list, VERDICT r14 #6):
+# new/code-changed r15 entries displace TAIL-first — the deepest
+# original-r10 members (time_weighted_avg_value first, then
+# interval_union_seconds, stream_left_outer_join, ...) — NEVER
+# stream_static_enrich or the five buffer members (now the oldest
+# proofs in the prefix). Displaced members keep their proofs and head
+# the r16 queue together with the r11-proven (knn_lsh_approx ...).
 _DRIVER_PRIORITY = [
-    # code changed in r14 (the ADVICE r13 fixes, each re-staged):
-    # asof_join_nearest — oracle now classifies direction at SECOND
-    # granularity (FLOOR(epoch)) matching the engine's cast('long'),
-    # sub-second fixture in tests/test_asof.py; spatial_knn_join_ring —
-    # guarantee predicate via try_element_at (ANSI-safe on <5-candidate
-    # cells); stream_full_outer_join — post-sink sentinel filter keeps
-    # NULL-coalesced-user rows (real null-side emissions), fixture in
-    # tests/test_streaming.py.
-    "asof_join_nearest", "spatial_knn_join_ring", "stream_full_outer_join",
-    # code changed in r14 (VERDICT r13 #3): weighted_median_histogram
-    # now shares the sibling's auto-widen (_qh_hist_collect) and grew
-    # its own recursion-within-bin path, replacing the bare guard
-    # assert; knob paths pinned in tests/test_r14_catalog.py. The
-    # sibling exact_quantiles_histogram's change is a PURE EXTRACTION
-    # (its widen loop moved verbatim into the shared helper — plan and
-    # results identical, all five r13 knob-path tests re-run green), so
-    # it is a documented non-staging (the r12 hll_registers_by_group
-    # extraction precedent); it was driver-graded r13 as code-changed.
-    "weighted_median_histogram",
-    # never driver-graded (r14): snap-free exact NON-convex clipping via
-    # engine-side trapezoid convex decomposition (VERDICT r13 #2) —
-    # notched-octagon subjects (incl. C-shapes), piece-sum through the
-    # r13 int64 kernel, oracle = independent signed difference form.
-    "spatial_clip_concave_pairs",
-    # never driver-graded (r14 wave 2): the general x general completion
-    # — BOTH sides non-convex (mod-8 congruence scheme), piece x piece
-    # sums, oracle = four-term inclusion-exclusion. This sixth staging
-    # exceeds the five-slot r10 buffer, so it displaces the PREFIX TAIL
-    # (stream_static_enrich, r9-proven — oldest-LAST rule, VERDICT r13
-    # #6): r8 still retires and 41 of 42 r9 members re-prove;
-    # stream_static_enrich keeps its r9 proof and heads the r15 queue.
-    "spatial_clip_general_pairs",
-    # staleness re-proof: the 3 r8-proven displaced from the r13 prefix
-    # (oldest staleness in the ledger — r8 retires after a green r14)
-    "revenue_share_window", "spatial_knn_rect_centroids",
-    "multimodal_audio_windows",
-    # staleness re-proof: ALL 42 remaining r9-proven, ledger order
-    # (r9 retires after a green r14). minhash_lsh_neardup is rows-only
-    # by design; its exact mechanism twin minhash_neardup_oracle is
-    # r13-green.
-    "similarity_join_lsh_oracle", "knn_ivf_oracle",
-    "minhash_lsh_neardup", "simhash_poly_signature",
-    "embedding_quantize_int8", "knn_int8_rerank",
-    "dedup_components", "dedup_keep_best_doc",
-    "event_type_change_log", "cumulative_distinct_users",
-    "sample_deterministic_orders", "split_train_val_test",
-    "chunk_documents_tokens", "tfidf_top_terms",
-    "chunk_dedup_summary", "pii_redaction",
-    "decontaminate_benchmark", "stratified_sample_embeddings",
-    "bpe_pair_counts", "char_entropy_quality",
-    "bigram_lm_cross_entropy", "q5_nation_revenue",
-    "topk_offset_orders", "filter_caseins_topk",
-    "set_intersect_nations", "set_except_keys", "set_union_keys",
-    "string_funcs_part", "date_funcs_orders", "math_funcs_lineitem",
-    "dedup_distinct_pairs", "q4_priority_with_late_items",
-    "q14_economy_revenue_share", "sql_surface_pricing",
-    "cdc_upsert_snapshot", "spatial_join_hot_cell",
-    "stream_tumbling_event_counts", "stream_interval_join_pairs",
-    "stream_sliding_event_counts", "stream_session_user_totals",
-    "stream_topk_types_per_window",
-    # The five-slot displacement buffer (first of the r10 queue) was
-    # consumed by the four code-changed stagings + the concave entry
-    # (displaced tail-first: ivf_cell_balance, retrieval_ndcg_labels,
-    # ivf_recall_at_10, lsh_bucket_balance, ann_recall_at_10 — each
-    # keeps its r10 proof). The sixth staging (the general clip, wave 2)
-    # displaced stream_static_enrich per the oldest-LAST rule — the one
-    # r9 proof that carries to r15; it heads the r15 queue together
-    # with the five buffer members.
+    # the one pre-r10 proof (r9): displaced from the r14 prefix by the
+    # sixth r14 staging per the oldest-LAST rule; re-proves first.
+    "stream_static_enrich",
+    # the five r14 displacement-buffer members (r10-proven, consumed
+    # tail-first in r14; each kept its r10 proof):
+    "ann_recall_at_10", "lsh_bucket_balance", "ivf_recall_at_10",
+    "retrieval_ndcg_labels", "ivf_cell_balance",
+    # ALL 44 original r10-proven, ledger order (r10 retires after a
+    # green r15):
+    "zipf_slope_unigrams", "pq_adc_topk", "scalar_subquery_above_avg",
+    "zscore_norms_by_label", "pagerank_one_iter",
+    "spatial_linestring_length", "spatial_union_area",
+    "roc_auc_purchase_vs_view", "calibration_bins_decile",
+    "user_behavior_entropy", "assoc_rules_event_pairs",
+    "chi2_type_by_arm", "activity_islands_daily", "vocab_kl_train_val",
+    "cooccurrence_pmi_topk", "phrase_merge_apply", "pca_power_iteration",
+    "ngram_containment_topk", "hard_negative_mining",
+    "parallel_moments_merge", "mixture_temperature_schedule",
+    "udtf_trigram_counts", "graph_triangle_count",
+    "incremental_dedup_merge", "dp_noisy_type_counts",
+    "agg_distinct_stats", "skewed_agg_salted", "bucketed_join_revenue",
+    "pareto_frontier_parts", "sketch_bloom_join_counts",
+    "sketch_cms_priority_counts", "spatial_point_filter",
+    "spatial_join_overlap", "spatial_join_blocked",
+    "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
+    "multimodal_resize", "multimodal_frame_sample",
+    "spatial_grid_density", "stream_cdc_apply",
+    "stream_left_outer_join", "interval_union_seconds",
+    "time_weighted_avg_value",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -95,7 +95,18 @@ def main() -> None:
         # itself should be surfaced, and stale names from prior rounds
         # should not linger in scripts)
         unknown_defer = sorted(deferred_new - set(qs))
-        stale_defer = sorted(n for n in deferred_new & set(qs) if n in graded)
+        # --defer has two legitimate uses: (a) never-graded entries that
+        # landed after a verdict froze the prefix, (b) acknowledging an
+        # OLDEST-staleness omission (the r14 ADVICE contradiction: those
+        # names are graded, so the stale-defer WARN used to fire on the
+        # very acknowledgment the oldest-staleness WARN asks for). Only
+        # graded names NOT in the oldest bucket are stale defers.
+        oldest_round = min((graded[n] for n in qs if n in graded), default=0)
+        stale_defer = sorted(
+            n
+            for n in deferred_new & set(qs)
+            if n in graded and graded[n] != oldest_round
+        )
         if unknown_defer:
             print(f"WARN: --defer names not in the catalog: {unknown_defer}")
         if stale_defer:
@@ -124,7 +135,6 @@ def main() -> None:
         # the generic deferred-older list below but that list is routinely
         # long and was missed. The oldest bucket should be empty outside
         # the prefix unless each member is a deliberate --defer.)
-        oldest_round = min((graded[n] for n in qs if n in graded), default=0)
         oldest_out = [
             n
             for n in qs[50:]
