@@ -39,6 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # proofs in the prefix). Displaced members keep their proofs and head
 # the r16 queue together with the r11-proven (knn_lsh_approx ...).
 _DRIVER_PRIORITY = [
+    # never driver-graded (r15): snap-free exact clipping where BOTH
+    # sides carry an INTERIOR RING (VERDICT r14 #2) — donut-notched
+    # octagons through the r15 holes extension of trapezoid_decompose,
+    # oracle = nine-term inclusion-exclusion. Displaces
+    # time_weighted_avg_value (tail-first buffer rule).
+    "spatial_clip_holed_pairs",
     # the one pre-r10 proof (r9): displaced from the r14 prefix by the
     # sixth r14 staging per the oldest-LAST rule; re-proves first.
     "stream_static_enrich",
@@ -67,7 +73,8 @@ _DRIVER_PRIORITY = [
     "multimodal_resize", "multimodal_frame_sample",
     "spatial_grid_density", "stream_cdc_apply",
     "stream_left_outer_join", "interval_union_seconds",
-    "time_weighted_avg_value",
+    # time_weighted_avg_value displaced by spatial_clip_holed_pairs
+    # (keeps its r10 proof; heads the r16 queue with the r11-proven)
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -104,6 +104,9 @@ HEADLINE = CORE_SET + [
     # heaviest snap-free geometry path)
     "spatial_clip_concave_pairs",
     "spatial_clip_general_pairs",
+    # r15 addition: interior rings on BOTH sides (holed trapezoid
+    # decomposition, nine-term oracle)
+    "spatial_clip_holed_pairs",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
@@ -139,6 +142,12 @@ R12_SET = CORE_SET + [
 # as "value_r13_set". Explicit snapshot per the r7-ADVICE convention.
 R13_SET = R12_SET + [
     "spatial_knn_join_ring", "spatial_clip_convex_pairs",
+]
+
+# The r14 headline set (35 names), FROZEN at the r15 boundary: published
+# as "value_r14_set". Explicit snapshot per the r7-ADVICE convention.
+R14_SET = R13_SET + [
+    "spatial_clip_concave_pairs", "spatial_clip_general_pairs",
 ]
 
 
@@ -259,22 +268,19 @@ REF_FLOORS: dict[str, float] = {
     "spatial_clip_general_pairs": 4.096,
 }
 # queries whose code changed since their floor was recorded (excluded
-# from drift_ratio_median until the floor is re-recorded). r14:
-# spatial_knn_join_ring's guarantee predicate moved to try_element_at
-# (ADVICE r13) — floor re-recorded 2.925 (min over the session's three
-# passes; the session's quietest window still read arrow-canary
-# 1.14-1.28, so this floor is conservative like the r13 batch) — and
-# spatial_clip_concave_pairs' first floor (3.326) was recorded in the
-# same passes; both stay excluded from drift_ratio_median THIS round
-# (a same-session floor would read ~1.0 and dilute the estimate) and
-# rejoin in r15 (VERDICT r13 #5 discipline).
+# from drift_ratio_median until the floor is re-recorded). r15:
+# spatial_knn_join_ring (2.925) and spatial_clip_concave_pairs (3.326)
+# rejoin the drift statistic per the r14 plan — their floors are
+# conservative (recorded at arrow-canary 1.14-1.28), which can only
+# UNDERSTATE drift slightly, never flag a false regression.
+# spatial_clip_general_pairs stays out: its 4.096 first floor was
+# recorded at arrow-canary 1.39-1.40 (ADVICE r14) and is re-recorded
+# this round at the quietest observed window — it rejoins in r16.
+# spatial_clip_holed_pairs is NEW this round (first floor recorded
+# this session); rejoins in r16.
 FLOORS_CHANGED: list[str] = [
-    "spatial_knn_join_ring", "spatial_clip_concave_pairs",
-    # first floor recorded at arrow-canary 1.39-1.40 (the session's
-    # late-window contention — solo reps read 3.1-3.8 s, so re-record
-    # at the next genuinely quiet window); excluded from the drift
-    # stat this round like the other two
     "spatial_clip_general_pairs",
+    "spatial_clip_holed_pairs",
 ]
 
 
@@ -394,6 +400,7 @@ def main() -> None:
     total_r11_set = round(sum(timings[n] for n in R11_SET), 3)
     total_r12_set = round(sum(timings[n] for n in R12_SET), 3)
     total_r13_set = round(sum(timings[n] for n in R13_SET), 3)
+    total_r14_set = round(sum(timings[n] for n in R14_SET), 3)
     # value_best = sum of per-query MIN-of-reps: the drift-resistant
     # statistic. r6→r7 the driver host ran ~15% slower uniformly across
     # touched AND untouched queries while the CPU canary read dead idle
@@ -431,6 +438,7 @@ def main() -> None:
         "value_r11_set": total_r11_set,
         "value_r12_set": total_r12_set,
         "value_r13_set": total_r13_set,
+        "value_r14_set": total_r14_set,
         "value_best": total_best,
         "queries": timings,
         "reps": reps,

@@ -2463,6 +2463,288 @@ def _notched_octagon_arrays(cx, cy, r, d, is_bottom):
     )
 
 
+# ---------------------------------------------------------------------------
+# Snap-free exact clipping with INTERIOR RINGS (holes) on BOTH sides
+# ---------------------------------------------------------------------------
+
+# CCW rectangle [cx-8, cx+8] x [cy+8, cy+24] — the 16x16 interior ring of
+# the holed store, strictly inside the r >= 32 notched octagon and disjoint
+# from both notch placements (bottom notch tops out at cy-r+d <= cy-16;
+# the left notch reaches at most cx-r+d <= cx-16 < cx-8).
+_HOLED_HOLE_SQL = """
+        [struct_pack(x := {cx}-8, y := {cy}+8), struct_pack(x := {cx}+8, y := {cy}+8),
+         struct_pack(x := {cx}+8, y := {cy}+24), struct_pack(x := {cx}-8, y := {cy}+24)]"""
+
+_CLIP_HOLED_SQL = (
+    """
+    WITH a AS (
+      SELECT c_custkey AS akey,
+             8 * (c_custkey % 641) AS ax, 8 * (c_custkey % 677) AS ay,
+             32 + 8 * ((c_custkey // 2) % 2) AS r,
+             8 + 8 * ((c_custkey // 4) % 2) AS d,
+             CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 3 END AS sd
+      FROM customer WHERE c_custkey % 2 = 1),
+    b AS (
+      SELECT c_custkey AS bkey,
+             8 * (c_custkey % 653) + 2 AS bx, 8 * (c_custkey % 691) + 4 AS by2,
+             32 + 8 * ((c_custkey // 2) % 2) AS r,
+             8 + 8 * ((c_custkey // 4) % 2) AS d,
+             CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 3 END AS sd
+      FROM customer WHERE c_custkey % 2 = 0),
+    av AS (
+      SELECT akey, r, d,"""
+    + _GEN_OCT_SQL.format(cx="ax", cy="ay", r="r")
+    + " AS oct,"
+    + _GEN_NTC_SQL.format(cx="ax", cy="ay", r="r", d="d", side="sd")
+    + " AS ntc,"
+    + _HOLED_HOLE_SQL.format(cx="ax", cy="ay")
+    + """ AS hol,
+        ax-r AS xmin, ax+r AS xmax, ay-r AS ymin, ay+r AS ymax
+      FROM a),
+    bv AS (
+      SELECT bkey, r AS rb, d AS db,"""
+    + _GEN_OCT_SQL.format(cx="bx", cy="by2", r="r")
+    + " AS oct,"
+    + _GEN_NTC_SQL.format(cx="bx", cy="by2", r="r", d="d", side="sd")
+    + " AS ntc,"
+    + _HOLED_HOLE_SQL.format(cx="bx", cy="by2")
+    + """ AS hol,
+        bx-r AS xmin, bx+r AS xmax, by2-r AS ymin, by2+r AS ymax
+      FROM b),
+    pairs AS (
+      SELECT av.akey, bv.bkey,
+             av.oct AS octa, av.ntc AS ntca, av.hol AS hola,
+             bv.oct AS octb, bv.ntc AS ntcb, bv.hol AS holb
+      FROM av JOIN bv ON av.xmin <= bv.xmax AND bv.xmin <= av.xmax
+                     AND av.ymin <= bv.ymax AND bv.ymin <= av.ymax),
+    sides AS (
+      SELECT akey, bkey, octa AS sub, octb AS clp, 1 AS sgn FROM pairs
+      UNION ALL SELECT akey, bkey, octb, octa, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, octa, ntcb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntcb, octa, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntca, octb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, octb, ntca, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntca, ntcb, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntcb, ntca, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, octa, holb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, holb, octa, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, hola, octb, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, octb, hola, -1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntca, holb, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, holb, ntca, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, hola, ntcb, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, ntcb, hola, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, hola, holb, 1 FROM pairs
+      UNION ALL SELECT akey, bkey, holb, hola, 1 FROM pairs),
+    edges AS (
+      SELECT akey, bkey, sgn, clp,
+             unnest(list_transform(generate_series(1, len(sub)),
+                    i -> struct_pack(p1 := sub[i],
+                                     p2 := sub[(i % len(sub)) + 1]))) AS e
+      FROM sides),
+    cons AS (
+      SELECT akey, bkey, sgn, e,
+             list_transform(generate_series(1, len(clp)), i ->
+               struct_pack(
+                 c0 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p1.y - clp[i].y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p1.x - clp[i].x),
+                 c1 := (clp[(i % len(clp)) + 1].x - clp[i].x) * (e.p2.y - e.p1.y)
+                     - (clp[(i % len(clp)) + 1].y - clp[i].y) * (e.p2.x - e.p1.x))
+             ) AS cs
+      FROM edges),
+    iv AS (
+      SELECT akey, bkey, sgn, e,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 > 0),
+                                c -> [-c.c0, c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] >= y[1]*x[2] THEN x ELSE y END) AS lb,
+             list_reduce(
+               list_prepend([CAST(1 AS BIGINT), CAST(1 AS BIGINT)],
+                 list_transform(list_filter(cs, c -> c.c1 < 0),
+                                c -> [c.c0, -c.c1])),
+               (x, y) -> CASE WHEN x[1]*y[2] <= y[1]*x[2] THEN x ELSE y END) AS ub,
+             len(list_filter(cs, c -> c.c1 = 0 AND c.c0 < 0)) > 0 AS emp
+      FROM cons),
+    pieces AS (
+      SELECT akey, bkey, sgn,
+             (2 * (e.p1.x * lb[2] + lb[1] * (e.p2.x - e.p1.x))) // lb[2] AS sx1,
+             (2 * (e.p1.y * lb[2] + lb[1] * (e.p2.y - e.p1.y))) // lb[2] AS sy1,
+             (2 * (e.p1.x * ub[2] + ub[1] * (e.p2.x - e.p1.x))) // ub[2] AS sx2,
+             (2 * (e.p1.y * ub[2] + ub[1] * (e.p2.y - e.p1.y))) // ub[2] AS sy2
+      FROM iv
+      WHERE NOT emp AND lb[1] * ub[2] < ub[1] * lb[2]),
+    agg AS (
+      SELECT akey, bkey,
+             SUM(sgn * (sx1 * sy2 - sy1 * sx2)) AS t8
+      FROM pieces
+      GROUP BY akey, bkey
+      HAVING SUM(sgn * (sx1 * sy2 - sy1 * sx2)) > 0)
+    SELECT agg.akey, agg.bkey,
+           CAST((4 * a.r * a.r - 384 - 16 * a.d) * 10000 AS BIGINT)
+             AS subj_a_area_e4,
+           CAST((4 * bv.rb * bv.rb - 384 - 16 * bv.db) * 10000 AS BIGINT)
+             AS subj_b_area_e4,
+           CAST(t8 * 1250 AS BIGINT) AS area_e4,
+           CAST(CAST(t8 * 1250 AS BIGINT) AS DOUBLE) / 10000 AS area
+    FROM agg JOIN a ON agg.akey = a.akey JOIN bv ON agg.bkey = bv.bkey
+"""
+)
+
+
+def _hole_arrays(cx, cy):
+    """Spark array columns for the 16x16 CW interior ring of the holed
+    clip stores — [cx-8, cx+8] x [cy+8, cy+24], strictly inside every
+    r >= 32 notched octagon of the family and disjoint from both notch
+    placements."""
+    return (
+        F.array(cx - 8, cx - 8, cx + 8, cx + 8),
+        F.array(cy + 8, cy + 24, cy + 24, cy + 8),
+    )
+
+
+@query("spatial_clip_holed_pairs", _CLIP_HOLED_SQL)
+def spatial_clip_holed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAP-FREE exact polygon intersection where BOTH sides carry an
+    INTERIOR RING — the holes completion of the clip family (VERDICT
+    r14 #2; reference parity: PostGIS `ST_Intersection` on
+    ``geometry(Polygon,4326)``, reference backend/load_data.py:79 — a
+    PostGIS Polygon admits interior rings, the one shape class the r14
+    family didn't cover). Subjects are DONUT-NOTCHED octagons: the r14
+    general-entry notched octagons at r ∈ {32, 40} (bottom- or
+    left-notched by key) with a 16×16 rectangular hole at
+    [cx−8, cx+8] × [cy+8, cy+24] — non-convex shell AND interior ring,
+    the fully general PostGIS Polygon.
+
+    The mod-8 general-position scheme carries VERBATIM from the r14
+    general entry: the hole's four axis-aligned edges sit at x ≡ cx±8,
+    y ≡ cy+8/cy+24, which stay in each side's line classes (A: x, y ≡ 0;
+    B: x ≡ 2, y ≡ 4 mod 8), so no collinear overlap, no vertex-on-edge,
+    and every A×B crossing is integer — the `_clip_pieces_int64`
+    half-integer contract holds assert-enforced. The hole is strictly
+    interior by construction: top edge cy+24 < cy+r (r ≥ 32), corner
+    cuts at x+y = cx+cy+2r−8 ≥ cx+cy+56 > cx+cy+32, bottom notch tops
+    out at cy−r+d ≤ cy−16, the left notch reaches at most
+    cx−r+d ≤ cx−16 (enumerated in tests/test_r15_catalog.py).
+
+    Engine: both stores decompose ONCE per subject row through the
+    r15 holes extension of `trapezoid_decompose` (CW hole edges join
+    the slab span sets; even-odd parity over the combined edge set IS
+    shell-minus-hole; the pieces-tile-the-polygon partition check now
+    asserts against the NET shoelace) via `make_holed_trapezoid_pieces_udf`
+    — store-sized, never pair-sized. Pieces explode on both sides,
+    grid-blocked bbox equi-join over piece bboxes, ONE vectorized int64
+    kernel evaluation per (pieceA, pieceB) candidate, map-combined SUM
+    per (akey, bkey). Both subjects' NET piece-sum shoelaces ride along
+    and are graded against the oracle's closed-form key arithmetic
+    (4r² − 384 − 16d)·10⁴ — the partition check on BOTH holed
+    decompositions, cross-engine.
+
+    Oracle: inclusion-exclusion over NINE convex×convex terms —
+    1_A = 1_Oa − 1_Na − 1_Ha and 1_B = 1_Ob − 1_Nb − 1_Hb (notch and
+    hole are disjoint subsets of their octagon), so area(A∩B) expands
+    to |OaOb| − |OaNb| − |OaHb| − |NaOb| + |NaNb| + |NaHb| − |HaOb| +
+    |HaNb| + |HaHb| — each term the r13 per-edge Green SQL
+    decomposition, eighteen signed side rows per candidate pair. A
+    genuinely different algorithm from the engine's trapezoid
+    piece×piece sum, as throughout the family.
+
+    100 TB shape: identical to the general entry (store-sized
+    decomposition, cell-blocked AQE-splittable candidates, map-combined
+    sum); store extent via prime moduli 641/677 vs 653/691. The moduli
+    DIFFERENCE matters as much as their size (measured, r15): keys
+    below the smaller modulus sit on the diagonal y ≈ x, and wrapped
+    key ranges form PARALLEL diagonal lines spaced 8·(P₂−P₁) apart —
+    a first cut at 641/647 put the lines 48 apart, well inside the
+    ≤160-unit joint bbox reach of r ∈ {32,40} subjects, and read
+    11 478 positive pairs at sf0.01 (3× the family's density). At
+    differences 36/38 the line spacing (288/304) exceeds the reach, so
+    pairs come only from co-line neighbors and A-line×B-line
+    near-coincidences — linear in N until keys wrap at P₁·P₂ ≈ 4·10⁵
+    (the r14 general entry's 569/587 spacing-144 > reach-128 property,
+    now stated as the design rule).
+    Overflow: coords ≤ ~5300, c0 ≤ ~5·10⁵, cross-multiplied
+    comparisons ≤ ~2.5·10¹¹, scaled crosses ≤ ~5·10⁷ — all ≪ 2⁶³."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+
+    from ..functions.spatial import (
+        make_convex_clip_stats_udf,
+        make_holed_trapezoid_pieces_udf,
+    )
+
+    def _pieces(df, key_alias, a2_alias, xs_alias, ys_alias):
+        dec = make_holed_trapezoid_pieces_udf()(
+            F.col("sxs"), F.col("sys"), F.col("hxs"), F.col("hys")
+        )
+        return (
+            df.select(key_alias, dec.alias("dc"))
+            .select(
+                key_alias,
+                F.col("dc.a2").alias(a2_alias),
+                F.explode("dc.pieces").alias("p"),
+            )
+            .select(
+                key_alias, a2_alias,
+                F.col("p.xs").alias(xs_alias), F.col("p.ys").alias(ys_alias),
+                F.array_min("p.xs").cast("double").alias("xmin"),
+                F.array_min("p.ys").cast("double").alias("ymin"),
+                F.array_max("p.xs").cast("double").alias("xmax"),
+                F.array_max("p.ys").cast("double").alias("ymax"),
+            )
+        )
+
+    r = (32 + 8 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
+    d = (8 + 8 * (F.expr("c_custkey DIV 4") % 2)).cast("long")
+    ax, ay = (8 * (ck % 641)).cast("long"), (8 * (ck % 677)).cast("long")
+    axs, ays = _notched_octagon_arrays(ax, ay, r, d, ck % 4 == 1)
+    ahx, ahy = _hole_arrays(ax, ay)
+    a = _pieces(
+        c.where(ck % 2 == 1).select(
+            ck.alias("akey"), axs.alias("sxs"), ays.alias("sys"),
+            ahx.alias("hxs"), ahy.alias("hys"),
+        ),
+        "akey", "subj2a", "axs", "ays",
+    )
+    bx = (8 * (ck % 653) + 2).cast("long")
+    by = (8 * (ck % 691) + 4).cast("long")
+    bxs, bys = _notched_octagon_arrays(bx, by, r, d, ck % 4 == 0)
+    bhx, bhy = _hole_arrays(bx, by)
+    b = _pieces(
+        c.where(ck % 2 == 0).select(
+            ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys"),
+            bhx.alias("hxs"), bhy.alias("hys"),
+        ),
+        "bkey", "subj2b", "bxs", "bys",
+    )
+    pairs = grid_blocked_overlap_join(a, b, cell=64.0)
+    st = make_convex_clip_stats_udf()(
+        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    )
+    return (
+        pairs.select(
+            "akey", "subj2a",
+            F.col("bkey_r").alias("bkey"),
+            F.col("subj2b_r").alias("subj2b"),
+            st.getField("area_e4").alias("pa"),
+        )
+        .groupBy("akey", "bkey")
+        .agg(
+            F.max("subj2a").alias("subj2a"),
+            F.max("subj2b").alias("subj2b"),
+            F.sum("pa").alias("area_e4"),
+        )
+        .where(F.col("area_e4") > 0)
+        .select(
+            "akey", "bkey",
+            (F.col("subj2a") * 5000).alias("subj_a_area_e4"),
+            (F.col("subj2b") * 5000).alias("subj_b_area_e4"),
+            "area_e4",
+            (F.col("area_e4").cast("double") / 10000.0).alias("area"),
+        )
+    )
+
+
 @query("spatial_clip_general_pairs", _CLIP_GENERAL_SQL)
 def spatial_clip_general_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAP-FREE exact polygon intersection with BOTH sides NON-convex —

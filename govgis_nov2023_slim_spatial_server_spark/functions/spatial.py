@@ -1022,19 +1022,29 @@ def _clip_pieces_int64(sx, sy, cx, cy):
     return valid, np.where(valid, sx1 * sy2 - sy1 * sx2, 0)
 
 
-def trapezoid_decompose(xs, ys):
+def trapezoid_decompose(xs, ys, holes=()):
     """Exact-int64 VERTICAL (trapezoidal) decomposition of a SIMPLE CCW
-    polygon into convex 4-gons — the convex-decomposition step that
-    extends the snap-free clip family to NON-convex subjects (VERDICT
-    r13 #2; reference parity: PostGIS ST_Intersection on arbitrary
-    ``geometry(Polygon,4326)``, reference backend/load_data.py:79).
-    Cuts at every distinct vertex x; within each slab, edges spanning it
-    are sorted by (y@x1, y@x2) and paired even-odd, so MULTI-strip slabs
-    (C-shapes) come out correctly — each strip is a trapezoid with
-    vertical internal edges at the cut lines.
+    polygon — optionally with INTERIOR RINGS — into convex 4-gons: the
+    convex-decomposition step that extends the snap-free clip family to
+    NON-convex subjects (VERDICT r13 #2; holes VERDICT r14 #2;
+    reference parity: PostGIS ST_Intersection on arbitrary
+    ``geometry(Polygon,4326)``, reference backend/load_data.py:79 — a
+    PostGIS Polygon admits interior rings).
+    Cuts at every distinct vertex x (shell AND holes); within each
+    slab, edges spanning it are sorted by (y@x1, y@x2) and paired
+    even-odd, so MULTI-strip slabs (C-shapes) come out correctly — and
+    hole edges drop straight into the same span set: a point above an
+    odd number of spanning edges counts shell and hole crossings
+    together, so even-odd parity IS "inside shell, outside every hole".
+    Each strip is a trapezoid with vertical internal edges at the cut
+    lines.
 
     Contract (all checked, never rounded):
-    - integer vertices, strictly positive shoelace (CCW simple ring);
+    - integer vertices, strictly positive shell shoelace (CCW simple
+      ring); each hole a CW simple ring (strictly negative shoelace),
+      strictly interior to the shell and disjoint from the other holes
+      (not re-verified here — a violation fails the partition check
+      below instead of silently mis-tiling);
     - every non-vertical edge must pass through integer y at every
       integer x it spans (axis-aligned and 45° edges always do — the
       store family's guarantee; so do all integer slopes). This keeps
@@ -1044,44 +1054,72 @@ def trapezoid_decompose(xs, ys):
       ear-clip triangulation, whose arbitrary-slope diagonals would
       break that contract.
 
-    Returns ``(a2, pieces)``: the polygon's doubled shoelace area and a
-    list of ``((x1, x2, x2, x1), (l1, l2, u2, u1))`` CCW 4-gons
-    (degenerate duplicate vertices where a side collapses to a point —
-    harmless to the clip kernel, which zero-weights point edges). The
-    pieces tile the interior: their doubled areas sum to ``a2``
-    (verified before returning — a loud partition check on every call).
+    Returns ``(a2, pieces)``: the polygon's NET doubled shoelace area
+    (shell plus the holes' negative shoelaces — equal to the shell's
+    when ``holes`` is empty) and a list of
+    ``((x1, x2, x2, x1), (l1, l2, u2, u1))`` CCW 4-gons (degenerate
+    duplicate vertices where a side collapses to a point — harmless to
+    the clip kernel, which zero-weights point edges). The pieces tile
+    shell-minus-holes: their doubled areas sum to ``a2`` (verified
+    before returning — a loud partition check on every call).
+
+    The ``holes`` parameter is ADDITIVE (r15): with the default empty
+    tuple the executed per-edge logic is the r14 code path unchanged —
+    the documented-non-staging class (CLAUDE.md, the r14
+    _qh_hist_collect extraction precedent); the r14 clip entries'
+    plans and results are pinned unchanged by their oracles and
+    tests/test_r14_catalog.py.
     """
-    n = len(xs)
-    a2 = sum(
-        xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n)
-    )
+
+    def _shoelace(px, py):
+        m = len(px)
+        return sum(
+            px[i] * py[(i + 1) % m] - px[(i + 1) % m] * py[i]
+            for i in range(m)
+        )
+
+    a2 = _shoelace(xs, ys)
     if a2 <= 0:
         raise ValueError("trapezoid_decompose needs a CCW simple polygon")
-    cuts = sorted(set(xs))
+    for hxs, hys in holes:
+        h2 = _shoelace(hxs, hys)
+        if h2 >= 0:
+            raise ValueError(
+                "trapezoid_decompose holes must be CW simple rings "
+                "(strictly negative shoelace)"
+            )
+        a2 += h2
+    if a2 <= 0:
+        raise ValueError("holes cover the shell — not a valid polygon")
+    rings = [(xs, ys), *holes]
+    cuts = sorted({x for rxs, _ in rings for x in rxs})
     pieces = []
     tot = 0
     for x1, x2 in zip(cuts, cuts[1:]):
         span = []
-        for i in range(n):
-            x_a, y_a = xs[i], ys[i]
-            x_b, y_b = xs[(i + 1) % n], ys[(i + 1) % n]
-            if x_a == x_b:
-                continue  # vertical edges live ON cut lines, never span
-            if min(x_a, x_b) <= x1 and max(x_a, x_b) >= x2:
-                dx, dy = x_b - x_a, y_b - y_a
-                n1 = y_a * dx + dy * (x1 - x_a)
-                n2 = y_a * dx + dy * (x2 - x_a)
-                if n1 % dx or n2 % dx:
-                    raise ValueError(
-                        "edge y off the integer lattice at a cut — input "
-                        "violates the integer-slope-at-cuts contract"
-                    )
-                span.append((n1 // dx, n2 // dx))
-        # no vertex lies strictly inside a slab (cuts ARE the vertex
-        # x-set) and a simple polygon's edges cannot cross in the open
-        # slab, so order at x1 (x2 breaks shared-vertex ties) is the
-        # order throughout; consecutive sorted pairs bound the interior
-        # strips by the even-odd rule
+        for rxs, rys in rings:
+            n = len(rxs)
+            for i in range(n):
+                x_a, y_a = rxs[i], rys[i]
+                x_b, y_b = rxs[(i + 1) % n], rys[(i + 1) % n]
+                if x_a == x_b:
+                    continue  # vertical edges live ON cut lines, never span
+                if min(x_a, x_b) <= x1 and max(x_a, x_b) >= x2:
+                    dx, dy = x_b - x_a, y_b - y_a
+                    n1 = y_a * dx + dy * (x1 - x_a)
+                    n2 = y_a * dx + dy * (x2 - x_a)
+                    if n1 % dx or n2 % dx:
+                        raise ValueError(
+                            "edge y off the integer lattice at a cut — input "
+                            "violates the integer-slope-at-cuts contract"
+                        )
+                    span.append((n1 // dx, n2 // dx))
+        # no vertex lies strictly inside a slab (cuts ARE the combined
+        # vertex x-set) and ring edges cannot cross in the open slab
+        # (each ring is simple; holes are interior-disjoint), so order
+        # at x1 (x2 breaks shared-vertex ties) is the order throughout;
+        # consecutive sorted pairs bound the interior strips by the
+        # even-odd rule
         span.sort()
         if len(span) % 2:
             raise ValueError("odd strip-edge count — polygon not simple")
@@ -1145,6 +1183,67 @@ def make_trapezoid_pieces_udf():
         for xa, ya in zip(xs, ys):
             a2, pieces = trapezoid_decompose(
                 [int(v) for v in xa], [int(v) for v in ya]
+            )
+            a2s.append(a2)
+            pss.append(
+                [{"xs": list(px), "ys": list(py)} for px, py in pieces]
+            )
+        return pd.DataFrame({"a2": a2s, "pieces": pss})
+
+    return _decomp.asNondeterministic()
+
+
+def make_holed_trapezoid_pieces_udf():
+    """Arrow-batched wrapper over :func:`trapezoid_decompose` WITH one
+    interior ring, for the holed clip entry: four array<long> columns in
+    (shell xs/ys CCW, hole xs/ys CW), ``struct(a2, pieces)`` out with
+    ``a2`` the NET doubled area (shell minus hole). Runs once per
+    SUBJECT row (store-sized, not pair-sized); the partition check
+    (pieces tile shell-minus-hole) asserts on every call. Marked
+    nondeterministic for the same one-evaluation reason as the sibling
+    factories."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("a2", LongType(), True),
+            StructField(
+                "pieces",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("xs", ArrayType(LongType()), True),
+                            StructField("ys", ArrayType(LongType()), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _decomp(
+        xs: pd.Series, ys: pd.Series, hxs: pd.Series, hys: pd.Series
+    ) -> pd.DataFrame:
+        if not len(xs):
+            return pd.DataFrame(
+                {
+                    "a2": pd.Series([], dtype="int64"),
+                    "pieces": pd.Series([], dtype="object"),
+                }
+            )
+        a2s, pss = [], []
+        for xa, ya, hx, hy in zip(xs, ys, hxs, hys):
+            a2, pieces = trapezoid_decompose(
+                [int(v) for v in xa],
+                [int(v) for v in ya],
+                holes=[([int(v) for v in hx], [int(v) for v in hy])],
             )
             a2s.append(a2)
             pss.append(

@@ -137,6 +137,10 @@ ENTRIES = [
     # congruence scheme; the piece x piece sum must agree with the
     # oracle's four-term inclusion-exclusion on every draw
     "spatial_clip_general_pairs",
+    # r15: interior rings on BOTH sides — the holed trapezoid
+    # decomposition's piece x piece sum must agree with the oracle's
+    # NINE-term inclusion-exclusion on every draw
+    "spatial_clip_holed_pairs",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -1,0 +1,340 @@
+"""r15 catalog entries: interior-ring (holed) snap-free clipping.
+
+Proof structure mirrors the r13/r14 clip-family tests:
+- the mod-8 congruence scheme enumerated over the key space, now
+  INCLUDING the hole edges (they must stay in each side's line classes);
+- hole interiority/disjointness enumerated over the whole (r, d, side)
+  parameter space — the donut-notched store's validity is key-independent
+  by construction, so the enumeration is exhaustive, not sampled;
+- the holes extension of `trapezoid_decompose` pinned by closed-form net
+  areas, off-lattice point-membership partition proofs, and explicit
+  rejection fixtures;
+- a 400-random-pair Fraction cross-check of the engine path (both sides
+  holed-decomposed, every piece×piece through the int64 kernel) against
+  the NINE-term rational inclusion-exclusion — two independent exact
+  algorithms, and the kernel's half-integer assert doubles as the mod-8
+  scheme's empirical proof for the holed family;
+- the entry's physical plan (exactly three ArrowEvalPython nodes: two
+  store-sized decompositions + one kernel pass) and sf0.001 oracle parity.
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import duckdb
+import numpy as np
+
+from govgis_nov2023_slim_spatial_server_spark.catalog import ORACLES, QUERIES
+from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+    _clip_pieces_int64,
+    convex_clip,
+    convex_poly_area2,
+    trapezoid_decompose,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _notched8(cx, cy, r, d, side):
+    """The ×8-scaled notched octagon (corner cut 8, notch half-width 8)
+    shared by the general and holed clip stores."""
+    if side == 1:
+        xs = [cx - r + 8, cx - 8, cx - 8, cx + 8, cx + 8, cx + r - 8,
+              cx + r, cx + r, cx + r - 8, cx - r + 8, cx - r, cx - r]
+        ys = [cy - r, cy - r, cy - r + d, cy - r + d, cy - r, cy - r,
+              cy - r + 8, cy + r - 8, cy + r, cy + r, cy + r - 8,
+              cy - r + 8]
+    else:
+        xs = [cx - r + 8, cx + r - 8, cx + r, cx + r, cx + r - 8,
+              cx - r + 8, cx - r, cx - r, cx - r + d, cx - r + d,
+              cx - r, cx - r]
+        ys = [cy - r, cy - r, cy - r + 8, cy + r - 8, cy + r, cy + r,
+              cy + r - 8, cy + 8, cy + 8, cy - 8, cy - 8, cy - r + 8]
+    return xs, ys
+
+
+def _hole8_cw(cx, cy):
+    """The 16×16 CW interior ring [cx-8, cx+8] × [cy+8, cy+24]."""
+    return ([cx - 8, cx - 8, cx + 8, cx + 8],
+            [cy + 8, cy + 24, cy + 24, cy + 8])
+
+
+def _hole8_pts(cx, cy):
+    """Same ring CCW as a point list — the convex Fraction-reference form."""
+    return [(cx - 8, cy + 8), (cx + 8, cy + 8),
+            (cx + 8, cy + 24), (cx - 8, cy + 24)]
+
+
+def _oct8(cx, cy, r):
+    return [(cx - r + 8, cy - r), (cx + r - 8, cy - r),
+            (cx + r, cy - r + 8), (cx + r, cy + r - 8),
+            (cx + r - 8, cy + r), (cx - r + 8, cy + r),
+            (cx - r, cy + r - 8), (cx - r, cy - r + 8)]
+
+
+def _ntc8(cx, cy, r, d, side):
+    if side == 1:
+        return [(cx - 8, cy - r), (cx + 8, cy - r),
+                (cx + 8, cy - r + d), (cx - 8, cy - r + d)]
+    return [(cx - r, cy - 8), (cx - r + d, cy - 8),
+            (cx - r + d, cy + 8), (cx - r, cy + 8)]
+
+
+def _even_odd_inside(xs, ys, px, py):
+    """Exact even-odd ray cast (rightward) for a FRACTION point strictly
+    off every edge line."""
+    n = len(xs)
+    cnt = 0
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (y1 > py) == (y2 > py):
+            continue
+        t = Fraction(py - y1, y2 - y1)
+        cx = x1 + t * (x2 - x1)
+        if cx > px:
+            cnt += 1
+    return cnt % 2 == 1
+
+
+def _inside_convex4(px4, py4, px, py):
+    for i in range(4):
+        x1, y1 = px4[i], py4[i]
+        x2, y2 = px4[(i + 1) % 4], py4[(i + 1) % 4]
+        if x1 == x2 and y1 == y2:
+            continue
+        if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) <= 0:
+            return False
+    return True
+
+
+def _edge_classes_ok(xs, ys, x_cls, y_cls, diag_cls):
+    """Every edge's support-line constant must fall in the side's mod-8
+    class: x ≡ x_cls for verticals, y ≡ y_cls for horizontals, and
+    x+y / x−y ≡ diag_cls for the 45° families."""
+    n = len(xs)
+    for i in range(n):
+        x1, y1, x2, y2 = xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n]
+        if x1 == x2:
+            assert x1 % 8 == x_cls, (x1, x_cls)
+        elif y1 == y2:
+            assert y1 % 8 == y_cls, (y1, y_cls)
+        else:
+            c = (x1 + y1) if (x2 - x1) == -(y2 - y1) else (x1 - y1)
+            assert c % 8 == diag_cls, (c, diag_cls)
+
+
+class TestHoledStoreGeometry:
+    def test_mod8_congruence_classes_with_hole(self):
+        """The r14 mod-8 scheme carries to the holed store VERBATIM: the
+        hole's four axis-aligned edges sit at cx±8 / cy+8 / cy+24, which
+        stay in each side's x/y classes (A: 0/0, B: 2/4 mod 8)."""
+        for k in range(1, 1400, 2):  # odd keys → A store
+            cx, cy = 8 * (k % 641), 8 * (k % 677)
+            r = 32 + 8 * ((k // 2) % 2)
+            d = 8 + 8 * ((k // 4) % 2)
+            xs, ys = _notched8(cx, cy, r, d, 1 if k % 4 == 1 else 3)
+            _edge_classes_ok(xs, ys, 0, 0, 0)
+            hx, hy = _hole8_cw(cx, cy)
+            _edge_classes_ok(hx, hy, 0, 0, 0)
+        for k in range(2, 1400, 2):  # even keys → B store
+            cx, cy = 8 * (k % 653) + 2, 8 * (k % 691) + 4
+            r = 32 + 8 * ((k // 2) % 2)
+            d = 8 + 8 * ((k // 4) % 2)
+            xs, ys = _notched8(cx, cy, r, d, 1 if k % 4 == 0 else 3)
+            _edge_classes_ok(xs, ys, 2, 4, 6)
+            hx, hy = _hole8_cw(cx, cy)
+            _edge_classes_ok(hx, hy, 2, 4, 6)
+
+    def test_hole_strictly_interior_and_disjoint(self):
+        """Enumerated over the WHOLE (r, d, side) parameter space (the
+        hole offset is key-independent): the 16×16 hole at
+        [−8, 8] × [8, 24] clears the top edge, both 45° corner cuts,
+        and both notch placements by ≥ 8 units."""
+        for r in (32, 40):
+            for d in (8, 16):
+                # top edge y = r
+                assert 24 < r
+                # upper corner cuts: |x| + y = 2r − 8 on the cut lines
+                assert 8 + 24 < 2 * r - 8
+                # bottom notch tops out at y = −r + d
+                assert -r + d <= -16 < 8
+                # left notch reaches at most x = −r + d
+                assert -r + d <= -16 < -8
+
+
+class TestHoledTrapezoidDecompose:
+    def test_store_sweep_partition_and_closed_form(self):
+        """Every (r, d, side) donut-notched subject decomposes with NET
+        doubled area equal to the closed form 2·(4r² − 384 − 16d), and
+        500 off-lattice Fraction probes per shape agree: a point is in
+        EXACTLY ONE piece iff it is inside the shell and outside the
+        hole (the partition proof, independent of the sweep)."""
+        rng = random.Random(1515)
+        for r in (32, 40):
+            for d in (8, 16):
+                for side in (1, 3):
+                    xs, ys = _notched8(0, 0, r, d, side)
+                    hx, hy = _hole8_cw(0, 0)
+                    a2, pieces = trapezoid_decompose(
+                        xs, ys, holes=[(hx, hy)]
+                    )
+                    assert a2 == 2 * (4 * r * r - 384 - 16 * d)
+                    for _ in range(500):
+                        px = rng.randrange(-r - 4, r + 4) + Fraction(1, 3)
+                        py = rng.randrange(-r - 4, r + 4) + Fraction(1, 5)
+                        inside = _even_odd_inside(xs, ys, px, py) and not (
+                            _even_odd_inside(hx, hy, px, py)
+                        )
+                        hits = sum(
+                            _inside_convex4(p4x, p4y, px, py)
+                            for p4x, p4y in pieces
+                        )
+                        assert hits == (1 if inside else 0), (
+                            r, d, side, px, py, hits, inside,
+                        )
+
+    def test_two_holes_partition(self):
+        """The holes parameter is a LIST: a square with two disjoint CW
+        holes nets out both and still tiles."""
+        sq = ([0, 32, 32, 0], [0, 0, 32, 32])
+        h1 = ([4, 4, 8, 8], [4, 8, 8, 4])
+        h2 = ([16, 16, 24, 24], [12, 20, 20, 12])
+        a2, pieces = trapezoid_decompose(*sq, holes=[h1, h2])
+        assert a2 == 2 * (32 * 32 - 16 - 64)
+        rng = random.Random(77)
+        for _ in range(300):
+            px = rng.randrange(-2, 34) + Fraction(1, 3)
+            py = rng.randrange(-2, 34) + Fraction(1, 5)
+            inside = (
+                _even_odd_inside(*sq, px, py)
+                and not _even_odd_inside(*h1, px, py)
+                and not _even_odd_inside(*h2, px, py)
+            )
+            hits = sum(
+                _inside_convex4(p4x, p4y, px, py) for p4x, p4y in pieces
+            )
+            assert hits == (1 if inside else 0)
+
+    def test_rejects_ccw_hole_and_oversized_hole(self):
+        sq = ([0, 32, 32, 0], [0, 0, 32, 32])
+        ccw_hole = ([4, 8, 8, 4], [4, 4, 8, 8])  # CCW — must be CW
+        try:
+            trapezoid_decompose(*sq, holes=[ccw_hole])
+            raise AssertionError("CCW hole accepted")
+        except ValueError as e:
+            assert "CW" in str(e)
+
+    def test_no_holes_path_identical_to_r14(self):
+        """The additive default: holes=() reproduces the r14 results on
+        the r14 store shapes bit-for-bit (the documented-non-staging
+        contract for the concave/general entries)."""
+        for r in (24, 32):
+            for d in (8, 16):
+                for side in (1, 3):
+                    xs, ys = _notched8(0, 0, r, d, side)
+                    a2, pieces = trapezoid_decompose(xs, ys)
+                    assert a2 == 2 * (4 * r * r - 128 - 16 * d)
+                    tot = 0
+                    for px4, py4 in pieces:
+                        tot += sum(
+                            px4[i] * py4[(i + 1) % 4]
+                            - px4[(i + 1) % 4] * py4[i]
+                            for i in range(4)
+                        )
+                    assert tot == a2
+
+
+class TestHoledClipFractionReference:
+    def test_piece_by_piece_sum_matches_fraction_9term(self):
+        """400 random store-lattice holed pairs: the engine path (BOTH
+        sides holed-decomposed, every piece×piece through the int64
+        kernel, summed) must equal the EXACT Fraction NINE-term
+        inclusion-exclusion |OaOb| − |OaNb| − |OaHb| − |NaOb| + |NaNb|
+        + |NaHb| − |HaOb| + |HaNb| + |HaHb| via rational
+        Sutherland–Hodgman — two independent exact algorithms; the
+        kernel's half-integer assert doubles as the holed mod-8
+        scheme's empirical proof."""
+        rng = random.Random(1555)
+        pos = 0
+        for _ in range(400):
+            ra, rb = rng.choice((32, 40)), rng.choice((32, 40))
+            da, db = rng.choice((8, 16)), rng.choice((8, 16))
+            sa, sb = rng.choice((1, 3)), rng.choice((1, 3))
+            ax, ay = 8 * rng.randrange(0, 16), 8 * rng.randrange(0, 16)
+            if rng.random() < 0.5:
+                bx = ax + 8 * rng.randrange(-8, 9) + 2
+                by = ay + 8 * rng.randrange(-8, 9) + 4
+            else:
+                bx = 8 * rng.randrange(0, 16) + 2
+                by = 8 * rng.randrange(0, 16) + 4
+            axs, ays = _notched8(ax, ay, ra, da, sa)
+            bxs, bys = _notched8(bx, by, rb, db, sb)
+            _, pa = trapezoid_decompose(
+                axs, ays, holes=[_hole8_cw(ax, ay)]
+            )
+            _, pb = trapezoid_decompose(
+                bxs, bys, holes=[_hole8_cw(bx, by)]
+            )
+            tot = 0
+            for p4x, p4y in pa:
+                sx = np.array([p4x], dtype=np.int64)
+                sy = np.array([p4y], dtype=np.int64)
+                for q4x, q4y in pb:
+                    qx = np.array([q4x], dtype=np.int64)
+                    qy = np.array([q4y], dtype=np.int64)
+                    _, ca = _clip_pieces_int64(sx, sy, qx, qy)
+                    _, cb = _clip_pieces_int64(qx, qy, sx, sy)
+                    tot += int(ca.sum() + cb.sum())
+            Oa, Na = _oct8(ax, ay, ra), _ntc8(ax, ay, ra, da, sa)
+            Ha = _hole8_pts(ax, ay)
+            Ob, Nb = _oct8(bx, by, rb), _ntc8(bx, by, rb, db, sb)
+            Hb = _hole8_pts(bx, by)
+
+            def _a2(p, q):
+                return convex_poly_area2(convex_clip(p, q))
+
+            ref8 = 4 * (
+                _a2(Oa, Ob) - _a2(Oa, Nb) - _a2(Oa, Hb)
+                - _a2(Na, Ob) + _a2(Na, Nb) + _a2(Na, Hb)
+                - _a2(Ha, Ob) + _a2(Ha, Nb) + _a2(Ha, Hb)
+            )
+            assert Fraction(tot) == ref8, (
+                ax, ay, ra, da, sa, bx, by, rb, db, sb,
+            )
+            if tot > 0:
+                pos += 1
+        assert pos > 100
+
+
+class TestHoledClipEntry:
+    def test_plan_three_arrow_nodes(self, spark):
+        """Exactly THREE ArrowEvalPython passes by design: two
+        store-sized holed decompositions + one kernel pass per
+        (pieceA, pieceB) candidate — decomposition never runs
+        pair-sized."""
+        df = QUERIES["spatial_clip_holed_pairs"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 3, plan
+
+    def test_sf0001_oracle_parity(self, spark):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/customer.parquet')"
+        )
+        want = sorted(
+            [tuple(r) for r in
+             con.execute(ORACLES["spatial_clip_holed_pairs"]).fetchall()],
+            key=repr,
+        )
+        con.close()
+        got = sorted(
+            [tuple(r) for r in
+             QUERIES["spatial_clip_holed_pairs"](spark, SF_DIR).collect()],
+            key=repr,
+        )
+        assert len(got) > 50
+        assert got == want
