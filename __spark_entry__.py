@@ -45,6 +45,12 @@ _DRIVER_PRIORITY = [
     # oracle = nine-term inclusion-exclusion. Displaces
     # time_weighted_avg_value (tail-first buffer rule).
     "spatial_clip_holed_pairs",
+    # never driver-graded (r15): BPE merge APPLICATION (VERDICT r14 #4)
+    # — the tokenizer's iterative encode loop over a fixed ranked merge
+    # table, fourteen chained JVM-side positional rewrites on the
+    # distinct-word vocabulary; oracle = the same table unrolled into
+    # chained CTEs. Displaces interval_union_seconds (tail-first).
+    "bpe_encode_merges",
     # the one pre-r10 proof (r9): displaced from the r14 prefix by the
     # sixth r14 staging per the oldest-LAST rule; re-proves first.
     "stream_static_enrich",
@@ -72,9 +78,10 @@ _DRIVER_PRIORITY = [
     "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
     "multimodal_resize", "multimodal_frame_sample",
     "spatial_grid_density", "stream_cdc_apply",
-    "stream_left_outer_join", "interval_union_seconds",
-    # time_weighted_avg_value displaced by spatial_clip_holed_pairs
-    # (keeps its r10 proof; heads the r16 queue with the r11-proven)
+    "stream_left_outer_join",
+    # time_weighted_avg_value displaced by spatial_clip_holed_pairs and
+    # interval_union_seconds by bpe_encode_merges (tail-first; both keep
+    # their r10 proofs and head the r16 queue with the r11-proven)
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -36,6 +36,11 @@ ENTRIES = [
     # wider documents family: tokenization/counting/scoring parity on
     # degenerate corpora (repeated words, 1-token docs, prefix collisions)
     "bpe_pair_counts",
+    # r15: the encode loop — random a/b soups force overlapping-pair
+    # pileups ('a b a b'), merged-token/word collisions ('ab'), and
+    # cascading rank interactions; engine HOF rewrite and oracle CTE
+    # chain must agree on every draw
+    "bpe_encode_merges",
     "bigram_top_counts",
     "token_counts",
     "doc_quality",

@@ -309,6 +309,84 @@ class TestHoledClipFractionReference:
         assert pos > 100
 
 
+class TestBpeEncodeMerges:
+    def test_fixture_words_match_python_reference(self, spark):
+        """The chained HOF rewrite must equal the spec (for each rank,
+        simultaneously merge all — provably non-overlapping — adjacent
+        occurrences) implemented independently in Python, on fixtures
+        covering full-word cascades (scan/row/key), rank-order
+        dependence (data: t,a fires before a,t could), the harness
+        alphabet (abab → ab ab), and single chars."""
+        from pyspark.sql import functions as F
+
+        from govgis_nov2023_slim_spatial_server_spark.catalog.pipeline import (
+            _BPE_MERGES,
+            _bpe_merge_col,
+        )
+
+        def ref_encode(word):
+            s = list(word)
+            for x, y in _BPE_MERGES:
+                m = [
+                    s[i] == x and i + 1 < len(s) and s[i + 1] == y
+                    for i in range(len(s))
+                ]
+                s = [
+                    (x + y if m[i] else s[i])
+                    for i in range(len(s))
+                    if not (i > 0 and m[i - 1])
+                ]
+            return s
+
+        words = [
+            "scan", "data", "customer", "key", "row", "window", "a",
+            "abab", "abba", "baab", "join", "table", "stream", "merge",
+            "aaab", "banana",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        seq = F.split(F.col("w"), "")
+        for x, y in _BPE_MERGES:
+            seq = _bpe_merge_col(seq, x, y)
+        got = {r.w: list(r.toks) for r in df.select("w", seq.alias("toks")).collect()}
+        for w in words:
+            assert got[w] == ref_encode(w), (w, got[w], ref_encode(w))
+        # the cascades actually fire
+        assert got["scan"] == ["scan"]
+        assert got["key"] == ["key"]
+        assert got["abab"] == ["ab", "ab"]
+
+    def test_merge_table_never_self_pairs(self):
+        """x == y would make occurrences overlap and the simultaneous
+        semantics ill-defined — the table-level constraint the whole
+        construction rests on."""
+        from govgis_nov2023_slim_spatial_server_spark.catalog.pipeline import (
+            _BPE_MERGES,
+        )
+
+        assert all(x != y for x, y in _BPE_MERGES)
+        assert len(set(_BPE_MERGES)) == len(_BPE_MERGES)
+
+    def test_oracle_parity_sf0001(self, spark):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            [tuple(r) for r in
+             con.execute(ORACLES["bpe_encode_merges"]).fetchall()],
+            key=repr,
+        )
+        con.close()
+        got = sorted(
+            [tuple(r) for r in
+             QUERIES["bpe_encode_merges"](spark, SF_DIR).collect()],
+            key=repr,
+        )
+        assert len(got) > 10
+        assert got == want
+
+
 class TestHoledClipEntry:
     def test_plan_three_arrow_nodes(self, spark):
         """Exactly THREE ArrowEvalPython passes by design: two
