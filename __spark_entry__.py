@@ -51,6 +51,13 @@ _DRIVER_PRIORITY = [
     # distinct-word vocabulary; oracle = the same table unrolled into
     # chained CTEs. Displaces interval_union_seconds (tail-first).
     "bpe_encode_merges",
+    # never driver-graded (r15): GEOMETRY OUTPUT for the snap-free clip
+    # family (VERDICT r14 #2 stretch) — the intersection RING's ordered
+    # exact vertices on the r13 convex stores; boundary pieces sorted by
+    # the 8-way direction class (strictly increasing on a CCW convex
+    # ring), chain closure asserted per pair. Displaces
+    # stream_left_outer_join (tail-first).
+    "spatial_clip_convex_rings",
     # the one pre-r10 proof (r9): displaced from the r14 prefix by the
     # sixth r14 staging per the oldest-LAST rule; re-proves first.
     "stream_static_enrich",
@@ -78,10 +85,11 @@ _DRIVER_PRIORITY = [
     "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
     "multimodal_resize", "multimodal_frame_sample",
     "spatial_grid_density", "stream_cdc_apply",
-    "stream_left_outer_join",
-    # time_weighted_avg_value displaced by spatial_clip_holed_pairs and
-    # interval_union_seconds by bpe_encode_merges (tail-first; both keep
-    # their r10 proofs and head the r16 queue with the r11-proven)
+    # tail-first displacements (each keeps its r10 proof and heads the
+    # r16 queue with the r11-proven): time_weighted_avg_value by
+    # spatial_clip_holed_pairs, interval_union_seconds by
+    # bpe_encode_merges, stream_left_outer_join by
+    # spatial_clip_convex_rings
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -104,9 +104,13 @@ HEADLINE = CORE_SET + [
     # heaviest snap-free geometry path)
     "spatial_clip_concave_pairs",
     "spatial_clip_general_pairs",
-    # r15 addition: interior rings on BOTH sides (holed trapezoid
-    # decomposition, nine-term oracle)
+    # r15 additions: interior rings on BOTH sides (holed trapezoid
+    # decomposition, nine-term oracle), geometry OUTPUT (the
+    # intersection ring's ordered exact vertices — 1.1M vertex rows at
+    # sf0.1), and the BPE encode loop (fourteen chained HOF rewrites)
     "spatial_clip_holed_pairs",
+    "spatial_clip_convex_rings",
+    "bpe_encode_merges",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
@@ -276,11 +280,14 @@ REF_FLOORS: dict[str, float] = {
 # spatial_clip_general_pairs stays out: its 4.096 first floor was
 # recorded at arrow-canary 1.39-1.40 (ADVICE r14) and is re-recorded
 # this round at the quietest observed window — it rejoins in r16.
-# spatial_clip_holed_pairs is NEW this round (first floor recorded
-# this session); rejoins in r16.
+# spatial_clip_holed_pairs, spatial_clip_convex_rings and
+# bpe_encode_merges are NEW this round (first floors recorded this
+# session); they rejoin in r16.
 FLOORS_CHANGED: list[str] = [
     "spatial_clip_general_pairs",
     "spatial_clip_holed_pairs",
+    "spatial_clip_convex_rings",
+    "bpe_encode_merges",
 ]
 
 

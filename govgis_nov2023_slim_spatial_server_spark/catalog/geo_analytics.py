@@ -2464,6 +2464,135 @@ def _notched_octagon_arrays(cx, cy, r, d, is_bottom):
 
 
 # ---------------------------------------------------------------------------
+# Snap-free clip with GEOMETRY OUTPUT: the intersection ring itself
+# ---------------------------------------------------------------------------
+
+# the r13 convex oracle's CTE chain up to `pieces` (every boundary
+# segment of A∩B with exact ×2-scaled endpoints) — reused verbatim for
+# the ring-output oracle, which orders those segments instead of only
+# summing their Green contributions
+_CLIP_CTES = _CLIP_SQL[: _CLIP_SQL.index("\n    SELECT akey, bkey,")]
+assert _CLIP_CTES.rstrip().endswith(")"), "clip CTE slice drifted"
+
+_CLIP_RINGS_SQL = (
+    _CLIP_CTES
+    + """,
+    ring AS (
+      SELECT akey, bkey, sx1, sy1, sx2, sy2,
+             CASE
+               WHEN sx2 > sx1 AND sy2 = sy1 THEN 0
+               WHEN sx2 > sx1 AND sy2 > sy1 THEN 1
+               WHEN sx2 = sx1 AND sy2 > sy1 THEN 2
+               WHEN sx2 < sx1 AND sy2 > sy1 THEN 3
+               WHEN sx2 < sx1 AND sy2 = sy1 THEN 4
+               WHEN sx2 < sx1 AND sy2 < sy1 THEN 5
+               WHEN sx2 = sx1 AND sy2 < sy1 THEN 6
+               ELSE 7 END AS dcls,
+             SUM(sx1 * sy2 - sy1 * sx2) OVER (PARTITION BY akey, bkey) AS t8
+      FROM pieces)
+    SELECT akey, bkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY akey, bkey
+                                   ORDER BY dcls, sx1, sy1) AS BIGINT)
+             AS v_idx,
+           sx1 AS vx2, sy1 AS vy2,
+           CAST(t8 * 1250 AS BIGINT) AS area_e4
+    FROM ring WHERE t8 > 0
+"""
+)
+
+
+@query("spatial_clip_convex_rings", _CLIP_RINGS_SQL)
+def spatial_clip_convex_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY OUTPUT for the snap-free clip family (VERDICT r14 #2
+    stretch): emit the intersection polygon's RING — ordered exact
+    vertices, one row per vertex — not just its measures. Until now the
+    only geometry-PRODUCING boolean ops lived on the lattice/snap seam
+    (spatial_union_rings at declared 1/16° tolerance); this entry
+    produces the TRUE vertex-level ST_Intersection geometry with no
+    tolerance and no grid, on the r13 convex stores (octagons ×
+    diamonds, mod-4 general position — reference parity: PostGIS
+    ST_Intersection RETURNS a geometry, backend/load_data.py:79).
+
+    The reconstruction needs no chaining search: the exact boundary
+    pieces (each subject's edges clipped to the other polygon — the
+    same `_clip_param_core` intervals the r13 kernel sums) are the
+    complete boundary of A∩B, and a CCW CONVEX ring's directed edge
+    directions are strictly increasing — two distinct edges can never
+    share a direction class (they would be collinear, excluded by the
+    congruence scheme), and the store family only produces axis and 45°
+    directions, so the 8-way (sign dx, sign dy) class IS the angular
+    order. Sorting segments by class, rotated to the lowest class
+    present, is the canonical CCW ring on BOTH engines — the engine
+    additionally asserts chain closure (each sorted segment ends where
+    the next begins) on every positive pair, a per-row self-check of
+    the convexity argument. Vertices are ×2-scaled int64 (half-integer
+    crossings exact — the established kernel contract); `area_e4` rides
+    along so the ring grades jointly with its measure.
+
+    Oracle: the r13 per-edge Green CTE chain verbatim through `pieces`,
+    then the identical direction-class ORDER in SQL (ROW_NUMBER per
+    pair) — same spec, disjoint execution paths.
+
+    100 TB shape: identical to spatial_clip_convex_pairs (store-sized
+    arrays, cell-blocked candidates, one Arrow kernel pass; output is
+    ≤ 8 vertex rows per positive pair). Vectorized area gates the
+    Python ring assembly to positive pairs only."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
+    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
+    a = c.where(ck % 2 == 1).select(
+        ck.alias("akey"),
+        F.array(
+            ax - r + 4, ax + r - 4, ax + r, ax + r,
+            ax + r - 4, ax - r + 4, ax - r, ax - r,
+        ).alias("axs"),
+        F.array(
+            ay - r, ay - r, ay - r + 4, ay + r - 4,
+            ay + r, ay + r, ay + r - 4, ay - r + 4,
+        ).alias("ays"),
+        (ax - r).cast("double").alias("xmin"),
+        (ay - r).cast("double").alias("ymin"),
+        (ax + r).cast("double").alias("xmax"),
+        (ay + r).cast("double").alias("ymax"),
+    )
+    bx = (4 * (ck % 97) + 2).cast("long")
+    by = (4 * (ck % 103) + 2).cast("long")
+    s = (4 * (ck % 3) + 1).cast("long")
+    b = c.where(ck % 2 == 0).select(
+        ck.alias("bkey"),
+        F.array(bx + s, bx, bx - s, bx).alias("bxs"),
+        F.array(by, by + s, by, by - s).alias("bys"),
+        (bx - s).cast("double").alias("xmin"),
+        (by - s).cast("double").alias("ymin"),
+        (bx + s).cast("double").alias("xmax"),
+        (by + s).cast("double").alias("ymax"),
+    )
+    from ..functions.spatial import make_convex_clip_ring_udf
+
+    pairs = grid_blocked_overlap_join(a, b, cell=32.0)
+    st = make_convex_clip_ring_udf()(
+        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    )
+    return (
+        pairs.select("akey", F.col("bkey_r").alias("bkey"), st.alias("st"))
+        .where(F.col("st.area_e4") > 0)
+        .select(
+            "akey", "bkey",
+            F.col("st.area_e4").alias("area_e4"),
+            F.posexplode(F.arrays_zip("st.vxs", "st.vys")).alias("pos", "v"),
+        )
+        .select(
+            "akey", "bkey",
+            (F.col("pos") + 1).cast("long").alias("v_idx"),
+            F.col("v.vxs").alias("vx2"),
+            F.col("v.vys").alias("vy2"),
+            "area_e4",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snap-free exact clipping with INTERIOR RINGS (holes) on BOTH sides
 # ---------------------------------------------------------------------------
 

@@ -958,21 +958,15 @@ def convex_poly_area2(poly):
     return s
 
 
-def _clip_pieces_int64(sx, sy, cx, cy):
-    """Vectorized per-edge Green's clip: for every batch row, clip each
-    edge of subject polygon (sx, sy) — shape (n, ns), CCW int64 — to its
-    parameter sub-interval inside convex clip polygon (cx, cy) — shape
-    (n, nc) — entirely in exact int64 (fraction bounds kept as (num,
-    den>0) pairs, compared by cross-multiplication). Returns
-    (valid, cross2): piece-exists mask (n, ns) and the piece's scaled
-    shoelace contribution cross(2·P(t_lo), 2·P(t_hi)) (n, ns).
-
-    EXACTNESS CONTRACT: the ×2-scaled clipped endpoints must be
-    integers (the 45°-edge-family store guarantee — every crossing is
-    half-integer). A non-integer endpoint raises rather than rounding,
-    so a store violating the lattice proof fails loudly. The general
-    (any-slope) reference is :func:`convex_clip` in rational
-    arithmetic, pinned equal to this kernel by test on random inputs."""
+def _clip_param_core(sx, sy, cx, cy):
+    """The interval machinery of :func:`_clip_pieces_int64`, returning
+    the clipped sub-segment ENDPOINTS: ``(valid, sx1, sy1, sx2, sy2)``
+    per (row, subject-edge), ×2-scaled int64 (values are meaningless
+    where ``~valid``). Extracted r15 so the ring-output entry can
+    reassemble the intersection BOUNDARY from the same exact pieces —
+    a pure extraction: :func:`_clip_pieces_int64` wraps this and its
+    results are bit-identical to the r13 original (pinned by the
+    existing kernel-vs-convex_clip property tests)."""
     p1x, p1y = sx, sy
     p2x, p2y = np.roll(sx, -1, axis=1), np.roll(sy, -1, axis=1)
     dx, dy = p2x - p1x, p2y - p1y
@@ -1019,6 +1013,25 @@ def _clip_pieces_int64(sx, sy, cx, cy):
         )
     sx1, sy1 = nx1 // lb_s, ny1 // lb_s
     sx2, sy2 = nx2 // ub_s, ny2 // ub_s
+    return valid, sx1, sy1, sx2, sy2
+
+
+def _clip_pieces_int64(sx, sy, cx, cy):
+    """Vectorized per-edge Green's clip: for every batch row, clip each
+    edge of subject polygon (sx, sy) — shape (n, ns), CCW int64 — to its
+    parameter sub-interval inside convex clip polygon (cx, cy) — shape
+    (n, nc) — entirely in exact int64 (fraction bounds kept as (num,
+    den>0) pairs, compared by cross-multiplication). Returns
+    (valid, cross2): piece-exists mask (n, ns) and the piece's scaled
+    shoelace contribution cross(2·P(t_lo), 2·P(t_hi)) (n, ns).
+
+    EXACTNESS CONTRACT: the ×2-scaled clipped endpoints must be
+    integers (the 45°-edge-family store guarantee — every crossing is
+    half-integer). A non-integer endpoint raises rather than rounding,
+    so a store violating the lattice proof fails loudly. The general
+    (any-slope) reference is :func:`convex_clip` in rational
+    arithmetic, pinned equal to this kernel by test on random inputs."""
+    valid, sx1, sy1, sx2, sy2 = _clip_param_core(sx, sy, cx, cy)
     return valid, np.where(valid, sx1 * sy2 - sy1 * sx2, 0)
 
 
@@ -1314,3 +1327,107 @@ def make_convex_clip_stats_udf():
     # Catalyst extract TWO ArrowEvalPython nodes for a deterministic UDF
     # (measured: the whole 279k-candidate batch ran the kernel twice).
     return _clip_stats.asNondeterministic()
+
+
+def _dir_class(dx: int, dy: int) -> int:
+    """Directed direction class of a boundary segment, CCW from East:
+    E=0, NE=1, N=2, NW=3, W=4, SW=5, S=6, SE=7. The clip-store family
+    only produces axis-aligned and 45° segments, so (sign, sign) is the
+    full direction — no angle arithmetic."""
+    if dy == 0:
+        return 0 if dx > 0 else 4
+    if dy > 0:
+        return 2 if dx == 0 else (1 if dx > 0 else 3)
+    return 6 if dx == 0 else (5 if dx < 0 else 7)
+
+
+def make_convex_clip_ring_udf():
+    """Geometry-OUTPUT form of the snap-free convex clip: per candidate
+    pair, reconstruct THE intersection ring from the exact boundary
+    pieces — ``struct(area_e4, vxs, vys)`` with the ×2-scaled CCW ring
+    vertices in canonical order. The pieces (each subject's edges
+    clipped to the other polygon, `_clip_param_core` both directions)
+    ARE the boundary of A∩B for convex×convex; ordering them needs no
+    chaining search: a CCW convex ring's directed edge directions are
+    strictly increasing, so two distinct edges can never share a
+    direction class (they would be collinear — excluded by the store's
+    congruence scheme), and SORTING the segments by direction class,
+    rotated to start at the lowest class present, IS the ring. The
+    assembly asserts chain closure (every sorted segment ends exactly
+    where the next begins) on every positive pair — a loud self-check
+    of both the convexity argument and the kernel, per row. Area is
+    computed vectorized first so only positive pairs pay the Python
+    list assembly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("area_e4", LongType(), True),
+            StructField("vxs", ArrayType(LongType()), True),
+            StructField("vys", ArrayType(LongType()), True),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _ring(
+        axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series
+    ) -> pd.DataFrame:
+        if not len(axs):
+            return pd.DataFrame(
+                {
+                    "area_e4": np.zeros(0, dtype=np.int64),
+                    "vxs": pd.Series([], dtype="object"),
+                    "vys": pd.Series([], dtype="object"),
+                }
+            )
+
+        def _mat(col: pd.Series) -> np.ndarray:
+            flat = np.concatenate(col.to_numpy()).astype(np.int64, copy=False)
+            return flat.reshape(len(col), -1)
+
+        ax, ay, bx, by = _mat(axs), _mat(ays), _mat(bxs), _mat(bys)
+        va, ax1, ay1, ax2, ay2 = _clip_param_core(ax, ay, bx, by)
+        vb, bx1, by1, bx2, by2 = _clip_param_core(bx, by, ax, ay)
+        tot = (
+            np.where(va, ax1 * ay2 - ay1 * ax2, 0).sum(axis=1)
+            + np.where(vb, bx1 * by2 - by1 * bx2, 0).sum(axis=1)
+        )  # = 8 · area
+        pos = tot > 0
+        ae4 = np.where(pos, tot * 1250, 0)
+        vxs_out: list = [None] * len(ax)
+        vys_out: list = [None] * len(ax)
+        for i in np.nonzero(pos)[0]:
+            segs = [
+                (int(ax1[i, j]), int(ay1[i, j]), int(ax2[i, j]), int(ay2[i, j]))
+                for j in np.nonzero(va[i])[0]
+            ] + [
+                (int(bx1[i, j]), int(by1[i, j]), int(bx2[i, j]), int(by2[i, j]))
+                for j in np.nonzero(vb[i])[0]
+            ]
+            segs.sort(
+                key=lambda s: _dir_class(s[2] - s[0], s[3] - s[1])
+            )
+            for k in range(len(segs)):
+                nxt = segs[(k + 1) % len(segs)]
+                if (segs[k][2], segs[k][3]) != (nxt[0], nxt[1]):
+                    raise ValueError(
+                        "clip ring does not chain — convexity/general-"
+                        f"position violated at row {i}: {segs}"
+                    )
+            vxs_out[i] = [s[0] for s in segs]
+            vys_out[i] = [s[1] for s in segs]
+        rows = ~pos
+        for i in np.nonzero(rows)[0]:
+            vxs_out[i] = []
+            vys_out[i] = []
+        return pd.DataFrame(
+            {"area_e4": ae4, "vxs": vxs_out, "vys": vys_out}
+        )
+
+    # same one-evaluation pin as the stats kernel
+    return _ring.asNondeterministic()

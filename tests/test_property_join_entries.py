@@ -141,6 +141,10 @@ ENTRIES = [
     # decomposition's piece x piece sum must agree with the oracle's
     # NINE-term inclusion-exclusion on every draw
     "spatial_clip_holed_pairs",
+    # r15: geometry output — the direction-class-sorted ring vertices
+    # (engine: kernel pieces + chain-closure assert) must agree with
+    # the oracle's ROW_NUMBER-over-class ordering on every draw
+    "spatial_clip_convex_rings",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -309,6 +309,105 @@ class TestHoledClipFractionReference:
         assert pos > 100
 
 
+class TestConvexClipRings:
+    def test_ring_matches_rational_convex_clip(self):
+        """400 random r13-lattice pairs: the engine's ring (kernel
+        pieces sorted by direction class) must equal the rational
+        Sutherland–Hodgman polygon as a CYCLIC vertex sequence, and its
+        canonical rotation must start at the lowest direction class —
+        two independent constructions of the same geometry, vertex for
+        vertex."""
+        from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+            _clip_param_core,
+            _dir_class,
+        )
+
+        def _oct4(cx, cy, r):
+            return [(cx - r + 4, cy - r), (cx + r - 4, cy - r),
+                    (cx + r, cy - r + 4), (cx + r, cy + r - 4),
+                    (cx + r - 4, cy + r), (cx - r + 4, cy + r),
+                    (cx - r, cy + r - 4), (cx - r, cy - r + 4)]
+
+        def _dia4(cx, cy, s):
+            return [(cx + s, cy), (cx, cy + s), (cx - s, cy), (cx, cy - s)]
+
+        rng = random.Random(9157)
+        pos = 0
+        for _ in range(400):
+            r = rng.choice((8, 12))
+            ax, ay = 4 * rng.randrange(0, 10), 4 * rng.randrange(0, 10)
+            s = 4 * rng.randrange(0, 3) + 1
+            bx = ax + 4 * rng.randrange(-4, 5) + 2
+            by = ay + 4 * rng.randrange(-4, 5) + 2
+            oa = _oct4(ax, ay, r)
+            db = _dia4(bx, by, s)
+            A = np.array([[p[0] for p in oa]], dtype=np.int64)
+            Ay = np.array([[p[1] for p in oa]], dtype=np.int64)
+            B = np.array([[p[0] for p in db]], dtype=np.int64)
+            By = np.array([[p[1] for p in db]], dtype=np.int64)
+            va, x1, y1, x2, y2 = _clip_param_core(A, Ay, B, By)
+            vb, u1, w1, u2, w2 = _clip_param_core(B, By, A, Ay)
+            segs = [
+                (int(x1[0, j]), int(y1[0, j]), int(x2[0, j]), int(y2[0, j]))
+                for j in np.nonzero(va[0])[0]
+            ] + [
+                (int(u1[0, j]), int(w1[0, j]), int(u2[0, j]), int(w2[0, j]))
+                for j in np.nonzero(vb[0])[0]
+            ]
+            tot = sum(s_[0] * s_[3] - s_[1] * s_[2] for s_ in segs)
+            if tot <= 0:
+                continue
+            pos += 1
+            segs.sort(key=lambda t: _dir_class(t[2] - t[0], t[3] - t[1]))
+            # chain closure
+            for k in range(len(segs)):
+                nxt = segs[(k + 1) % len(segs)]
+                assert (segs[k][2], segs[k][3]) == (nxt[0], nxt[1]), segs
+            got = [(t[0], t[1]) for t in segs]
+            # rational reference, x2-scaled
+            ref_poly = convex_clip(oa, db)
+            ref = [(2 * Fraction(p[0]), 2 * Fraction(p[1])) for p in ref_poly]
+            assert all(v[0].denominator == 1 and v[1].denominator == 1
+                       for v in ref)
+            ref_i = [(int(v[0]), int(v[1])) for v in ref]
+            assert len(ref_i) == len(got), (got, ref_i)
+            # cyclic equality
+            k0 = ref_i.index(got[0])
+            rot = ref_i[k0:] + ref_i[:k0]
+            assert rot == got, (got, ref_i)
+            # canonical start: the first segment carries the lowest class
+            classes = [
+                _dir_class(t[2] - t[0], t[3] - t[1]) for t in segs
+            ]
+            assert classes == sorted(classes)
+        assert pos > 100
+
+    def test_plan_one_arrow_node(self, spark):
+        df = QUERIES["spatial_clip_convex_rings"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+
+    def test_sf0001_oracle_parity(self, spark):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/customer.parquet')"
+        )
+        want = sorted(
+            [tuple(r) for r in
+             con.execute(ORACLES["spatial_clip_convex_rings"]).fetchall()],
+            key=repr,
+        )
+        con.close()
+        got = sorted(
+            [tuple(r) for r in
+             QUERIES["spatial_clip_convex_rings"](spark, SF_DIR).collect()],
+            key=repr,
+        )
+        assert len(got) > 50
+        assert got == want
+
+
 class TestBpeEncodeMerges:
     def test_fixture_words_match_python_reference(self, spark):
         """The chained HOF rewrite must equal the spec (for each rank,
