@@ -183,6 +183,19 @@ QUERIES_UNDER_TEST = {
     # — the convex entry's output-driven regime, plus the per-subject
     # trapezoid decomposition (store-sized, should stay ~N×)
     "spatial_clip_concave_pairs": (["customer"], "docs"),
+    # r15: holed clipping — 1e6 mod 641/677/653/691 ∈ {40, 71, 257, 123}
+    # ≠ 0, so key-shifted replicas land on fresh positions: the siblings'
+    # output-driven ~N² regime, plus BOTH stores holed-decomposed
+    # (store-sized, should stay ~N×)
+    "spatial_clip_holed_pairs": (["customer"], "docs"),
+    # r15: geometry output — same candidate regime as the convex entry;
+    # the ring assembly is per-POSITIVE-pair Python, so wall should
+    # track output (~N² positives) with a small per-pair constant
+    "spatial_clip_convex_rings": (["customer"], "docs"),
+    # r15: BPE encode — suffixed replicas grow the VOCABULARY ~N× while
+    # corpus tokens grow N×; the merge chain runs per vocabulary entry,
+    # so wall should track the distinct-word aggregate (scan-bound)
+    "bpe_encode_merges": (["documents"], "docs"),
 }
 
 
