@@ -267,24 +267,34 @@ REF_FLOORS: dict[str, float] = {
     "skyline_recursive_parts": 1.994, "spatial_buffer_union_area": 1.927,
     "spatial_union_rings": 2.929, "substring_dup_chains": 2.712,
     "spatial_intersection_rings": 2.961, "spatial_union_snap_rings": 3.311,
-    "spatial_nn_join_ring": 1.075, "spatial_knn_join_ring": 2.925,
-    "spatial_clip_convex_pairs": 2.872, "spatial_clip_concave_pairs": 3.326,
-    "spatial_clip_general_pairs": 4.096,
+    "spatial_nn_join_ring": 1.075, "spatial_knn_join_ring": 2.357,
+    "spatial_clip_convex_pairs": 2.872, "spatial_clip_concave_pairs": 2.947,
+    "spatial_clip_general_pairs": 3.705,
+    # r15 first floors (min over the session's two passes, recorded at
+    # the round's quietest window — pre-pass canaries cpu 1.10 /
+    # arrow 1.03, in-pass samples trending to 0.42/0.67)
+    "spatial_clip_holed_pairs": 4.521, "spatial_clip_convex_rings": 6.254,
+    "bpe_encode_merges": 1.376,
 }
 # queries whose code changed since their floor was recorded (excluded
-# from drift_ratio_median until the floor is re-recorded). r15:
-# spatial_knn_join_ring (2.925) and spatial_clip_concave_pairs (3.326)
-# rejoin the drift statistic per the r14 plan — their floors are
-# conservative (recorded at arrow-canary 1.14-1.28), which can only
-# UNDERSTATE drift slightly, never flag a false regression.
-# spatial_clip_general_pairs stays out: its 4.096 first floor was
-# recorded at arrow-canary 1.39-1.40 (ADVICE r14) and is re-recorded
-# this round at the quietest observed window — it rejoins in r16.
-# spatial_clip_holed_pairs, spatial_clip_convex_rings and
-# bpe_encode_merges are NEW this round (first floors recorded this
-# session); they rejoin in r16.
+# from drift_ratio_median until the floor is re-recorded). r15: the
+# ADVICE r14 re-records landed at the round's quietest window
+# (pre-pass canaries cpu 1.10 / arrow 1.03 — the first ≤1.1 window
+# since the r13 batch): spatial_clip_general_pairs 4.096 → 3.705
+# (−9.5%, its first floor was recorded at arrow 1.39-1.40),
+# spatial_clip_concave_pairs 3.326 → 2.947 (−11%, the verdict's
+# "same check" item), and spatial_knn_join_ring 2.925 → 2.357 (−19%,
+# same contended batch). All three therefore sit in FLOORS_CHANGED
+# this round (a same-session floor reads ~1.0 and dilutes the drift
+# estimate) and rejoin in r16, together with the three NEW r15 first
+# floors. Remaining known-conservative r13 floors (session mins 6-7%
+# below: ngram_containment_capped 2.953, pareto_frontier_parts 0.45)
+# are candidates for the same treatment at r16's quietest window;
+# sub-2% dips left alone as noise.
 FLOORS_CHANGED: list[str] = [
     "spatial_clip_general_pairs",
+    "spatial_clip_concave_pairs",
+    "spatial_knn_join_ring",
     "spatial_clip_holed_pairs",
     "spatial_clip_convex_rings",
     "bpe_encode_merges",
