@@ -58,6 +58,13 @@ _DRIVER_PRIORITY = [
     # ring), chain closure asserted per pair. Displaces
     # stream_left_outer_join (tail-first).
     "spatial_clip_convex_rings",
+    # never driver-graded (r15): the FULL geometry-output closure — the
+    # complete exact boundary of A∩B with BOTH sides non-convex AND
+    # holed (multi-ring + hole-ring outputs in the graded data); area
+    # graded boundary-shoelace vs nine-term Green, ring topology graded
+    # via the Umlaufsatz turning sum. Displaces stream_cdc_apply
+    # (tail-first).
+    "spatial_clip_holed_boundary",
     # the one pre-r10 proof (r9): displaced from the r14 prefix by the
     # sixth r14 staging per the oldest-LAST rule; re-proves first.
     "stream_static_enrich",
@@ -84,12 +91,13 @@ _DRIVER_PRIORITY = [
     "spatial_join_overlap", "spatial_join_blocked",
     "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
     "multimodal_resize", "multimodal_frame_sample",
-    "spatial_grid_density", "stream_cdc_apply",
+    "spatial_grid_density",
     # tail-first displacements (each keeps its r10 proof and heads the
     # r16 queue with the r11-proven): time_weighted_avg_value by
     # spatial_clip_holed_pairs, interval_union_seconds by
     # bpe_encode_merges, stream_left_outer_join by
-    # spatial_clip_convex_rings
+    # spatial_clip_convex_rings, stream_cdc_apply by
+    # spatial_clip_holed_boundary
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

@@ -111,6 +111,9 @@ HEADLINE = CORE_SET + [
     "spatial_clip_holed_pairs",
     "spatial_clip_convex_rings",
     "bpe_encode_merges",
+    # r15 wave 2: the full geometry-output closure — exact boundary of
+    # non-convex holed intersections (multi-ring + hole-ring outputs)
+    "spatial_clip_holed_boundary",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
@@ -298,6 +301,7 @@ FLOORS_CHANGED: list[str] = [
     "spatial_clip_holed_pairs",
     "spatial_clip_convex_rings",
     "bpe_encode_merges",
+    "spatial_clip_holed_boundary",
 ]
 
 

@@ -969,6 +969,15 @@ def _clip_param_core(sx, sy, cx, cy):
     existing kernel-vs-convex_clip property tests)."""
     p1x, p1y = sx, sy
     p2x, p2y = np.roll(sx, -1, axis=1), np.roll(sy, -1, axis=1)
+    return _clip_edges_param(p1x, p1y, p2x, p2y, cx, cy)
+
+
+def _clip_edges_param(p1x, p1y, p2x, p2y, cx, cy):
+    """As :func:`_clip_param_core` but with the subject EDGES given
+    explicitly — (n, ne) endpoint arrays that need not form a closed
+    cycle. The second r15 extraction (the cycle roll moved to the
+    caller, arithmetic untouched): the boundary entry clips a region's
+    true-boundary edge set (shell + hole, two cycles) in one call."""
     dx, dy = p2x - p1x, p2y - p1y
     q1x, q1y = cx, cy
     q2x, q2y = np.roll(cx, -1, axis=1), np.roll(cy, -1, axis=1)
@@ -1329,6 +1338,136 @@ def make_convex_clip_stats_udf():
     return _clip_stats.asNondeterministic()
 
 
+def _seg_clip_interval(p1, p2, poly):
+    """Exact Liang–Barsky: the parameter interval of directed segment
+    p1→p2 inside CCW convex ``poly`` (integer coordinates), as fraction
+    bounds ``((lon, lod), (upn, upd))`` with positive denominators, or
+    None when empty. Pure integer arithmetic (cross-multiplied
+    comparisons) — the single-segment form of the `_clip_param_core`
+    machinery, used by the boundary-reconstruction entry where the
+    subject is an EDGE of one polygon, not a polygon."""
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    lon, lod = 0, 1
+    upn, upd = 1, 1
+    m = len(poly)
+    for i in range(m):
+        q1 = poly[i]
+        q2 = poly[(i + 1) % m]
+        ex, ey = q2[0] - q1[0], q2[1] - q1[1]
+        c0 = ex * (p1[1] - q1[1]) - ey * (p1[0] - q1[0])
+        c1 = ex * dy - ey * dx
+        if c1 == 0:
+            if c0 < 0:
+                return None
+        elif c1 > 0:
+            if -c0 * lod > lon * c1:
+                lon, lod = -c0, c1
+        else:
+            if c0 * upd < upn * (-c1):
+                upn, upd = c0, -c1
+    if lon * upd >= upn * lod:
+        return None
+    return (lon, lod), (upn, upd)
+
+
+def region_boundary_fragments(edges, comps):
+    """Exact boundary fragments of one region's edges inside the OTHER
+    region, where the other region is given as signed convex components
+    (coverage 1 on it ⇔ inside): for each directed edge, clip against
+    every component, drop the ×2-scaled integer interval endpoints onto
+    the edge as ±coverage events, and emit the maximal sub-segments
+    where the position-grouped running coverage is exactly 1 — the 1D
+    even-odd sweep that makes ∂(A∩B) = (∂A ∩ B) ∪ (∂B ∩ A) computable
+    per edge with NO polygon decomposition. Coincident events (a
+    component edge collinear with another component's — e.g. a notch
+    mouth on its octagon's edge) group by position before the sweep,
+    so simultaneous enter/exit nets out exactly.
+
+    ``edges``: directed integer segments ((x1, y1), (x2, y2)) — the
+    region's TRUE boundary (CCW shell + CW holes), so fragments inherit
+    interior-left orientation. ``comps``: list of (ccw_poly, ±1).
+    Returns ×2-scaled integer fragments (x1, y1, x2, y2); a non-integer
+    ×2 endpoint raises (the store lattice contract)."""
+    frags = []
+    for p1, p2 in edges:
+        dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+        sx = 0 if dx == 0 else (1 if dx > 0 else -1)
+        sy = 0 if dy == 0 else (1 if dy > 0 else -1)
+        events: dict = {}
+        for poly, cov in comps:
+            iv = _seg_clip_interval(p1, p2, poly)
+            if iv is None:
+                continue
+            for (num, den), sgn in ((iv[0], cov), (iv[1], -cov)):
+                xn = 2 * (p1[0] * den + num * dx)
+                yn = 2 * (p1[1] * den + num * dy)
+                if xn % den or yn % den:
+                    raise ValueError(
+                        "boundary endpoint off the half-integer lattice"
+                    )
+                x2s, y2s = xn // den, yn // den
+                pos = sx * x2s + sy * y2s
+                ev = events.setdefault(pos, [0, x2s, y2s])
+                ev[0] += sgn
+        spos = sorted(events)
+        cum = 0
+        for k in range(len(spos) - 1):
+            cum += events[spos[k]][0]
+            if cum == 1:
+                a, b = events[spos[k]], events[spos[k + 1]]
+                frags.append((a[1], a[2], b[1], b[2]))
+    return frags
+
+
+def chain_boundary_rings(frags):
+    """Group directed boundary fragments into closed rings by successor
+    following (general position ⇒ every vertex has degree exactly 2, so
+    the successor map is a bijection and needs no geometric search).
+    Returns (rings, area8, turning8): the list of fragment-index cycles,
+    the total doubled-scaled shoelace (Σ cross over all fragments =
+    8 × area for ×2 coords), and the total exterior turning in 45°
+    units (Hopf Umlaufsatz: +8 per CCW ring, −8 per CW hole ring —
+    asserted per chained ring). Raises on any open chain."""
+    start = {}
+    for i, f in enumerate(frags):
+        key = (f[0], f[1])
+        if key in start:
+            raise ValueError(f"boundary vertex degree > 2 at {key}")
+        start[key] = i
+    seen = [False] * len(frags)
+    rings = []
+    area8 = 0
+    turning8 = 0
+    for i, f in enumerate(frags):
+        area8 += f[0] * f[3] - f[1] * f[2]
+    for i in range(len(frags)):
+        if seen[i]:
+            continue
+        cyc = []
+        j = i
+        ring_turn = 0
+        while not seen[j]:
+            seen[j] = True
+            cyc.append(j)
+            f = frags[j]
+            key = (f[2], f[3])
+            if key not in start:
+                raise ValueError(f"open boundary chain at {key}")
+            k = start[key]
+            g = frags[k]
+            d1 = _dir_class(f[2] - f[0], f[3] - f[1])
+            d2 = _dir_class(g[2] - g[0], g[3] - g[1])
+            ring_turn += ((d2 - d1 + 12) % 8) - 4
+            j = k
+        if j != i:
+            raise ValueError("boundary chain re-entered mid-cycle")
+        if ring_turn not in (8, -8):
+            raise ValueError(f"ring turning {ring_turn} — not simple")
+        turning8 += ring_turn
+        rings.append(cyc)
+    return rings, area8, turning8
+
+
 def _dir_class(dx: int, dy: int) -> int:
     """Directed direction class of a boundary segment, CCW from East:
     E=0, NE=1, N=2, NW=3, W=4, SW=5, S=6, SE=7. The clip-store family
@@ -1339,6 +1478,251 @@ def _dir_class(dx: int, dy: int) -> int:
     if dy > 0:
         return 2 if dx == 0 else (1 if dx > 0 else 3)
     return 6 if dx == 0 else (5 if dx < 0 else 7)
+
+
+def donut_notched_polys(cx, cy, r, d, bottom):
+    """The holed clip store's geometry from its key parameters, one
+    source of truth for the boundary UDF and the tests: returns
+    ``(ring12, hole_ccw, oct8, ntc4)`` — the notched 12-gon shell
+    (CCW), the 16×16 interior ring (CCW point list; reverse for ∂A
+    orientation), and the octagon/notch convex components whose signed
+    coverage (+1, −1, with the hole −1) is the region."""
+    if bottom:
+        ring = [
+            (cx - r + 8, cy - r), (cx - 8, cy - r), (cx - 8, cy - r + d),
+            (cx + 8, cy - r + d), (cx + 8, cy - r), (cx + r - 8, cy - r),
+            (cx + r, cy - r + 8), (cx + r, cy + r - 8), (cx + r - 8, cy + r),
+            (cx - r + 8, cy + r), (cx - r, cy + r - 8), (cx - r, cy - r + 8),
+        ]
+        ntc = [(cx - 8, cy - r), (cx + 8, cy - r),
+               (cx + 8, cy - r + d), (cx - 8, cy - r + d)]
+    else:
+        ring = [
+            (cx - r + 8, cy - r), (cx + r - 8, cy - r), (cx + r, cy - r + 8),
+            (cx + r, cy + r - 8), (cx + r - 8, cy + r), (cx - r + 8, cy + r),
+            (cx - r, cy + r - 8), (cx - r, cy + 8), (cx - r + d, cy + 8),
+            (cx - r + d, cy - 8), (cx - r, cy - 8), (cx - r, cy - r + 8),
+        ]
+        ntc = [(cx - r, cy - 8), (cx - r + d, cy - 8),
+               (cx - r + d, cy + 8), (cx - r, cy + 8)]
+    hole = [(cx - 8, cy + 8), (cx + 8, cy + 8),
+            (cx + 8, cy + 24), (cx - 8, cy + 24)]
+    oct8 = [
+        (cx - r + 8, cy - r), (cx + r - 8, cy - r), (cx + r, cy - r + 8),
+        (cx + r, cy + r - 8), (cx + r - 8, cy + r), (cx - r + 8, cy + r),
+        (cx - r, cy + r - 8), (cx - r, cy - r + 8),
+    ]
+    return ring, hole, oct8, ntc
+
+
+def _donut_geom_np(cx, cy, r, d, bottom):
+    """Vectorized :func:`donut_notched_polys`: parameter VECTORS in,
+    ((p1x, p1y, p2x, p2y) boundary-edge arrays of shape (n, 16) —
+     12-gon CCW + hole CW — and the three signed convex component
+    vertex arrays [(qx (n, m), qy, cov), ...]) out. Same literals, one
+    source of truth verified edge-for-edge against the scalar builder
+    by test."""
+    n = len(cx)
+    o = np.zeros(n, dtype=np.int64)
+
+    def _v(cols):
+        return np.stack([np.asarray(c) + o for c in cols], axis=1)
+
+    rb_x = _v([cx - r + 8, cx - 8, cx - 8, cx + 8, cx + 8, cx + r - 8,
+               cx + r, cx + r, cx + r - 8, cx - r + 8, cx - r, cx - r])
+    rb_y = _v([cy - r, cy - r, cy - r + d, cy - r + d, cy - r, cy - r,
+               cy - r + 8, cy + r - 8, cy + r, cy + r, cy + r - 8,
+               cy - r + 8])
+    rl_x = _v([cx - r + 8, cx + r - 8, cx + r, cx + r, cx + r - 8,
+               cx - r + 8, cx - r, cx - r, cx - r + d, cx - r + d,
+               cx - r, cx - r])
+    rl_y = _v([cy - r, cy - r, cy - r + 8, cy + r - 8, cy + r, cy + r,
+               cy + r - 8, cy + 8, cy + 8, cy - 8, cy - 8, cy - r + 8])
+    b = bottom[:, None]
+    ring_x = np.where(b, rb_x, rl_x)
+    ring_y = np.where(b, rb_y, rl_y)
+    hol_x = _v([cx - 8, cx + 8, cx + 8, cx - 8])
+    hol_y = _v([cy + 8, cy + 8, cy + 24, cy + 24])
+    # boundary edges: ring CCW + hole traversed CW (reversed)
+    p1x = np.concatenate([ring_x, np.roll(hol_x, -1, axis=1)], axis=1)
+    p1y = np.concatenate([ring_y, np.roll(hol_y, -1, axis=1)], axis=1)
+    p2x = np.concatenate([np.roll(ring_x, -1, axis=1), hol_x], axis=1)
+    p2y = np.concatenate([np.roll(ring_y, -1, axis=1), hol_y], axis=1)
+    oct_x = _v([cx - r + 8, cx + r - 8, cx + r, cx + r,
+                cx + r - 8, cx - r + 8, cx - r, cx - r])
+    oct_y = _v([cy - r, cy - r, cy - r + 8, cy + r - 8,
+                cy + r, cy + r, cy + r - 8, cy - r + 8])
+    nb_x = _v([cx - 8, cx + 8, cx + 8, cx - 8])
+    nb_y = _v([cy - r, cy - r, cy - r + d, cy - r + d])
+    nl_x = _v([cx - r, cx - r + d, cx - r + d, cx - r])
+    nl_y = _v([cy - 8, cy - 8, cy + 8, cy + 8])
+    ntc_x = np.where(b, nb_x, nl_x)
+    ntc_y = np.where(b, nb_y, nl_y)
+    comps = [(oct_x, oct_y, 1), (ntc_x, ntc_y, -1), (hol_x, hol_y, -1)]
+    return (p1x, p1y, p2x, p2y), comps
+
+
+_POS_INF = np.int64(2**62)
+
+
+def boundary_fragments_batch(edges, comps):
+    """Vectorized :func:`region_boundary_fragments` over a batch of
+    pairs: edge arrays (n, ne) + signed convex components in, and the
+    fragment COO out — ``(row, x1, y1, x2, y2)`` flat arrays. Per
+    (edge, comp) the exact interval comes from `_clip_edges_param`
+    (default bounds clamp to the edge ends exactly as the scalar
+    Liang–Barsky); each interval drops two ±coverage events at its
+    ×2-scaled integer positions, events sort per edge, and fragments
+    are the gaps where the cumulative coverage is exactly 1 (equal
+    positions produce zero-length gaps which the strict position test
+    drops — the same net-out the scalar path gets by grouping).
+    Pinned equal to the scalar path by test on random store pairs."""
+    p1x, p1y, p2x, p2y = edges
+    n, ne = p1x.shape
+    sgx = np.sign(p2x - p1x)
+    sgy = np.sign(p2y - p1y)
+    nev = 2 * len(comps)
+    ev_pos = np.full((n, ne, nev), _POS_INF, dtype=np.int64)
+    ev_d = np.zeros((n, ne, nev), dtype=np.int64)
+    ev_x = np.zeros((n, ne, nev), dtype=np.int64)
+    ev_y = np.zeros((n, ne, nev), dtype=np.int64)
+    for ci, (qx, qy, cov) in enumerate(comps):
+        valid, x1, y1, x2, y2 = _clip_edges_param(p1x, p1y, p2x, p2y, qx, qy)
+        for k, (xx, yy, dd) in enumerate(((x1, y1, cov), (x2, y2, -cov))):
+            j = 2 * ci + k
+            ev_pos[:, :, j] = np.where(
+                valid, sgx * xx + sgy * yy, _POS_INF
+            )
+            ev_d[:, :, j] = np.where(valid, dd, 0)
+            ev_x[:, :, j] = np.where(valid, xx, 0)
+            ev_y[:, :, j] = np.where(valid, yy, 0)
+    order = np.argsort(ev_pos, axis=2, kind="stable")
+    ev_pos = np.take_along_axis(ev_pos, order, axis=2)
+    ev_d = np.take_along_axis(ev_d, order, axis=2)
+    ev_x = np.take_along_axis(ev_x, order, axis=2)
+    ev_y = np.take_along_axis(ev_y, order, axis=2)
+    cum = np.cumsum(ev_d, axis=2)
+    frag = (
+        (cum[:, :, :-1] == 1)
+        & (ev_pos[:, :, 1:] > ev_pos[:, :, :-1])
+        & (ev_pos[:, :, 1:] < _POS_INF)
+    )
+    ri, _, ki = np.nonzero(frag)
+    lo = (slice(None), slice(None), slice(None, -1))
+    hi = (slice(None), slice(None), slice(1, None))
+    return (
+        ri,
+        ev_x[lo][frag], ev_y[lo][frag],
+        ev_x[hi][frag], ev_y[hi][frag],
+    )
+
+
+def make_holed_boundary_udf():
+    """Boundary-reconstruction kernel for the holed clip family: store
+    PARAMS in (ten scalar int64 columns — the polygons never cross
+    Arrow), ``struct(area_e4, turning8, segs)`` out, where ``segs`` is
+    the complete exact ×2-scaled directed boundary of A∩B
+    (interior-left; fragments of ∂A inside B plus ∂B inside A via the
+    1D coverage sweep) and
+
+    - ``area_e4`` derives from the BOUNDARY's shoelace sum — the graded
+      cross-check against the oracle's nine-term Green area, two
+      genuinely different exact algorithms;
+    - ``turning8`` is the total exterior turning in 45° units (Hopf
+      Umlaufsatz): 8·(#CCW rings − #CW hole rings), the topological
+      invariant that grades ring structure without shipping ring ids.
+
+    Ring chaining itself runs here too (successor following — general
+    position makes every boundary vertex degree 2) purely as a loud
+    per-pair ASSERT: every chain closes, every ring turns ±8, and the
+    per-ring turning sum equals ``turning8``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("area_e4", LongType(), True),
+            StructField("turning8", LongType(), True),
+            StructField(
+                "segs",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("x1_2", LongType(), True),
+                            StructField("y1_2", LongType(), True),
+                            StructField("x2_2", LongType(), True),
+                            StructField("y2_2", LongType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _boundary(
+        ax: pd.Series, ay: pd.Series, ra: pd.Series, da: pd.Series,
+        sa: pd.Series, bx: pd.Series, by: pd.Series, rb: pd.Series,
+        db: pd.Series, sb: pd.Series,
+    ) -> pd.DataFrame:
+        n = len(ax)
+        if not n:
+            return pd.DataFrame(
+                {
+                    "area_e4": np.zeros(0, dtype=np.int64),
+                    "turning8": np.zeros(0, dtype=np.int64),
+                    "segs": pd.Series([], dtype="object"),
+                }
+            )
+        a4 = np.zeros(n, dtype=np.int64)
+        t8 = np.zeros(n, dtype=np.int64)
+        segs_out: list = [[] for _ in range(n)]
+        cols = [
+            c.to_numpy().astype(np.int64)
+            for c in (ax, ay, ra, da, sa, bx, by, rb, db, sb)
+        ]
+        axv, ayv, rav, dav, sav, bxv, byv, rbv, dbv, sbv = cols
+        edges_a, comps_a = _donut_geom_np(axv, ayv, rav, dav, sav == 1)
+        edges_b, comps_b = _donut_geom_np(bxv, byv, rbv, dbv, sbv == 1)
+        ri_a, x1a, y1a, x2a, y2a = boundary_fragments_batch(edges_a, comps_b)
+        ri_b, x1b, y1b, x2b, y2b = boundary_fragments_batch(edges_b, comps_a)
+        ri = np.concatenate([ri_a, ri_b])
+        fx1 = np.concatenate([x1a, x1b])
+        fy1 = np.concatenate([y1a, y1b])
+        fx2 = np.concatenate([x2a, x2b])
+        fy2 = np.concatenate([y2a, y2b])
+        area8 = np.zeros(n, dtype=np.int64)
+        np.add.at(area8, ri, fx1 * fy2 - fy1 * fx2)
+        order = np.argsort(ri, kind="stable")
+        ri_s = ri[order]
+        fx1, fy1 = fx1[order], fy1[order]
+        fx2, fy2 = fx2[order], fy2[order]
+        for i in np.nonzero(area8 > 0)[0]:
+            lo = np.searchsorted(ri_s, i, "left")
+            hi = np.searchsorted(ri_s, i, "right")
+            frags = [
+                (int(fx1[k]), int(fy1[k]), int(fx2[k]), int(fy2[k]))
+                for k in range(lo, hi)
+            ]
+            # chaining as a loud per-pair ASSERT of general position +
+            # the Umlaufsatz (each ring turns exactly +-8)
+            _, a8, turning8 = chain_boundary_rings(frags)
+            if a8 != area8[i]:
+                raise ValueError("fragment area bookkeeping diverged")
+            a4[i] = a8 * 1250
+            t8[i] = turning8
+            segs_out[i] = [
+                {"x1_2": f[0], "y1_2": f[1], "x2_2": f[2], "y2_2": f[3]}
+                for f in frags
+            ]
+        return pd.DataFrame({"area_e4": a4, "turning8": t8, "segs": segs_out})
+
+    return _boundary.asNondeterministic()
 
 
 def make_convex_clip_ring_udf():

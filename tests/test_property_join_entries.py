@@ -145,6 +145,11 @@ ENTRIES = [
     # (engine: kernel pieces + chain-closure assert) must agree with
     # the oracle's ROW_NUMBER-over-class ordering on every draw
     "spatial_clip_convex_rings",
+    # r15: the full boundary closure — the Python interval/chaining
+    # engine and the relational arg_max/arg_min sweep oracle must
+    # produce the identical exact segment set, shoelace-vs-Green area,
+    # and Umlaufsatz turning sum on every draw
+    "spatial_clip_holed_boundary",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

@@ -408,6 +408,205 @@ class TestConvexClipRings:
         assert got == want
 
 
+class TestHoledBoundary:
+    def test_boundary_matches_fraction_reference_and_probes(self):
+        """300 random holed store pairs: the reconstructed boundary's
+        shoelace must equal the EXACT Fraction nine-term
+        inclusion-exclusion area; every chained ring must turn exactly
+        ±8 (45° units) with the Umlaufsatz sum consistent with the
+        per-ring orientations; and sampled fragment midpoints must have
+        the intersection interior STRICTLY on their left and exterior
+        on their right (exact rational even-odd probes) — a pointwise
+        proof that the segments lie ON ∂(A∩B) with correct
+        orientation. Multi-ring and hole-ring outputs must both occur."""
+        from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+            chain_boundary_rings,
+            donut_notched_polys,
+            region_boundary_fragments,
+        )
+
+        def _edges(ring, hole):
+            m = len(ring)
+            es = [(ring[k], ring[(k + 1) % m]) for k in range(m)]
+            h = len(hole)
+            es += [(hole[(k + 1) % h], hole[k]) for k in range(h)]
+            return es
+
+        def _eo(ring, px, py):
+            m = len(ring)
+            cnt = 0
+            for k in range(m):
+                (x1, y1), (x2, y2) = ring[k], ring[(k + 1) % m]
+                if (y1 > py) == (y2 > py):
+                    continue
+                t = Fraction(py - y1, y2 - y1)
+                if x1 + t * (x2 - x1) > px:
+                    cnt += 1
+            return cnt % 2 == 1
+
+        rng = random.Random(4242)
+        pos = multi = holes = 0
+        for _ in range(300):
+            ra, rb = rng.choice((32, 40)), rng.choice((32, 40))
+            da, db = rng.choice((8, 16)), rng.choice((8, 16))
+            sa, sb = rng.choice((1, 3)), rng.choice((1, 3))
+            ax, ay = 8 * rng.randrange(0, 14), 8 * rng.randrange(0, 14)
+            bx = ax + 8 * rng.randrange(-9, 10) + 2
+            by = ay + 8 * rng.randrange(-9, 10) + 4
+            A12, Ah, Oa, Na = donut_notched_polys(ax, ay, ra, da, sa == 1)
+            B12, Bh, Ob, Nb = donut_notched_polys(bx, by, rb, db, sb == 1)
+            frags = region_boundary_fragments(
+                _edges(A12, Ah), [(Ob, 1), (Nb, -1), (Bh, -1)]
+            ) + region_boundary_fragments(
+                _edges(B12, Bh), [(Oa, 1), (Na, -1), (Ah, -1)]
+            )
+            if not frags:
+                continue
+            rings, area8, turning8 = chain_boundary_rings(frags)
+
+            def _a2(p, q):
+                return convex_poly_area2(convex_clip(p, q))
+
+            ref8 = 4 * (
+                _a2(Oa, Ob) - _a2(Oa, Nb) - _a2(Oa, Bh)
+                - _a2(Na, Ob) + _a2(Na, Nb) + _a2(Na, Bh)
+                - _a2(Ah, Ob) + _a2(Ah, Nb) + _a2(Ah, Bh)
+            )
+            assert Fraction(area8) == ref8
+            if area8 <= 0:
+                continue
+            pos += 1
+            n_ccw = sum(
+                1
+                for c in rings
+                if sum(
+                    frags[i][0] * frags[i][3] - frags[i][1] * frags[i][2]
+                    for i in c
+                )
+                > 0
+            )
+            n_cw = len(rings) - n_ccw
+            assert turning8 == 8 * (n_ccw - n_cw)
+            if len(rings) > 1:
+                multi += 1
+            if n_cw:
+                holes += 1
+            for f in rng.sample(frags, min(3, len(frags))):
+                mx = Fraction(f[0] + f[2], 4)
+                my = Fraction(f[1] + f[3], 4)
+                dxx, dyy = f[2] - f[0], f[3] - f[1]
+                eps = Fraction(1, 1000)
+                for px, py, want in (
+                    (mx - eps * dyy, my + eps * dxx, True),
+                    (mx + eps * dyy, my - eps * dxx, False),
+                ):
+                    got = (
+                        _eo(A12, px, py)
+                        and not _eo(Ah, px, py)
+                        and _eo(B12, px, py)
+                        and not _eo(Bh, px, py)
+                    )
+                    assert got is want, (f, px, py)
+        assert pos > 80 and multi > 10 and holes > 10
+
+    def test_plan_one_arrow_node(self, spark):
+        df = QUERIES["spatial_clip_holed_boundary"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+
+    def test_batch_fragments_equal_scalar_path(self):
+        """The vectorized production path (`boundary_fragments_batch`
+        over `_donut_geom_np`) must produce the IDENTICAL fragment set
+        as the scalar reference (`region_boundary_fragments` over
+        `donut_notched_polys`) on 300 random store pairs — the
+        vectorization is an execution strategy, never a semantics
+        change."""
+        import numpy as np
+
+        from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+            _donut_geom_np,
+            boundary_fragments_batch,
+            donut_notched_polys,
+            region_boundary_fragments,
+        )
+
+        rng = random.Random(7115)
+        params = []
+        for _ in range(300):
+            params.append((
+                8 * rng.randrange(0, 14), 8 * rng.randrange(0, 14),
+                rng.choice((32, 40)), rng.choice((8, 16)),
+                rng.choice((1, 3)),
+            ))
+            ax, ay = params[-1][0], params[-1][1]
+            params[-1] = params[-1] + (
+                ax + 8 * rng.randrange(-9, 10) + 2,
+                ay + 8 * rng.randrange(-9, 10) + 4,
+                rng.choice((32, 40)), rng.choice((8, 16)),
+                rng.choice((1, 3)),
+            )
+        cols = [
+            np.array([p[i] for p in params], dtype=np.int64)
+            for i in range(10)
+        ]
+        ea, ca = _donut_geom_np(cols[0], cols[1], cols[2], cols[3], cols[4] == 1)
+        eb, cb = _donut_geom_np(cols[5], cols[6], cols[7], cols[8], cols[9] == 1)
+        batch: dict = {}
+        for ri, x1, y1, x2, y2 in (
+            boundary_fragments_batch(ea, cb),
+            boundary_fragments_batch(eb, ca),
+        ):
+            for k in range(len(ri)):
+                batch.setdefault(int(ri[k]), set()).add(
+                    (int(x1[k]), int(y1[k]), int(x2[k]), int(y2[k]))
+                )
+        nonempty = 0
+        for i, p in enumerate(params):
+            ax, ay, ra, da, sa, bx, by, rb, db, sb = p
+            A12, Ah, Oa, Na = donut_notched_polys(ax, ay, ra, da, sa == 1)
+            B12, Bh, Ob, Nb = donut_notched_polys(bx, by, rb, db, sb == 1)
+
+            def _edges(ring, hole):
+                m = len(ring)
+                es = [(ring[k], ring[(k + 1) % m]) for k in range(m)]
+                h = len(hole)
+                es += [(hole[(k + 1) % h], hole[k]) for k in range(h)]
+                return es
+
+            sc = set(
+                region_boundary_fragments(
+                    _edges(A12, Ah), [(Ob, 1), (Nb, -1), (Bh, -1)]
+                )
+                + region_boundary_fragments(
+                    _edges(B12, Bh), [(Oa, 1), (Na, -1), (Ah, -1)]
+                )
+            )
+            assert sc == batch.get(i, set()), (i, p)
+            if sc:
+                nonempty += 1
+        assert nonempty > 150
+
+    def test_sf0001_oracle_parity(self, spark):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/customer.parquet')"
+        )
+        want = sorted(
+            [tuple(r) for r in
+             con.execute(ORACLES["spatial_clip_holed_boundary"]).fetchall()],
+            key=repr,
+        )
+        con.close()
+        got = sorted(
+            [tuple(r) for r in
+             QUERIES["spatial_clip_holed_boundary"](spark, SF_DIR).collect()],
+            key=repr,
+        )
+        assert len(got) > 100
+        assert got == want
+
+
 class TestBpeEncodeMerges:
     def test_fixture_words_match_python_reference(self, spark):
         """The chained HOF rewrite must equal the spec (for each rank,

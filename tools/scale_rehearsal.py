@@ -196,6 +196,10 @@ QUERIES_UNDER_TEST = {
     # corpus tokens grow N×; the merge chain runs per vocabulary entry,
     # so wall should track the distinct-word aggregate (scan-bound)
     "bpe_encode_merges": (["documents"], "docs"),
+    # r15 wave 2: the boundary closure — subject-level candidates (no
+    # piece explode), vectorized interval batch + per-POSITIVE-pair
+    # chaining python; the siblings' output-driven regime
+    "spatial_clip_holed_boundary": (["customer"], "docs"),
 }
 
 
