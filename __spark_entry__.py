@@ -65,6 +65,24 @@ _DRIVER_PRIORITY = [
     # via the Umlaufsatz turning sum. Displaces stream_cdc_apply
     # (tail-first).
     "spatial_clip_holed_boundary",
+    # never driver-graded (r15 wave 2): multi-source BFS hop counts over
+    # the co-order part graph — driver-bounded frontier iteration,
+    # oracle = unrolled NOT-IN level CTEs. Displaces spatial_grid_density
+    # (tail-first).
+    "graph_bfs_levels",
+    # never driver-graded (r15 wave 2): MOSS robust winnowing (rightmost-
+    # min of every 4-window of token-3-gram keys) — map-only JVM HOF
+    # chain, oracle = the identical selection in doc-level DuckDB list
+    # ops (no unnest+join — the r15 corruption class stays out).
+    # Displaces multimodal_frame_sample (tail-first).
+    "winnowing_fingerprints",
+    # never driver-graded (r15 wave 2): ST_ConvexHull as a distributed
+    # aggregate — CCW ring EDGES graded (full ring topology, no angular
+    # sort), exact int64 strict monotone chain behind a lossless
+    # partition-local hull pre-reduce; oracle = the independent
+    # maximal-edge characterization (the cubic lives only in DuckDB).
+    # Displaces multimodal_resize (tail-first).
+    "spatial_convex_hull_edges",
     # the one pre-r10 proof (r9): displaced from the r14 prefix by the
     # sixth r14 staging per the oldest-LAST rule; re-proves first.
     "stream_static_enrich",
@@ -90,14 +108,15 @@ _DRIVER_PRIORITY = [
     "sketch_cms_priority_counts", "spatial_point_filter",
     "spatial_join_overlap", "spatial_join_blocked",
     "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
-    "multimodal_resize", "multimodal_frame_sample",
-    "spatial_grid_density",
     # tail-first displacements (each keeps its r10 proof and heads the
     # r16 queue with the r11-proven): time_weighted_avg_value by
     # spatial_clip_holed_pairs, interval_union_seconds by
     # bpe_encode_merges, stream_left_outer_join by
     # spatial_clip_convex_rings, stream_cdc_apply by
-    # spatial_clip_holed_boundary
+    # spatial_clip_holed_boundary, spatial_grid_density by
+    # graph_bfs_levels, multimodal_frame_sample by
+    # winnowing_fingerprints, multimodal_resize by
+    # spatial_convex_hull_edges
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 

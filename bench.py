@@ -114,6 +114,14 @@ HEADLINE = CORE_SET + [
     # r15 wave 2: the full geometry-output closure — exact boundary of
     # non-convex holed intersections (multi-ring + hole-ring outputs)
     "spatial_clip_holed_boundary",
+    # r15 wave 3: the driver-loop BFS (edge-set checkpoint + 3 frontier
+    # joins — the iterative-graph representative), the interpreted-HOF
+    # winnowing chain (the regression-prone expression class), and the
+    # double-Python-stage hull (mapInPandas pre-reduce + applyInPandas
+    # chain — the Arrow round-trip class)
+    "graph_bfs_levels",
+    "winnowing_fingerprints",
+    "spatial_convex_hull_edges",
 ]
 
 # The r11 headline set (28 names), FROZEN at the r12 boundary the same
@@ -302,6 +310,10 @@ FLOORS_CHANGED: list[str] = [
     "spatial_clip_convex_rings",
     "bpe_encode_merges",
     "spatial_clip_holed_boundary",
+    # r15 wave 3 first floors (recorded this session; rejoin r16)
+    "graph_bfs_levels",
+    "winnowing_fingerprints",
+    "spatial_convex_hull_edges",
 ]
 
 

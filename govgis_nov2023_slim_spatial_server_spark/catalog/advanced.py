@@ -1282,6 +1282,122 @@ def pagerank_power_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_LEVEL_SQL = """
+    {out} AS (
+      SELECT DISTINCT e.d AS id FROM e JOIN {prev} ON e.s = {prev}.id
+      WHERE {excl})"""
+
+
+@query(
+    "graph_bfs_levels",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT pa AS s, pb AS d FROM pp
+          UNION ALL SELECT pb AS s, pa AS d FROM pp),
+    n AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+    l0 AS (SELECT id FROM n WHERE id % 97 = 1),"""
+    + _BFS_LEVEL_SQL.format(
+        out="l1", prev="l0", excl="e.d NOT IN (SELECT id FROM l0)"
+    )
+    + ","
+    + _BFS_LEVEL_SQL.format(
+        out="l2",
+        prev="l1",
+        excl="e.d NOT IN (SELECT id FROM l0)"
+        " AND e.d NOT IN (SELECT id FROM l1)",
+    )
+    + ","
+    + _BFS_LEVEL_SQL.format(
+        out="l3",
+        prev="l2",
+        excl="e.d NOT IN (SELECT id FROM l0)"
+        " AND e.d NOT IN (SELECT id FROM l1)"
+        " AND e.d NOT IN (SELECT id FROM l2)",
+    )
+    + """
+    SELECT id AS l_partkey, lvl FROM (
+      SELECT id, 0 AS lvl FROM l0
+      UNION ALL SELECT id, 1 AS lvl FROM l1
+      UNION ALL SELECT id, 2 AS lvl FROM l2
+      UNION ALL SELECT id, 3 AS lvl FROM l3)
+    ORDER BY l_partkey
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels — the multi-hop DISTANCE primitive the
+    graph family lacked (components = dedup_components, triangles =
+    graph_triangle_count, centrality = pagerank_*; nothing measured
+    HOPS until now). Seeds are parts with ``l_partkey % 97 == 1``;
+    every node of the co-order part graph reachable within 3 hops gets
+    its exact hop count (level 0..3), one row per reached node —
+    all-integer, so the whole frontier trajectory hash-compares
+    bit-exactly.
+
+    Graph: the pagerank_power_iters co-order part graph verbatim
+    (DISTINCT co-order pairs; per-order fan-out bounded by order size,
+    so the self-join never goes quadratic in the table). Isolated
+    seed nodes (single-line orders) are level 0 — the node set is
+    DISTINCT l_partkey, not just edge endpoints.
+
+    Engine: textbook frontier iteration, driver-bounded like
+    pagerank/kmeans — edges localCheckpointed ONCE (three frontier
+    joins would otherwise each rescan the co-order self-join: the
+    plan-branch rescan trap), then per level ONE broadcast of the
+    node-sized frontier into the edge scan, DISTINCT targets,
+    anti-join against the accumulated visited set, and a
+    localCheckpoint so the visited/frontier lineage never chains
+    across levels. At 100 TB the frontier outgrows broadcast: the
+    production swap is edges bucketed by s (shuffle-free frontier
+    join, the cell_bucketed_ring_join layout argument) with the
+    anti-join keyed on the 8-byte node id — the loop shape is
+    unchanged, one bounded pass per level.
+
+    Oracle: the same levels unrolled into chained CTEs (NOT IN
+    exclusions over the prior levels — ids are non-null by
+    construction, so NOT IN is the plain set difference)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b2 = li.alias("a"), li.alias("b")
+    pp = (
+        a.join(b2, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e = pp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("s"), F.col("pb").alias("d")),
+                F.struct(F.col("pb").alias("s"), F.col("pa").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
+    e = e.localCheckpoint(eager=False)
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    frontier = nodes.where(F.col("id") % 97 == 1)
+    visited = frontier.withColumn("lvl", F.lit(0).cast("int"))
+    for lvl in (1, 2, 3):
+        nxt = (
+            e.join(
+                F.broadcast(frontier.select(F.col("id").alias("s"))), "s"
+            )
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("lvl", F.lit(lvl).cast("int"))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.orderBy("id").select(
+        F.col("id").alias("l_partkey"), "lvl"
+    )
+
+
 # --------------------------------------------------------------------------
 # Weighted exact quantiles (two-pass histogram, weighted ranks)
 # --------------------------------------------------------------------------

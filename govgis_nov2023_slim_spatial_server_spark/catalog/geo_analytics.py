@@ -3297,3 +3297,188 @@ def spatial_clip_general_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("area_e4").cast("double") / 10000.0).alias("area"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Convex hull (ST_ConvexHull aggregate) — exact integer monotone chain
+# --------------------------------------------------------------------------
+
+
+def _hull_ccw(points):
+    """Andrew's monotone chain over SORTED unique int tuples — strict
+    turns (pop on cross ≤ 0), so collinear mid-edge points are never
+    vertices, matching the oracle's maximal-edge characterization.
+    Returns the CCW ring (1 point → itself; collinear set → the two
+    extremes)."""
+    if len(points) <= 1:
+        return list(points)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lo: list = []
+    for p in points:
+        while len(lo) >= 2 and cross(lo[-2], lo[-1], p) <= 0:
+            lo.pop()
+        lo.append(p)
+    up: list = []
+    for p in reversed(points):
+        while len(up) >= 2 and cross(up[-2], up[-1], p) <= 0:
+            up.pop()
+        up.append(p)
+    return lo[:-1] + up[:-1]
+
+
+_HULL_PTS_SCHEMA = "g long, x long, y long"
+_HULL_OUT_SCHEMA = (
+    "g long, x long, y long, nx long, ny long, n_vertices long, area2 long"
+)
+
+
+def _hull_local_reduce(batches):
+    """Per-partition hull pre-reduce (the 100 TB move): a point that is
+    not a vertex of its partition-local hull lies in the convex hull of
+    its partition peers, hence in the hull of the whole group — it can
+    never be a global vertex, so dropping it is lossless. Survivors per
+    (partition, group) are O(hull size)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out_g, out_x, out_y = [], [], []
+        for g, grp in pdf.groupby("g"):
+            pts = sorted(set(zip(grp["x"].astype(int), grp["y"].astype(int))))
+            for x, y in _hull_ccw(pts):
+                out_g.append(int(g))
+                out_x.append(x)
+                out_y.append(y)
+        yield pd.DataFrame({"g": out_g, "x": out_x, "y": out_y})
+
+
+def _hull_finalize(key, pdf):
+    pts = sorted(set(zip(pdf["x"].astype(int), pdf["y"].astype(int))))
+    ring = _hull_ccw(pts)
+    m = len(ring)
+    if m == 1:
+        edges = [(ring[0], ring[0])]
+    else:
+        edges = [(ring[i], ring[(i + 1) % m]) for i in range(m)]
+    area2 = sum(p[0] * q[1] - q[0] * p[1] for p, q in edges) if m > 2 else 0
+    return pd.DataFrame(
+        {
+            "g": [int(key[0])] * len(edges),
+            "x": [p[0] for p, _ in edges],
+            "y": [p[1] for p, _ in edges],
+            "nx": [q[0] for _, q in edges],
+            "ny": [q[1] for _, q in edges],
+            "n_vertices": [m] * len(edges),
+            "area2": [area2] * len(edges),
+        }
+    )
+
+
+@query(
+    "spatial_convex_hull_edges",
+    """
+    WITH p AS (
+      SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS g,
+             CAST(c_custkey % 173 AS BIGINT) AS x,
+             CAST((c_custkey * 7) % 181 AS BIGINT) AS y
+      FROM customer WHERE c_custkey % 7 = 0),
+    cnt AS (SELECT g, COUNT(*) AS n FROM p GROUP BY g),
+    e AS (
+      SELECT a.g, a.x AS px, a.y AS py, b.x AS qx, b.y AS qy
+      FROM p a JOIN p b
+        ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)),
+    hull_e AS (
+      SELECT e.g, e.px, e.py, e.qx, e.qy FROM e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p r
+        WHERE r.g = e.g
+          AND NOT (r.x = e.px AND r.y = e.py)
+          AND NOT (r.x = e.qx AND r.y = e.qy)
+          AND NOT (
+            (e.qx - e.px) * (r.y - e.py)
+              - (e.qy - e.py) * (r.x - e.px) > 0
+            OR ((e.qx - e.px) * (r.y - e.py)
+                  - (e.qy - e.py) * (r.x - e.px) = 0
+                AND r.x BETWEEN LEAST(e.px, e.qx) AND GREATEST(e.px, e.qx)
+                AND r.y BETWEEN LEAST(e.py, e.qy)
+                      AND GREATEST(e.py, e.qy))))),
+    singles AS (
+      SELECT p.g, p.x, p.y FROM p JOIN cnt ON p.g = cnt.g WHERE cnt.n = 1),
+    v AS (
+      SELECT g, px AS x, py AS y FROM hull_e
+      UNION
+      SELECT g, qx AS x, qy AS y FROM hull_e
+      UNION
+      SELECT g, x, y FROM singles),
+    stats AS (SELECT g, COUNT(*) AS n_vertices FROM v GROUP BY g),
+    ar AS (SELECT g, SUM(px * qy - qx * py) AS area2 FROM hull_e GROUP BY g),
+    edges_all AS (
+      SELECT g, px, py, qx, qy FROM hull_e
+      UNION ALL
+      SELECT g, x, y, x, y FROM singles)
+    SELECT ea.g AS n_nationkey, ea.px AS x, ea.py AS y,
+           ea.qx AS nx, ea.qy AS ny,
+           s.n_vertices,
+           CAST(CASE WHEN s.n_vertices > 2
+                     THEN COALESCE(a.area2, 0) ELSE 0 END AS BIGINT) AS area2
+    FROM edges_all ea
+    JOIN stats s ON ea.g = s.g
+    LEFT JOIN ar a ON ea.g = a.g
+    ORDER BY 1, 2, 3, 4, 5
+    """,
+)
+def spatial_convex_hull_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConvexHull as a distributed AGGREGATE — the full RING TOPOLOGY
+    graded: one row per directed CCW hull edge (plus the self-loop for
+    single-point groups), with vertex count and the exact ×2 shoelace
+    area riding along. Grading EDGES (not a vertex set) pins the cyclic
+    order without needing an angular sort — no libm anywhere, every
+    value int64 (coords < 181, products < 2¹⁶).
+
+    Points: per-nation customer positions on the (k % 173, 7k % 181)
+    lattice, key-filtered to k % 7 = 0 — the filter bounds the ORACLE's
+    cubic candidate-edge check (the engine is near-linear; the
+    quadratics live only in DuckDB, the catalog's standing rule).
+    Degenerate shapes occur in the graded data across SFs: sf0.001 has
+    single-point nations (self-loop edge, area 0), and any all-collinear
+    group grades as the two extremes with both directed edges.
+
+    Engine (exact int64 end-to-end): ONE mapInPandas pre-reduce computes
+    each partition's LOCAL hull per group — lossless, because a point
+    that is not a vertex of its partition-local hull lies in
+    conv(partition peers) ⊆ conv(group), so it cannot be a global
+    vertex; survivors are O(hull size) per (partition, group), which is
+    what makes the final per-group applyInPandas safe at 100 TB (the
+    shuffle carries hull candidates, never the point cloud — the
+    classic two-level distributed hull). The finalize stage re-runs the
+    same strict-turn monotone chain (`_hull_ccw`, pop on cross ≤ 0, so
+    collinear mid-edge points are never vertices) and emits the CCW
+    ring edges.
+
+    Oracle: the maximal-edge characterization, independently — a
+    directed edge (p, q) is a CCW hull edge iff every other group point
+    is strictly LEFT of it, or collinear AND strictly inside the
+    segment's bbox (so only the MAXIMAL collinear edge survives, and
+    its interior points are not vertices — exactly the strict-chain
+    semantics). Reference parity: PostGIS ST_ConvexHull
+    (reference backend uses geometry(Polygon,4326) columns,
+    load_data.py:79; the hull is the canonical geometry aggregate over
+    point sets)."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_nationkey").cast("long").alias("g"),
+            (F.col("c_custkey") % 173).cast("long").alias("x"),
+            ((F.col("c_custkey") * 7) % 181).cast("long").alias("y"),
+        )
+        .distinct()
+    )
+    cand = pts.mapInPandas(_hull_local_reduce, _HULL_PTS_SCHEMA)
+    res = cand.groupBy("g").applyInPandas(_hull_finalize, _HULL_OUT_SCHEMA)
+    return res.orderBy("g", "x", "y", "nx", "ny").select(
+        F.col("g").alias("n_nationkey"),
+        "x", "y", "nx", "ny", "n_vertices", "area2",
+    )

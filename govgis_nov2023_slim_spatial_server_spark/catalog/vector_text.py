@@ -1071,6 +1071,168 @@ def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dup_groups(d.unionByName(dups), "text", "doc_id")
 
 
+def _winnow_oracle_sql() -> str:
+    """DuckDB mirror of the winnowing selection — ALL list ops at the doc
+    level (no unnest, no join: the r15 list-lambda corruption class needs
+    an unnest that later joins; this oracle never leaves the row)."""
+    from ..functions.text import _FP_BASE, _FP_MOD
+
+    tok_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {_FP_BASE} + b) % {_FP_MOD}) % 4294967296"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    h AS (
+      SELECT doc_id, len(tk) AS nt,
+             list_transform(tk, t -> {tok_hash}) AS hs
+      FROM toks WHERE len(tk) >= 3),
+    g AS (
+      SELECT doc_id, nt - 2 AS ng,
+             list_transform(range(1, nt - 1), i ->
+               (hs[i] * 1000003 + hs[i + 1] * 8191 + hs[i + 2])
+                 % 4294967296) AS gk
+      FROM h),
+    s AS (
+      SELECT doc_id, ng, gk,
+             list_distinct(list_transform(
+               range(1, GREATEST(ng - 3, 1) + 1), i ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                range(i, LEAST(i + 3, ng) + 1)),
+                   (acc, j) -> CASE WHEN acc = 0 THEN j
+                                    WHEN gk[j] <= gk[acc] THEN j
+                                    ELSE acc END))) AS sel
+      FROM g)
+    SELECT doc_id,
+           CAST(ng AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_fps,
+           CAST(list_sum(list_transform(sel, p -> gk[p])) AS BIGINT)
+             AS fp_sum
+    FROM s
+    ORDER BY doc_id
+    """
+
+
+@query("winnowing_fingerprints", _winnow_oracle_sql())
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (the MOSS fingerprinting scheme, Schleimer et al.
+    SIGMOD'03) — the guarantee-bearing document fingerprinter the dedup
+    family lacked: `fingerprint_dup_groups` hashes the WHOLE document
+    (exact dup only), MinHash samples grams with no positional guarantee;
+    winnowing selects, from every window of w = 4 consecutive token
+    3-gram hashes, the RIGHTMOST minimal hash — so any shared substring
+    of at least k + w - 1 = 6 tokens is guaranteed to contribute at
+    least one common fingerprint, while storing ~2/(w+1) of the grams.
+
+    Selection (identical positional form both engines): gram key
+    gk[i] = (h(tok_i)·1000003 + h(tok_{i+1})·8191 + h(tok_{i+2})) mod 2³²
+    where h is the catalog's cross-engine polynomial char fold
+    (functions.text fingerprint arithmetic, mod 2^54−33 then 2³²);
+    window i ∈ [1, max(ng−3, 1)] spans grams [i, min(i+3, ng)] (short
+    docs get one whole-doc window), and the pick is the fold
+    acc ← j if gk[j] ≤ gk[acc] (≤ = rightmost tie, the winnowing
+    paper's rule). Fingerprints = DISTINCT selected positions; the
+    graded columns are per-doc counts plus the sum of selected gram
+    keys — collisions (mod 2³² keys) affect both engines identically,
+    so ties stay deterministic. Overflow: gk < 2³², per-term products
+    < 2⁵², fp_sum < nt·2³² ≪ 2⁶³ under ANSI.
+
+    Engine: everything is JVM-side array HOFs in ONE projection over
+    the scan — zero Exchange, zero Python; toks → hs → gk → sel chain
+    through nested `hashes._let` bindings so CollapseProject cannot
+    re-inline the token-hash fold into each of its gram references
+    (the measured 25× MinHash lesson). 100 TB shape: map-only, embar-
+    rassingly parallel per document; the fingerprint INDEX (posting
+    list per selected hash) is one groupBy away, as inverted_index_
+    postings demonstrates on raw terms."""
+    from ..functions.hashes import _let
+    from ..functions.text import _FP_BASE, _FP_MOD
+
+    d = _t(spark, sf_dir, "documents")
+    toks_col = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+    def tok_hash(t):
+        return F.pmod(
+            F.aggregate(
+                F.filter(F.split(t, ""), lambda c: c != ""),
+                F.lit(0).cast("long"),
+                lambda a, c: F.pmod(
+                    a * F.lit(_FP_BASE) + F.ascii(c).cast("long"),
+                    F.lit(_FP_MOD),
+                ),
+            ),
+            F.lit(1 << 32),
+        )
+
+    def el(arr, i):
+        return F.element_at(arr, i.cast("int"))
+
+    def body(toks):
+        nt = F.size(toks)
+        ng = nt - 2
+
+        def with_hs(hs):
+            gk_col = F.transform(
+                F.sequence(F.lit(1), ng),
+                lambda i: F.pmod(
+                    el(hs, i) * 1000003
+                    + el(hs, i + 1) * 8191
+                    + el(hs, i + 2),
+                    F.lit(1 << 32),
+                ),
+            )
+
+            def with_gk(gk):
+                sel_col = F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(ng - 3, F.lit(1))),
+                        lambda i: F.aggregate(
+                            F.sequence(i, F.least(i + 3, ng)),
+                            F.lit(0).cast("long"),
+                            lambda acc, j: F.when(acc == 0, j.cast("long"))
+                            .when(
+                                el(gk, j) <= el(gk, acc), j.cast("long")
+                            )
+                            .otherwise(acc),
+                        ),
+                    )
+                )
+
+                def with_sel(sel):
+                    return F.struct(
+                        ng.cast("long").alias("n_grams"),
+                        F.size(sel).cast("long").alias("n_fps"),
+                        F.aggregate(
+                            sel,
+                            F.lit(0).cast("long"),
+                            lambda a, p: a + el(gk, p),
+                        ).alias("fp_sum"),
+                    )
+
+                return _let(sel_col, with_sel)
+
+            return _let(gk_col, with_gk)
+
+        return _let(F.transform(toks, tok_hash), with_hs)
+
+    return (
+        d.where(F.size(toks_col) >= 3)
+        .select("doc_id", _let(toks_col, body).alias("__w"))
+        .select(
+            "doc_id",
+            F.col("__w.n_grams").alias("n_grams"),
+            F.col("__w.n_fps").alias("n_fps"),
+            F.col("__w.fp_sum").alias("fp_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

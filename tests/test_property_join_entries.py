@@ -150,6 +150,11 @@ ENTRIES = [
     # produce the identical exact segment set, shoelace-vs-Green area,
     # and Umlaufsatz turning sum on every draw
     "spatial_clip_holed_boundary",
+    # r15 wave 2: convex hull ring edges — tiny random customer sets
+    # (3..15 keys) force the degenerate shapes (single-point nations,
+    # 2-point hulls, collinear runs) where the strict-chain engine and
+    # the maximal-edge oracle must agree on the exact edge set
+    "spatial_convex_hull_edges",
 ]
 
 REGIONS = ["AMERICA", "ASIA", "EUROPE"]

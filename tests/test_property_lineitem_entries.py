@@ -34,6 +34,11 @@ ENTRIES = [
     # ties, isolated/degenerate components, and the DIV floor recurrence
     # in ways the path-graph fixture can't
     "pagerank_power_iters",
+    # r15 wave 2: BFS levels — the 13-key co-order graphs are dense, so
+    # random draws exercise immediate saturation (everything level ≤ 1),
+    # seedless corpora (partkey 1 absent ⇒ empty result), and isolated
+    # seed nodes (single-line orders at level 0)
+    "graph_bfs_levels",
     # r13: weighted exact quantiles — random weights/prices force
     # weighted-rank boundaries onto tie groups (RANGE framing) and
     # single-row / single-flag groups

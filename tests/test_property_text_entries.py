@@ -41,6 +41,10 @@ ENTRIES = [
     # cascading rank interactions; engine HOF rewrite and oracle CTE
     # chain must agree on every draw
     "bpe_encode_merges",
+    # r15 wave 2: MOSS winnowing — random word soups force short docs
+    # (single whole-doc windows), repeated words (gram-key ties → the
+    # rightmost-tie rule), and hash-adjacent grams on both engines
+    "winnowing_fingerprints",
     "bigram_top_counts",
     "token_counts",
     "doc_quality",

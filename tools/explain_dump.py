@@ -114,6 +114,13 @@ NOTES = {
     "nucleus_vocab_coverage": "map-combined token count absorbs the corpus; the rank/cumsum window sees only the VOCABULARY; the ≥90% cutoff is pure-integer (10·(cum−cnt) < 9·total) inside codegen.",
     "snapshot_diff_keys": "ONE full-outer SortMergeJoin on the key (both branch scans carry pushed key-modulo filters); class CASE + exact-cents coalesce are map-side; 4-group map-combined scorecard agg.",
     "asof_join_nearest": "union-sort trick run bidirectionally: ONE Exchange on user_id, TWO frames over the SAME window sort (last-ignorenulls backward, first-following forward); the nearest pick is a codegen int64 gap compare — no join node anywhere.",
+    "spatial_clip_holed_pairs": "holes completion of the clip family: TWO store-sized holed trapezoid decompositions (CW hole edges join the slab span sets — even-odd parity over the combined edge set IS shell-minus-hole), then the r13 convex kernel per (pieceA, pieceB) candidate after the cell equi-join; both NET piece-sum shoelaces ride the piece rows — THREE ArrowEvalPython nodes total, the general entry's plan shape with holed inputs.",
+    "spatial_clip_convex_rings": "geometry OUTPUT, snap-free: the same single-ArrowEval plan as spatial_clip_convex_pairs, but the kernel emits the exact boundary pieces; a CCW convex ring's 8-way direction classes are strictly increasing, so the per-pair sort IS the ring (chain closure asserted per positive pair); output explodes to ≤ 8 vertex rows per positive pair — posexplode, no window, no extra Exchange.",
+    "spatial_clip_holed_boundary": "the full geometry-output closure: subject-level cell-blocked candidates (NO decomposition explode — candidate rows are pairs, not piece pairs), ten scalar param columns through ONE ArrowEvalPython running the coverage sweep (∂(A∩B) = ∂A∩B ∪ ∂B∩A over signed convex components); directed segment rows out, shoelace area + Umlaufsatz turning ride along so ring topology grades without shipping ring ids.",
+    "bpe_encode_merges": "the scale move is visible as ONE Exchange to the DISTINCT-word vocabulary (merge chain runs per vocab entry, never per corpus token); fourteen chained JVM HOF rewrites stay in a single Project (each rank let-bound via hashes._let so CollapseProject cannot re-inline); merge table = plan literals, no Python, map-combined weighted agg after the final explode.",
+    "graph_bfs_levels": "the co-order edge set materializes ONCE (Scan ExistingRDD via localCheckpoint — three frontier joins would otherwise each rescan the lineitem self-join); each level is one BroadcastHashJoin of the node-sized frontier into the edge scan + a left-anti against visited; per-level localCheckpoints keep the loop's lineage flat.",
+    "winnowing_fingerprints": "map-only: token-hash → gram-key → window-selection chain is ONE Project of nested JVM HOFs over the documents scan (toks/hs/gk/sel each let-bound — CollapseProject cannot re-inline the char fold into its gram references); zero Join, zero hash-agg Exchange; the only Exchange is the output ORDER BY's rangepartitioning (plan-pinned in test_r15_wave2).",
+    "spatial_convex_hull_edges": "two Python stages by design: a mapInPandas partition-local hull pre-reduce (lossless — non-vertices of a local hull are interior to the group hull) so the groupBy(g) Exchange carries only hull candidates, then one applyInPandas strict monotone chain per group emitting the CCW ring edges; at 100 TB the shuffle is O(groups × hull size), never the point cloud.",
 }
 
 

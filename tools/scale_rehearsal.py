@@ -200,6 +200,19 @@ QUERIES_UNDER_TEST = {
     # piece explode), vectorized interval batch + per-POSITIVE-pair
     # chaining python; the siblings' output-driven regime
     "spatial_clip_holed_boundary": (["customer"], "docs"),
+    # r15 wave 3: BFS levels — edges grow ~N× (co-order pairs are
+    # within-order, orders replicate); the per-level frontier joins are
+    # edge-scan-bound, so α should track the edge build + checkpoint
+    "graph_bfs_levels": (["lineitem"], "fact"),
+    # r15 wave 3: winnowing — pure map work, α should approach the scan
+    # (per-doc HOF chains; suffixed replicas change keys, not shapes)
+    "winnowing_fingerprints": (["documents"], "docs"),
+    # r15 wave 3: convex hull — key-shifted replicas land on fresh
+    # lattice positions, so per-nation point counts grow N× while the
+    # HULL grows ~log-ish: the local pre-reduce should absorb the
+    # growth and the final per-group stage stay hull-sized (the
+    # textbook sublinear regime)
+    "spatial_convex_hull_edges": (["customer"], "docs"),
 }
 
 
