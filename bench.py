@@ -339,8 +339,16 @@ def _scan_partition_bytes(sf_dir: str) -> str:
     return str(mpb)
 
 
+# headline entries whose plan is a pure projection over the scan (no
+# join/agg between scan and output): df.count() would let Catalyst prune
+# the entire computation, so these are timed through a forced column hash
+_MAP_ONLY = {"winnowing_fingerprints"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
     from govgis_nov2023_slim_spatial_server_spark.catalog import QUERIES
     from govgis_nov2023_slim_spatial_server_spark.session import get_spark
 
@@ -388,7 +396,20 @@ def main() -> None:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            if name in _MAP_ONLY:
+                # count() lets Catalyst PRUNE a pure projection (the
+                # SCALING run-10 / run-20 measurement trap): force the
+                # output columns through a hash so the timed work is the
+                # query's actual work
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(
+                        f"bit_xor(xxhash64({', '.join(df.columns)}))"
+                    ).alias("h"),
+                ).collect()[0]
+                n = row["n"]
+            else:
+                n = df.count()
             dt = round(time.perf_counter() - t0, 3)
             samples[name].append(dt)
             print(f"# pass {rep + 1}: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)

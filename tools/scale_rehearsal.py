@@ -313,7 +313,7 @@ def _replicate(
 # Every other entry ends in an aggregate/top-k that consumes the computed
 # values, so count() drives the full plan there (same contract bench.py
 # documents).
-_FORCE_EVAL = {"spatial_area_centroid"}
+_FORCE_EVAL = {"spatial_area_centroid", "winnowing_fingerprints"}
 
 
 def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
