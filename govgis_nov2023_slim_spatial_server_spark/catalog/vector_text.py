@@ -1073,8 +1073,27 @@ def fingerprint_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_oracle_sql() -> str:
     """DuckDB mirror of the winnowing selection — ALL list ops at the doc
-    level (no unnest, no join: the r15 list-lambda corruption class needs
-    an unnest that later joins; this oracle never leaves the row)."""
+    level, and the per-window pick is LAMBDA-FREE (encoded list_min).
+
+    Two DuckDB 1.0 corruption classes shape this oracle (CLAUDE.md
+    conventions): (1) list lambdas over unnest-then-joined rows return
+    stale vectors — this oracle never unnests; (2) THE r15 WAVE-3 FIND:
+    a `list_reduce` nested inside `list_transform` whose input or body
+    touches a CAPTURED list column (``gk[j]``, ``list_slice(zp, i, …)``,
+    even a pre-sliced window passed as the outer lambda VARIABLE when
+    its elements are structs) misindexes across rows when the source is
+    a parquet scan — doc 2's fold read doc 1's keys, found by the
+    property suite on a 2-doc corpus and plan-shape-dependent (inline
+    VALUES are correct, 500-doc corpora are correct; the 2-row parquet
+    layout corrupts). The safe forms, all used here: single-level
+    list_transform capturing columns (hs→gk→enc, each verified), a
+    nested reduce whose data flows ONLY through the lambda variable
+    (the per-token char fold), and per-window picks via the lambda-free
+    ``list_min`` over windows materialized by a single-level slice.
+    Rightmost-min is order-embedded into the encoding:
+    enc[j] = gk[j]·2²⁶ + (2²⁶−1−j), so min(enc) = (min key, max j);
+    the 2²⁶ bound (67M grams/doc) is asserted nowhere because gk < 2³²
+    keeps enc < 2⁵⁸ and no graded corpus approaches it."""
     from ..functions.text import _FP_BASE, _FP_MOD
 
     tok_hash = (
@@ -1097,17 +1116,21 @@ def _winnow_oracle_sql() -> str:
                (hs[i] * 1000003 + hs[i + 1] * 8191 + hs[i + 2])
                  % 4294967296) AS gk
       FROM h),
+    z AS (
+      SELECT doc_id, ng, gk,
+             list_transform(range(1, ng + 1), j ->
+               gk[j] * 67108864 + (67108863 - j)) AS enc
+      FROM g),
+    w AS (
+      SELECT doc_id, ng, gk,
+             list_transform(range(1, GREATEST(ng - 3, 1) + 1), i ->
+               list_slice(enc, i, LEAST(i + 3, ng))) AS wins
+      FROM z),
     s AS (
       SELECT doc_id, ng, gk,
-             list_distinct(list_transform(
-               range(1, GREATEST(ng - 3, 1) + 1), i ->
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                                range(i, LEAST(i + 3, ng) + 1)),
-                   (acc, j) -> CASE WHEN acc = 0 THEN j
-                                    WHEN gk[j] <= gk[acc] THEN j
-                                    ELSE acc END))) AS sel
-      FROM g)
+             list_distinct(list_transform(wins, win ->
+               67108863 - (list_min(win) % 67108864))) AS sel
+      FROM w)
     SELECT doc_id,
            CAST(ng AS BIGINT) AS n_grams,
            CAST(len(sel) AS BIGINT) AS n_fps,
@@ -1134,9 +1157,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     where h is the catalog's cross-engine polynomial char fold
     (functions.text fingerprint arithmetic, mod 2^54−33 then 2³²);
     window i ∈ [1, max(ng−3, 1)] spans grams [i, min(i+3, ng)] (short
-    docs get one whole-doc window), and the pick is the fold
-    acc ← j if gk[j] ≤ gk[acc] (≤ = rightmost tie, the winnowing
-    paper's rule). Fingerprints = DISTINCT selected positions; the
+    docs get one whole-doc window), and the pick minimizes the
+    order-embedded encoding enc[j] = gk[j]·2²⁶ + (2²⁶−1−j) — min(enc)
+    IS (min key, rightmost position), the winnowing paper's tie rule,
+    with no per-window fold (the first fold-based oracle form was the
+    r15 wave-3 property find: DuckDB 1.0 misindexes a reduce nested in
+    a transform against captured list columns on parquet-scanned rows —
+    see _winnow_oracle_sql). Fingerprints = DISTINCT selected
+    positions; the
     graded columns are per-doc counts plus the sum of selected gram
     keys — collisions (mod 2³² keys) affect both engines identically,
     so ties stay deterministic. Overflow: gk < 2³², per-term products
@@ -1188,33 +1216,50 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
             def with_gk(gk):
-                sel_col = F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(ng - 3, F.lit(1))),
-                        lambda i: F.aggregate(
-                            F.sequence(i, F.least(i + 3, ng)),
-                            F.lit(0).cast("long"),
-                            lambda acc, j: F.when(acc == 0, j.cast("long"))
-                            .when(
-                                el(gk, j) <= el(gk, acc), j.cast("long")
-                            )
-                            .otherwise(acc),
-                        ),
-                    )
+                # rightmost-min via the order-embedded encoding (same
+                # form as the oracle): enc[j] = gk[j]·2²⁶ + (2²⁶−1−j),
+                # window pick = native array_min over a slice — one JVM
+                # call per window instead of a w-step interpreted fold
+                enc_col = F.transform(
+                    F.sequence(F.lit(1), ng),
+                    lambda j: el(gk, j) * F.lit(67108864).cast("long")
+                    + (F.lit(67108863) - j).cast("long"),
                 )
 
-                def with_sel(sel):
-                    return F.struct(
-                        ng.cast("long").alias("n_grams"),
-                        F.size(sel).cast("long").alias("n_fps"),
-                        F.aggregate(
-                            sel,
-                            F.lit(0).cast("long"),
-                            lambda a, p: a + el(gk, p),
-                        ).alias("fp_sum"),
+                def with_enc(enc):
+                    sel_col = F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.greatest(ng - 3, F.lit(1))
+                            ),
+                            lambda i: F.lit(67108863).cast("long")
+                            - F.pmod(
+                                F.array_min(
+                                    F.slice(
+                                        enc,
+                                        i,
+                                        F.least(i + 3, ng) - i + 1,
+                                    )
+                                ),
+                                F.lit(67108864),
+                            ),
+                        )
                     )
 
-                return _let(sel_col, with_sel)
+                    def with_sel(sel):
+                        return F.struct(
+                            ng.cast("long").alias("n_grams"),
+                            F.size(sel).cast("long").alias("n_fps"),
+                            F.aggregate(
+                                sel,
+                                F.lit(0).cast("long"),
+                                lambda a, p: a + el(gk, p),
+                            ).alias("fp_sum"),
+                        )
+
+                    return _let(sel_col, with_sel)
+
+                return _let(enc_col, with_enc)
 
             return _let(gk_col, with_gk)
 
