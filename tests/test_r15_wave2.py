@@ -250,6 +250,31 @@ class TestWinnowingFingerprints:
         exchanges = re.findall(r"Exchange (\w+)", plan)
         assert all(e == "rangepartitioning" for e in exchanges), exchanges
 
+    def test_two_doc_parquet_falsifier(self, spark):
+        """The r15 wave-3 property find, pinned: on THIS exact 2-doc
+        corpus read from PARQUET, DuckDB 1.0's fold-based oracle form
+        read doc 1's gram keys while folding doc 2's window (doc 2's
+        unique minimum sits at position 1; the corrupted fold returned
+        position 2 — one ulp of fp_sum). Inline VALUES and larger
+        corpora masked it: the corruption is vector-layout-dependent.
+        Engine and the lambda-free encoded-min oracle must both pick
+        position 1 (fp_sum = the aaa gram key, 97794915)."""
+        texts = ["a a a a", "a a a b a a"]
+        got = self._run(spark, texts)
+        assert got[2] == (4, 1, 97794915), got
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(texts, d)
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')"
+            )
+            want = con.execute(
+                ORACLES["winnowing_fingerprints"]
+            ).fetchall()
+            con.close()
+        assert sorted(want) == [(1, 2, 1, 97794915), (2, 4, 1, 97794915)]
+
 
 def _write_customer(custkeys, nationkeys, dirname: str) -> None:
     df = pd.DataFrame(
@@ -435,27 +460,3 @@ class TestConvexHullEdges:
         assert len(got) > 5
         assert got == want
 
-    def test_two_doc_parquet_falsifier(self, spark):
-        """The r15 wave-3 property find, pinned: on THIS exact 2-doc
-        corpus read from PARQUET, DuckDB 1.0's fold-based oracle form
-        read doc 1's gram keys while folding doc 2's window (doc 2's
-        unique minimum sits at position 1; the corrupted fold returned
-        position 2 — one ulp of fp_sum). Inline VALUES and larger
-        corpora masked it: the corruption is vector-layout-dependent.
-        Engine and the lambda-free encoded-min oracle must both pick
-        position 1 (fp_sum = the aaa gram key, 97794915)."""
-        texts = ["a a a a", "a a a b a a"]
-        got = self._run(spark, texts)
-        assert got[2] == (4, 1, 97794915), got
-        with tempfile.TemporaryDirectory() as d:
-            _write_docs(texts, d)
-            con = duckdb.connect()
-            con.execute(
-                "CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{d}/documents.parquet')"
-            )
-            want = con.execute(
-                ORACLES["winnowing_fingerprints"]
-            ).fetchall()
-            con.close()
-        assert sorted(want) == [(1, 2, 1, 97794915), (2, 4, 1, 97794915)]
