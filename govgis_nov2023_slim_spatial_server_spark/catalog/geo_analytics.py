@@ -2568,27 +2568,55 @@ def spatial_clip_convex_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bx + s).cast("double").alias("xmax"),
         (by + s).cast("double").alias("ymax"),
     )
-    from ..functions.spatial import make_convex_clip_ring_udf
+    from ..functions.spatial import clip_ring_rows_batch
 
     pairs = grid_blocked_overlap_join(a, b, cell=32.0)
-    st = make_convex_clip_ring_udf()(
-        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    sel = pairs.select(
+        "akey", F.col("bkey_r").alias("bkey"),
+        "axs", "ays", "bxs_r", "bys_r",
     )
-    return (
-        pairs.select("akey", F.col("bkey_r").alias("bkey"), st.alias("st"))
-        .where(F.col("st.area_e4") > 0)
-        .select(
-            "akey", "bkey",
-            F.col("st.area_e4").alias("area_e4"),
-            F.posexplode(F.arrays_zip("st.vxs", "st.vys")).alias("pos", "v"),
-        )
-        .select(
-            "akey", "bkey",
-            (F.col("pos") + 1).cast("long").alias("v_idx"),
-            F.col("v.vxs").alias("vx2"),
-            F.col("v.vys").alias("vy2"),
-            "area_e4",
-        )
+
+    # mapInPandas instead of a struct-returning pandas UDF (r15
+    # optimization): ~90% of candidate pairs are positive at bench
+    # scale (251k of 279k), so the original per-positive Python ring
+    # assembly + object-list Arrow serialization dominated the entry;
+    # the vectorized kernel emits the exploded vertex rows directly as
+    # flat int64 columns — no Python loop, no posexplode stage.
+    def _ring_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+
+            def _mat(col):
+                flat = np.concatenate(col.to_numpy()).astype(
+                    np.int64, copy=False
+                )
+                return flat.reshape(len(col), -1)
+
+            axm, aym = _mat(pdf["axs"]), _mat(pdf["ays"])
+            bxm, bym = _mat(pdf["bxs_r"]), _mat(pdf["bys_r"])
+            pos, ae4, ri, vidx, vx, vy = clip_ring_rows_batch(
+                axm, aym, bxm, bym
+            )
+            if not len(ri):
+                continue
+            yield pd.DataFrame(
+                {
+                    "akey": pdf["akey"].to_numpy()[pos][ri],
+                    "bkey": pdf["bkey"].to_numpy()[pos][ri],
+                    "v_idx": vidx.astype(np.int64),
+                    "vx2": vx,
+                    "vy2": vy,
+                    "area_e4": ae4[ri],
+                }
+            )
+
+    return sel.mapInPandas(
+        _ring_rows,
+        "akey long, bkey long, v_idx long, vx2 long, vy2 long, "
+        "area_e4 long",
     )
 
 

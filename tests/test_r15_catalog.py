@@ -382,10 +382,15 @@ class TestConvexClipRings:
             assert classes == sorted(classes)
         assert pos > 100
 
-    def test_plan_one_arrow_node(self, spark):
+    def test_plan_one_python_node(self, spark):
+        """One Python boundary total (r15 optimization: the
+        struct-returning pandas UDF + posexplode became a single
+        mapInPandas emitting the vertex rows directly — the per-pair
+        ring kernel still runs exactly once per candidate)."""
         df = QUERIES["spatial_clip_convex_rings"](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ArrowEvalPython") == 1, plan
+        assert plan.count("MapInPandas") == 1, plan
+        assert "ArrowEvalPython" not in plan, plan
 
     def test_sf0001_oracle_parity(self, spark):
         con = duckdb.connect()
