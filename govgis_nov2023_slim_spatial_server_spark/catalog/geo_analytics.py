@@ -3041,29 +3041,48 @@ def spatial_clip_holed_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bx + r).cast("double").alias("xmax"),
         (by + r).cast("double").alias("ymax"),
     )
-    from ..functions.spatial import make_holed_boundary_udf
+    from ..functions.spatial import holed_boundary_rows_batch
 
     pairs = grid_blocked_overlap_join(a, b, cell=64.0)
-    st = make_holed_boundary_udf()(
-        F.col("pax"), F.col("pay"), F.col("par"), F.col("pad"), F.col("pas"),
-        F.col("pbx_r"), F.col("pby_r"), F.col("pbr_r"), F.col("pbd_r"),
-        F.col("pbs_r"),
+    sel = pairs.select(
+        "akey", F.col("bkey_r").alias("bkey"),
+        "pax", "pay", "par", "pad", "pas",
+        "pbx_r", "pby_r", "pbr_r", "pbd_r", "pbs_r",
     )
-    return (
-        pairs.select("akey", F.col("bkey_r").alias("bkey"), st.alias("st"))
-        .where(F.col("st.area_e4") > 0)
-        .select(
-            "akey", "bkey",
-            F.col("st.area_e4").alias("area_e4"),
-            F.col("st.turning8").alias("turning8"),
-            F.explode("st.segs").alias("s"),
-        )
-        .select(
-            "akey", "bkey",
-            F.col("s.x1_2").alias("x1_2"), F.col("s.y1_2").alias("y1_2"),
-            F.col("s.x2_2").alias("x2_2"), F.col("s.y2_2").alias("y2_2"),
-            "area_e4", "turning8",
-        )
+
+    # mapInPandas instead of a struct-returning pandas UDF (r15
+    # optimization): the per-positive-pair Python chaining loop and the
+    # object-list segs serialization dominated the entry; the
+    # vectorized kernel (successor matching + pointer-doubling ring
+    # labeling, same loud Umlaufsatz asserts) emits the boundary
+    # segment rows directly as flat int64 columns — no explode stage.
+    def _boundary_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = [
+                pdf[c].to_numpy().astype(np.int64)
+                for c in ("pax", "pay", "par", "pad", "pas",
+                          "pbx_r", "pby_r", "pbr_r", "pbd_r", "pbs_r")
+            ]
+            ri, x1, y1, x2, y2, a4, t8 = holed_boundary_rows_batch(*cols)
+            if not len(ri):
+                continue
+            yield pd.DataFrame(
+                {
+                    "akey": pdf["akey"].to_numpy()[ri],
+                    "bkey": pdf["bkey"].to_numpy()[ri],
+                    "x1_2": x1, "y1_2": y1, "x2_2": x2, "y2_2": y2,
+                    "area_e4": a4, "turning8": t8,
+                }
+            )
+
+    return sel.mapInPandas(
+        _boundary_rows,
+        "akey long, bkey long, x1_2 long, y1_2 long, x2_2 long, "
+        "y2_2 long, area_e4 long, turning8 long",
     )
 
 

@@ -1617,6 +1617,94 @@ def boundary_fragments_batch(edges, comps):
     )
 
 
+def holed_boundary_rows_batch(axv, ayv, rav, dav, sav, bxv, byv, rbv,
+                              dbv, sbv):
+    """Fully VECTORIZED form of the holed-boundary kernel (r15
+    optimization round): ten int64 parameter vectors in, the positive
+    pairs' complete exact boundaries out as flat COO arrays —
+    ``(ri, fx1, fy1, fx2, fy2, a4, t8)`` where ``ri`` indexes the batch
+    and ``a4``/``t8`` are per-FRAGMENT copies of the pair's area_e4 and
+    turning8 (ready to emit as rows).
+
+    Replaces the per-positive-pair Python chaining loop of
+    ``make_holed_boundary_udf`` (dict-based successor walks over tuple
+    lists ran per pair ≈ the entry's dominant cost at bench scale).
+    The loud structural asserts carry over, vectorized:
+    - every fragment start is UNIQUE per pair (vertex degree ≤ 2) and
+      every fragment end matches exactly one start (degree ≥ 2) — so
+      the successor map is a permutation and every chain closes;
+    - cycles are labeled by pointer-doubling over the successor map and
+      every ring's exterior turning must be exactly ±8 (Hopf
+      Umlaufsatz), with ``turning8`` the per-pair sum.
+    Fragment values are bit-identical to the scalar path (pinned by the
+    entry's oracle and the Fraction property tests)."""
+    n = len(axv)
+    edges_a, comps_a = _donut_geom_np(axv, ayv, rav, dav, sav == 1)
+    edges_b, comps_b = _donut_geom_np(bxv, byv, rbv, dbv, sbv == 1)
+    ri_a, x1a, y1a, x2a, y2a = boundary_fragments_batch(edges_a, comps_b)
+    ri_b, x1b, y1b, x2b, y2b = boundary_fragments_batch(edges_b, comps_a)
+    ri = np.concatenate([ri_a, ri_b])
+    fx1 = np.concatenate([x1a, x1b])
+    fy1 = np.concatenate([y1a, y1b])
+    fx2 = np.concatenate([x2a, x2b])
+    fy2 = np.concatenate([y2a, y2b])
+    area8 = np.zeros(n, dtype=np.int64)
+    np.add.at(area8, ri, fx1 * fy2 - fy1 * fx2)
+    keep = area8[ri] > 0
+    ri, fx1, fy1, fx2, fy2 = (
+        a[keep] for a in (ri, fx1, fy1, fx2, fy2)
+    )
+    m = len(ri)
+    z = np.zeros(0, dtype=np.int64)
+    if not m:
+        return z, z, z, z, z, z, z
+    # direction class per fragment (store family: axis + 45° only)
+    dx, dy = fx2 - fx1, fy2 - fy1
+    dc = np.where(
+        dy == 0,
+        np.where(dx > 0, 0, 4),
+        np.where(
+            dy > 0,
+            np.where(dx == 0, 2, np.where(dx > 0, 1, 3)),
+            np.where(dx == 0, 6, np.where(dx < 0, 5, 7)),
+        ),
+    )
+    # successor matching on composite (pair, vertex) keys: ×2 coords of
+    # the holed store are < 2^15 in magnitude, so (ri, x+OFF, y+OFF)
+    # packs into int64 with headroom
+    off = np.int64(1) << 15
+    if np.any((np.abs(fx1) >= off) | (np.abs(fy1) >= off)
+              | (np.abs(fx2) >= off) | (np.abs(fy2) >= off)):
+        raise ValueError("boundary coordinates exceed the packing bound")
+    kstart = (ri << 32) | ((fx1 + off) << 16) | (fy1 + off)
+    kend = (ri << 32) | ((fx2 + off) << 16) | (fy2 + off)
+    order = np.argsort(kstart, kind="stable")
+    ks = kstart[order]
+    if np.any(ks[1:] == ks[:-1]):
+        raise ValueError("boundary vertex degree > 2")
+    pos = np.searchsorted(ks, kend)
+    if np.any(pos >= m) or np.any(ks[np.minimum(pos, m - 1)] != kend):
+        raise ValueError("open boundary chain")
+    succ = order[pos]
+    turn = ((dc[succ] - dc + 12) % 8) - 4
+    t8 = np.zeros(n, dtype=np.int64)
+    np.add.at(t8, ri, turn)
+    # cycle labeling by pointer-doubling: rep[i] = min index on i's ring
+    rep = np.arange(m, dtype=np.int64)
+    hop = succ
+    steps = 1
+    while steps < m:
+        rep = np.minimum(rep, rep[hop])
+        hop = hop[hop]
+        steps *= 2
+    ring_turn = np.zeros(m, dtype=np.int64)
+    np.add.at(ring_turn, rep, turn)
+    roots = rep == np.arange(m)
+    if not np.all(np.isin(ring_turn[roots], (8, -8))):
+        raise ValueError("ring turning not ±8 — not simple")
+    return ri, fx1, fy1, fx2, fy2, area8[ri] * 1250, t8[ri]
+
+
 def make_holed_boundary_udf():
     """Boundary-reconstruction kernel for the holed clip family: store
     PARAMS in (ten scalar int64 columns — the polygons never cross

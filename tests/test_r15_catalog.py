@@ -514,10 +514,15 @@ class TestHoledBoundary:
                     assert got is want, (f, px, py)
         assert pos > 80 and multi > 10 and holes > 10
 
-    def test_plan_one_arrow_node(self, spark):
+    def test_plan_one_python_node(self, spark):
+        """One Python boundary total (r15 optimization: the
+        struct-returning pandas UDF + explode became a single
+        mapInPandas emitting segment rows; the vectorized successor
+        matching keeps the degree-2 / Umlaufsatz asserts)."""
         df = QUERIES["spatial_clip_holed_boundary"](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ArrowEvalPython") == 1, plan
+        assert plan.count("MapInPandas") == 1, plan
+        assert "ArrowEvalPython" not in plan, plan
 
     def test_batch_fragments_equal_scalar_path(self):
         """The vectorized production path (`boundary_fragments_batch`
@@ -590,6 +595,74 @@ class TestHoledBoundary:
             if sc:
                 nonempty += 1
         assert nonempty > 150
+
+    def test_rows_batch_equals_scalar_chaining(self):
+        """The r15-optimization vectorized kernel
+        (`holed_boundary_rows_batch`: successor matching +
+        pointer-doubling ring labeling) must agree with the scalar
+        chain path (`chain_boundary_rings`) on 300 random store pairs:
+        identical positive-pair fragment multisets, areas, and
+        turning8 — and it must keep only area-positive pairs."""
+        import numpy as np
+
+        from govgis_nov2023_slim_spatial_server_spark.functions.spatial import (
+            chain_boundary_rings,
+            donut_notched_polys,
+            holed_boundary_rows_batch,
+            region_boundary_fragments,
+        )
+
+        rng = random.Random(91552)
+        params = []
+        for _ in range(300):
+            ax, ay = 8 * rng.randrange(0, 14), 8 * rng.randrange(0, 14)
+            params.append((
+                ax, ay, rng.choice((32, 40)), rng.choice((8, 16)),
+                rng.choice((1, 3)),
+                ax + 8 * rng.randrange(-9, 10) + 2,
+                ay + 8 * rng.randrange(-9, 10) + 4,
+                rng.choice((32, 40)), rng.choice((8, 16)),
+                rng.choice((1, 3)),
+            ))
+        cols = [
+            np.array([p[i] for p in params], dtype=np.int64)
+            for i in range(10)
+        ]
+        ri, x1, y1, x2, y2, a4, t8 = holed_boundary_rows_batch(*cols)
+        got: dict = {}
+        for k in range(len(ri)):
+            e = got.setdefault(int(ri[k]), [set(), None, None])
+            e[0].add((int(x1[k]), int(y1[k]), int(x2[k]), int(y2[k])))
+            e[1], e[2] = int(a4[k]), int(t8[k])
+        pos_pairs = 0
+        for i, p in enumerate(params):
+            ax, ay, ra, da, sa, bx, by, rb, db, sb = p
+            A12, Ah, Oa, Na = donut_notched_polys(ax, ay, ra, da, sa == 1)
+            B12, Bh, Ob, Nb = donut_notched_polys(bx, by, rb, db, sb == 1)
+
+            def _edges(ring, hole):
+                m = len(ring)
+                es = [(ring[k], ring[(k + 1) % m]) for k in range(m)]
+                h = len(hole)
+                es += [(hole[(k + 1) % h], hole[k]) for k in range(h)]
+                return es
+
+            frags = region_boundary_fragments(
+                _edges(A12, Ah), [(Ob, 1), (Nb, -1), (Bh, -1)]
+            ) + region_boundary_fragments(
+                _edges(B12, Bh), [(Oa, 1), (Na, -1), (Ah, -1)]
+            )
+            a8 = sum(f[0] * f[3] - f[1] * f[2] for f in frags)
+            if a8 <= 0:
+                assert i not in got, (i, p)
+                continue
+            pos_pairs += 1
+            _, a8c, turning8 = chain_boundary_rings(frags)
+            assert a8c == a8
+            assert got[i][0] == set(frags), (i, p)
+            assert got[i][1] == a8 * 1250, (i, p)
+            assert got[i][2] == turning8, (i, p)
+        assert pos_pairs > 80
 
     def test_sf0001_oracle_parity(self, spark):
         con = duckdb.connect()
