@@ -47,6 +47,7 @@ from ..functions.spatial import (
 )
 from ..operators.spatial_join import grid_blocked_overlap_join
 from ..schemas import load_table
+from ..session import ensure_min_partitions
 from ..sources.ingest import derive_bbox
 from ._registry import query
 from ._store_cache import MaterializedStoreCache, store_width
@@ -2251,10 +2252,18 @@ def spatial_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ay + r - 4, ay + 4, ay + 4, ay - 4, ay - 4, ay - r + 4,
     )
     is_bottom = ck % 4 == 1
-    a = c.where(ck % 2 == 1).select(
-        ck.alias("akey"),
-        F.when(is_bottom, bottom_xs).otherwise(left_xs).alias("sxs"),
-        F.when(is_bottom, bottom_ys).otherwise(left_ys).alias("sys"),
+    # spread the store before the decompose UDF: the single-file
+    # customer scan is ONE partition at bench scale, which serialized
+    # the store-sized Python decomposition onto one core (r15
+    # optimization round measurement; the downstream kernel was always
+    # parallel because the grid join shuffles first). At 100 TB the
+    # scan carries thousands of splits and this is a no-op.
+    a = ensure_min_partitions(
+        c.where(ck % 2 == 1).select(
+            ck.alias("akey"),
+            F.when(is_bottom, bottom_xs).otherwise(left_xs).alias("sxs"),
+            F.when(is_bottom, bottom_ys).otherwise(left_ys).alias("sys"),
+        )
     )
     from ..functions.spatial import (
         make_convex_clip_stats_udf,
@@ -3182,10 +3191,16 @@ def spatial_clip_holed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ax, ay = (8 * (ck % 641)).cast("long"), (8 * (ck % 677)).cast("long")
     axs, ays = _notched_octagon_arrays(ax, ay, r, d, ck % 4 == 1)
     ahx, ahy = _hole_arrays(ax, ay)
+    # ensure_min_partitions: the single-file customer scan is ONE
+    # partition at bench scale, serializing both store-sized Python
+    # decompositions onto one core each (r15 optimization measurement);
+    # no-op at 100 TB where the scan carries thousands of splits.
     a = _pieces(
-        c.where(ck % 2 == 1).select(
-            ck.alias("akey"), axs.alias("sxs"), ays.alias("sys"),
-            ahx.alias("hxs"), ahy.alias("hys"),
+        ensure_min_partitions(
+            c.where(ck % 2 == 1).select(
+                ck.alias("akey"), axs.alias("sxs"), ays.alias("sys"),
+                ahx.alias("hxs"), ahy.alias("hys"),
+            )
         ),
         "akey", "subj2a", "axs", "ays",
     )
@@ -3194,9 +3209,11 @@ def spatial_clip_holed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bxs, bys = _notched_octagon_arrays(bx, by, r, d, ck % 4 == 0)
     bhx, bhy = _hole_arrays(bx, by)
     b = _pieces(
-        c.where(ck % 2 == 0).select(
-            ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys"),
-            bhx.alias("hxs"), bhy.alias("hys"),
+        ensure_min_partitions(
+            c.where(ck % 2 == 0).select(
+                ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys"),
+                bhx.alias("hxs"), bhy.alias("hys"),
+            )
         ),
         "bkey", "subj2b", "bxs", "bys",
     )
@@ -3303,9 +3320,15 @@ def spatial_clip_general_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (8 + 8 * (F.expr("c_custkey DIV 4") % 2)).cast("long")
     ax, ay = (8 * (ck % 569)).cast("long"), (8 * (ck % 587)).cast("long")
     axs, ays = _notched_octagon_arrays(ax, ay, r, d, ck % 4 == 1)
+    # ensure_min_partitions: the single-file customer scan is ONE
+    # partition at bench scale, serializing both store-sized Python
+    # decompositions onto one core each (r15 optimization measurement);
+    # no-op at 100 TB where the scan carries thousands of splits.
     a = _pieces(
-        c.where(ck % 2 == 1).select(
-            ck.alias("akey"), axs.alias("sxs"), ays.alias("sys")
+        ensure_min_partitions(
+            c.where(ck % 2 == 1).select(
+                ck.alias("akey"), axs.alias("sxs"), ays.alias("sys")
+            )
         ),
         "akey", "subj2a", "axs", "ays",
     )
@@ -3313,8 +3336,10 @@ def spatial_clip_general_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by = (8 * (ck % 599) + 4).cast("long")
     bxs, bys = _notched_octagon_arrays(bx, by, r, d, ck % 4 == 0)
     b = _pieces(
-        c.where(ck % 2 == 0).select(
-            ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys")
+        ensure_min_partitions(
+            c.where(ck % 2 == 0).select(
+                ck.alias("bkey"), bxs.alias("sxs"), bys.alias("sys")
+            )
         ),
         "bkey", "subj2b", "bxs", "bys",
     )
