@@ -1336,9 +1336,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer, so the whole frontier trajectory hash-compares
     bit-exactly.
 
-    Graph: the pagerank_power_iters co-order part graph verbatim
-    (DISTINCT co-order pairs; per-order fan-out bounded by order size,
-    so the self-join never goes quadratic in the table). Isolated
+    Graph: the pagerank_power_iters co-order part graph (per-order
+    fan-out bounded by order size, so the self-join never goes
+    quadratic in the table) — kept as MULTI-edges engine-side: BFS
+    needs only reachability and each level DISTINCTs its targets, so
+    the pair-level dedup shuffle is dropped (r15 optimization; the
+    oracle's DISTINCT pp is set-equivalent for levels). Isolated
     seed nodes (single-line orders) are level 0 — the node set is
     DISTINCT l_partkey, not just edge endpoints.
 
@@ -1366,8 +1369,13 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .distinct()
     )
+    # NO pair-level DISTINCT here (r15 optimization): BFS needs only
+    # reachability and every level DISTINCTs its target set, so a
+    # multi-edge changes nothing — the dedup bought ~10% fewer edges
+    # (1.35M -> 1.2M pairs at sf0.1) for a full shuffle + two-sided
+    # hash-agg of the self-join output. The pagerank sibling KEEPS its
+    # DISTINCT because degrees and messages there count edges.
     e = pp.select(
         F.explode(
             F.array(
