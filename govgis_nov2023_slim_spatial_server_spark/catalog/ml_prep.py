@@ -313,6 +313,10 @@ def ngram_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select(
         "doc_id", F.size("s").alias("sz"), F.explode("s").alias("shs")
     ).select("doc_id", "sz", F.xxhash64("shs").alias("sh"))
+    # localCheckpoint (r15 optimization): both self-join branches
+    # otherwise re-derive the scan+shingle+hash pass independently —
+    # one barrier halves the map-side work; fresh per invocation.
+    ex = ex.localCheckpoint(eager=False)
     a = ex.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
     )
@@ -375,6 +379,14 @@ def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
     ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shs")).select(
         "doc_id", F.xxhash64("shs").alias("sh")
     )
+    # localCheckpoint (r15 optimization): the explode+hash subtree feeds
+    # the hot-set aggregate AND every downstream reference of the kept
+    # frame — without the barrier Catalyst re-derives the whole
+    # scan+shingle+hash pass per reference (the capped containment
+    # entry's plan showed EIGHT documents scans: hot + sizes + both
+    # self-join branches, each with its own hot rebuild). Computed fresh
+    # per invocation; the 8-byte-keyed rows are ~MB-scale per 5k docs.
+    ex = ex.localCheckpoint(eager=False)
     hot = (
         ex.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -551,6 +563,11 @@ def substring_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
         F.xxhash64("gram").alias("sh"),
     )
+    # localCheckpoint (r15 optimization): the positional-gram subtree
+    # feeds the df aggregate and BOTH self-join branches — the barrier
+    # computes the scan+posexplode+hash pass once instead of three
+    # times; fresh per invocation.
+    grams = grams.localCheckpoint(eager=False)
     hot = (
         grams.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
