@@ -1894,6 +1894,59 @@ def spatial_intersection_snap_rings(spark: SparkSession, sf_dir: str) -> DataFra
 # Snap-free exact convex clipping (VERDICT r12 #5)
 # ---------------------------------------------------------------------------
 
+
+def _convex_store_mats(ax, ay, r, bx, by, s):
+    """Rebuild the convex store's vertex matrices from its generating
+    scalars — (n, 8) octagon and (n, 4) diamond int64 coordinate
+    arrays, identical element-for-element to the `F.array(...)` forms
+    the r13 entries shipped through the join (r15 optimization, guide
+    §2.3: the candidate join now moves 6 scalars per pair instead of
+    24 array elements, and the Arrow boundary crosses flat int64
+    columns instead of per-row list objects)."""
+    import numpy as np
+
+    oct_rx = np.array([-1, 1, 1, 1, 1, -1, -1, -1], dtype=np.int64)
+    oct_kx = np.array([4, -4, 0, 0, -4, 4, 0, 0], dtype=np.int64)
+    oct_ry = np.array([-1, -1, -1, 1, 1, 1, 1, -1], dtype=np.int64)
+    oct_ky = np.array([0, 0, 4, -4, 0, 0, -4, 4], dtype=np.int64)
+    dia_sx = np.array([1, 0, -1, 0], dtype=np.int64)
+    dia_sy = np.array([0, 1, 0, -1], dtype=np.int64)
+    axm = ax[:, None] + r[:, None] * oct_rx + oct_kx
+    aym = ay[:, None] + r[:, None] * oct_ry + oct_ky
+    bxm = bx[:, None] + s[:, None] * dia_sx
+    bym = by[:, None] + s[:, None] * dia_sy
+    return axm, aym, bxm, bym
+
+
+def _convex_store_sides(c):
+    """The two convex-store side frames with SCALAR shape parameters
+    (plus the bbox columns the grid join blocks on) — shared by the
+    pair-stats and ring-output entries."""
+    ck = F.col("c_custkey")
+    r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
+    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
+    a = c.where(ck % 2 == 1).select(
+        ck.alias("akey"),
+        ax.alias("ax"), ay.alias("ay"), r.alias("ar"),
+        (ax - r).cast("double").alias("xmin"),
+        (ay - r).cast("double").alias("ymin"),
+        (ax + r).cast("double").alias("xmax"),
+        (ay + r).cast("double").alias("ymax"),
+    )
+    bx = (4 * (ck % 97) + 2).cast("long")
+    by = (4 * (ck % 103) + 2).cast("long")
+    s = (4 * (ck % 3) + 1).cast("long")
+    b = c.where(ck % 2 == 0).select(
+        ck.alias("bkey"),
+        bx.alias("bx"), by.alias("by"), s.alias("bs"),
+        (bx - s).cast("double").alias("xmin"),
+        (by - s).cast("double").alias("ymin"),
+        (bx + s).cast("double").alias("xmax"),
+        (by + s).cast("double").alias("ymax"),
+    )
+    return a, b
+
+
 _CLIP_SQL = """
     WITH a AS (
       SELECT c_custkey AS akey,
@@ -2023,54 +2076,51 @@ def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit: coords ≤ ~422, side values < 10⁵, cross-multiplied
     comparisons < 2·10⁹, scaled crosses < 2·10⁶, all << 2⁶³."""
     c = load_table(spark, sf_dir, "customer")
-    ck = F.col("c_custkey")
-    r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
-    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
-    a = c.where(ck % 2 == 1).select(
-        ck.alias("akey"),
-        F.array(
-            ax - r + 4, ax + r - 4, ax + r, ax + r,
-            ax + r - 4, ax - r + 4, ax - r, ax - r,
-        ).alias("axs"),
-        F.array(
-            ay - r, ay - r, ay - r + 4, ay + r - 4,
-            ay + r, ay + r, ay + r - 4, ay - r + 4,
-        ).alias("ays"),
-        (ax - r).cast("double").alias("xmin"),
-        (ay - r).cast("double").alias("ymin"),
-        (ax + r).cast("double").alias("xmax"),
-        (ay + r).cast("double").alias("ymax"),
-    )
-    bx = (4 * (ck % 97) + 2).cast("long")
-    by = (4 * (ck % 103) + 2).cast("long")
-    s = (4 * (ck % 3) + 1).cast("long")
-    b = c.where(ck % 2 == 0).select(
-        ck.alias("bkey"),
-        F.array(bx + s, bx, bx - s, bx).alias("bxs"),
-        F.array(by, by + s, by, by - s).alias("bys"),
-        (bx - s).cast("double").alias("xmin"),
-        (by - s).cast("double").alias("ymin"),
-        (bx + s).cast("double").alias("xmax"),
-        (by + s).cast("double").alias("ymax"),
-    )
-    from ..functions.spatial import make_convex_clip_stats_udf
+    from ..functions.spatial import _clip_pieces_int64
 
+    a, b = _convex_store_sides(c)
     pairs = grid_blocked_overlap_join(a, b, cell=32.0)
-    st = make_convex_clip_stats_udf()(
-        F.col("axs"), F.col("ays"), F.col("bxs_r"), F.col("bys_r")
+    sel = pairs.select(
+        "akey", F.col("bkey_r").alias("bkey"),
+        "ax", "ay", "ar", "bx_r", "by_r", "bs_r",
     )
-    return (
-        pairs.select("akey", F.col("bkey_r").alias("bkey"), st.alias("st"))
-        .select(
-            "akey", "bkey",
-            F.col("st.n_vertices").alias("n_vertices"),
-            F.col("st.area_e4").alias("area_e4"),
-        )
-        .where(F.col("area_e4") > 0)
-        .withColumn(
-            "area", F.col("area_e4").cast("double") / F.lit(10000.0)
-        )
-    )
+
+    # mapInPandas over the generating SCALARS (r15 optimization, guide
+    # §2.3/§4.1): the join and the Arrow boundary used to carry 24-long
+    # vertex arrays per candidate that derive from 3 scalars per side;
+    # the kernel now rebuilds the matrices by broadcasting and emits
+    # only the positive pairs — one Python node, no struct extraction.
+    def _pair_stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            axm, aym, bxm, bym = _convex_store_mats(
+                pdf["ax"].to_numpy(), pdf["ay"].to_numpy(),
+                pdf["ar"].to_numpy(), pdf["bx_r"].to_numpy(),
+                pdf["by_r"].to_numpy(), pdf["bs_r"].to_numpy(),
+            )
+            va, ca = _clip_pieces_int64(axm, aym, bxm, bym)
+            vb, cb = _clip_pieces_int64(bxm, bym, axm, aym)
+            total = ca.sum(axis=1) + cb.sum(axis=1)  # = 8 · area
+            pos = total > 0
+            if not pos.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "akey": pdf["akey"].to_numpy()[pos],
+                    "bkey": pdf["bkey"].to_numpy()[pos],
+                    "n_vertices": (va.sum(axis=1) + vb.sum(axis=1))[
+                        pos
+                    ].astype(np.int32),
+                    "area_e4": total[pos] * 1250,
+                }
+            )
+
+    return sel.mapInPandas(
+        _pair_stats, "akey long, bkey long, n_vertices int, area_e4 long"
+    ).withColumn("area", F.col("area_e4").cast("double") / F.lit(10000.0))
 
 
 # ---------------------------------------------------------------------------
@@ -2547,42 +2597,13 @@ def spatial_clip_convex_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 8 vertex rows per positive pair). Vectorized area gates the
     Python ring assembly to positive pairs only."""
     c = load_table(spark, sf_dir, "customer")
-    ck = F.col("c_custkey")
-    r = (8 + 4 * (F.expr("c_custkey DIV 2") % 2)).cast("long")
-    ax, ay = (4 * (ck % 101)).cast("long"), (4 * (ck % 89)).cast("long")
-    a = c.where(ck % 2 == 1).select(
-        ck.alias("akey"),
-        F.array(
-            ax - r + 4, ax + r - 4, ax + r, ax + r,
-            ax + r - 4, ax - r + 4, ax - r, ax - r,
-        ).alias("axs"),
-        F.array(
-            ay - r, ay - r, ay - r + 4, ay + r - 4,
-            ay + r, ay + r, ay + r - 4, ay - r + 4,
-        ).alias("ays"),
-        (ax - r).cast("double").alias("xmin"),
-        (ay - r).cast("double").alias("ymin"),
-        (ax + r).cast("double").alias("xmax"),
-        (ay + r).cast("double").alias("ymax"),
-    )
-    bx = (4 * (ck % 97) + 2).cast("long")
-    by = (4 * (ck % 103) + 2).cast("long")
-    s = (4 * (ck % 3) + 1).cast("long")
-    b = c.where(ck % 2 == 0).select(
-        ck.alias("bkey"),
-        F.array(bx + s, bx, bx - s, bx).alias("bxs"),
-        F.array(by, by + s, by, by - s).alias("bys"),
-        (bx - s).cast("double").alias("xmin"),
-        (by - s).cast("double").alias("ymin"),
-        (bx + s).cast("double").alias("xmax"),
-        (by + s).cast("double").alias("ymax"),
-    )
     from ..functions.spatial import clip_ring_rows_batch
 
+    a, b = _convex_store_sides(c)
     pairs = grid_blocked_overlap_join(a, b, cell=32.0)
     sel = pairs.select(
         "akey", F.col("bkey_r").alias("bkey"),
-        "axs", "ays", "bxs_r", "bys_r",
+        "ax", "ay", "ar", "bx_r", "by_r", "bs_r",
     )
 
     # mapInPandas instead of a struct-returning pandas UDF (r15
@@ -2590,22 +2611,20 @@ def spatial_clip_convex_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale (251k of 279k), so the original per-positive Python ring
     # assembly + object-list Arrow serialization dominated the entry;
     # the vectorized kernel emits the exploded vertex rows directly as
-    # flat int64 columns — no Python loop, no posexplode stage.
+    # flat int64 columns — no Python loop, no posexplode stage. Like
+    # the pair-stats sibling, the join ships the generating SCALARS
+    # and the kernel rebuilds the vertex matrices by broadcasting.
     def _ring_rows(batches):
         import numpy as np
 
         for pdf in batches:
             if not len(pdf):
                 continue
-
-            def _mat(col):
-                flat = np.concatenate(col.to_numpy()).astype(
-                    np.int64, copy=False
-                )
-                return flat.reshape(len(col), -1)
-
-            axm, aym = _mat(pdf["axs"]), _mat(pdf["ays"])
-            bxm, bym = _mat(pdf["bxs_r"]), _mat(pdf["bys_r"])
+            axm, aym, bxm, bym = _convex_store_mats(
+                pdf["ax"].to_numpy(), pdf["ay"].to_numpy(),
+                pdf["ar"].to_numpy(), pdf["bx_r"].to_numpy(),
+                pdf["by_r"].to_numpy(), pdf["bs_r"].to_numpy(),
+            )
             pos, ae4, ri, vidx, vx, vy = clip_ring_rows_batch(
                 axm, aym, bxm, bym
             )
