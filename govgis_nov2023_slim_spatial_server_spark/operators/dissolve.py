@@ -243,7 +243,20 @@ def merge_runs(iv: DataFrame, key: str = "c_nationkey") -> DataFrame:
     and the per-group Python chaining both see only the UNION's runs,
     not every polygon's. Measured at the 20× rehearsal: 9 M raw runs
     merge to a fraction engine-side and the entry wall drops (SCALING.md
-    run 13)."""
+    run 13).
+
+    The (key, iy) shuffle is pinned to ≥ 2× cluster parallelism (r15
+    optimization, guide §2.5): the runs frame is MB-scale at bench SFs,
+    so AQE's byte-based coalescing (64m advisory,
+    parallelismFirst=false) collapsed the exchange to ONE partition and
+    serialized the sort + windows + aggregate on one core — measured
+    1.92 s → 1.15 s on the union entry's 450k-run merge. The pin is
+    parallelism-derived, not a constant, and (key, iy) has thousands of
+    distinct values at any SF; at shuffle sizes where AQE would split
+    anyway (GB-scale runs), 2× cores is still the right order for a
+    window whose per-row work dominates its bytes."""
+    n_part = iv.sparkSession.sparkContext.defaultParallelism * 2
+    iv = iv.repartition(n_part, key, "iy")
     w = (
         Window.partitionBy(key, "iy")
         .orderBy("x0", "x1")
@@ -300,7 +313,19 @@ def union_rings_by_key(runs, key: str = "c_nationkey", cell: float = 0.0625):
             ]
         )
 
-    return runs.groupBy(key).applyInPandas(build, _OUT_SCHEMA.replace("c_nationkey", key))
+    # Pin the dissolve exchange to cluster parallelism (r15
+    # optimization, guide §2.5): the merged-runs shuffle is MB-scale,
+    # so AQE's byte-based coalescing packed every group into one
+    # partition and chained all keys serially on one core — the
+    # per-group Python work, not the bytes, is this exchange's cost.
+    # hash(key) over 2× cores spreads the groups; the groupBy reuses
+    # the partitioning (no extra exchange).
+    n_part = runs.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        runs.repartition(n_part, key)
+        .groupBy(key)
+        .applyInPandas(build, _OUT_SCHEMA.replace("c_nationkey", key))
+    )
 
 
 def boolean_runs(
@@ -347,8 +372,17 @@ def boolean_runs_tagged(
     of the whole polygon store with the layer encoded in the key)
     instead of two branches that Spark would compute independently.
     Each run emits its two boundary events via one explode (map-only),
-    so the whole sweep reads the input exactly once."""
+    so the whole sweep reads the input exactly once.
+
+    The event frame is repartitioned ONCE on (key, iy) before the
+    aggregate (r15 optimization, guide §2.4/§2.5): hash(key, iy)
+    satisfies the (key, iy, x) aggregate's clustering requirement (key
+    subset) AND the windows' — so the sweep runs on ONE exchange
+    instead of two, and the pin keeps AQE's byte-based coalescing from
+    collapsing the MB-scale shuffle to one core (the merge_runs
+    lesson)."""
     one = F.lit(1).cast("long")
+    n_part = runs.sparkSession.sparkContext.defaultParallelism * 2
     ev = (
         runs.select(
             key,
@@ -377,6 +411,7 @@ def boolean_runs_tagged(
             .otherwise(F.lit(0))
             .alias("dB"),
         )
+        .repartition(n_part, key, "iy")
         .groupBy(key, "iy", "x")
         .agg(F.sum("dA").alias("dA"), F.sum("dB").alias("dB"))
     )
