@@ -1247,16 +1247,20 @@ def _tagged_parity_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store's WKB parses once per polygon total — two `_parity_runs`
     branches would each rescan the store (Spark computes plan branches
     independently; measured ~1 s of the intersection entry's wall at
-    sf0.1). Output: per-layer MERGED runs with the layer decoded back
-    out, ready for `boolean_runs_tagged`."""
-    from ..operators.dissolve import merge_runs
-
-    store = _geo_store(spark, sf_dir).withColumn(
-        "c_nationkey",
-        F.col("c_nationkey").cast("long") * 2 + F.col("c_custkey") % 2,
-    )
-    merged = merge_runs(_runs_from(_store_enriched(store)))
-    return merged.select(
+    sf0.1). Output: per-layer RAW (unmerged) runs with the layer decoded
+    back out, ready for `boolean_runs_tagged` — the sweep's coverage
+    counters are additive, so overlapping runs need no pre-merge
+    (`boolean_runs` docstring step 2), and the post-sweep `merge_runs`
+    restores maximal segments; the pre-merge here was a redundant
+    (key, iy) exchange + two windows (r15 optimization, guide §2.4 —
+    measured 1.41 → 0.82 s for this subtree at sf0.1)."""
+    raw = _runs_from(_store_enriched(
+        _geo_store(spark, sf_dir).withColumn(
+            "c_nationkey",
+            F.col("c_nationkey").cast("long") * 2 + F.col("c_custkey") % 2,
+        )
+    ))
+    return raw.select(
         (F.col("c_nationkey") - F.col("c_nationkey") % 2)
         .cast("long")
         .alias("ck2"),
