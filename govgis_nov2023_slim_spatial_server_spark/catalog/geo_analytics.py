@@ -2083,7 +2083,12 @@ def spatial_clip_convex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import _clip_pieces_int64
 
     a, b = _convex_store_sides(c)
-    pairs = grid_blocked_overlap_join(a, b, cell=32.0)
+    # ensure_min_partitions: the scalar-join change made this a
+    # broadcast join over the single-file customer scan, so the join +
+    # Arrow kernel inherited ONE partition and serialized on one core
+    # (r15 optimization, guide §2.5); spreading the probe side keeps
+    # join and kernel map-side parallel. No-op at scale.
+    pairs = grid_blocked_overlap_join(ensure_min_partitions(a), b, cell=32.0)
     sel = pairs.select(
         "akey", F.col("bkey_r").alias("bkey"),
         "ax", "ay", "ar", "bx_r", "by_r", "bs_r",
@@ -2604,7 +2609,12 @@ def spatial_clip_convex_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import clip_ring_rows_batch
 
     a, b = _convex_store_sides(c)
-    pairs = grid_blocked_overlap_join(a, b, cell=32.0)
+    # ensure_min_partitions: the scalar-join change made this a
+    # broadcast join over the single-file customer scan, so the join +
+    # Arrow kernel inherited ONE partition and serialized on one core
+    # (r15 optimization, guide §2.5); spreading the probe side keeps
+    # join and kernel map-side parallel. No-op at scale.
+    pairs = grid_blocked_overlap_join(ensure_min_partitions(a), b, cell=32.0)
     sel = pairs.select(
         "akey", F.col("bkey_r").alias("bkey"),
         "ax", "ay", "ar", "bx_r", "by_r", "bs_r",
@@ -3075,7 +3085,10 @@ def spatial_clip_holed_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.spatial import holed_boundary_rows_batch
 
-    pairs = grid_blocked_overlap_join(a, b, cell=64.0)
+    # ensure_min_partitions: the broadcast grid join inherits the
+    # single-file customer scan's ONE partition, serializing the
+    # boundary kernel on one core (r15 optimization, guide §2.5).
+    pairs = grid_blocked_overlap_join(ensure_min_partitions(a), b, cell=64.0)
     sel = pairs.select(
         "akey", F.col("bkey_r").alias("bkey"),
         "pax", "pay", "par", "pad", "pas",
