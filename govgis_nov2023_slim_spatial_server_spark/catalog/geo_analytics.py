@@ -1377,7 +1377,8 @@ def spatial_intersection_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     runs = merge_runs(
-        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "intersection")
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "intersection"),
+        pre_partitioned=True,
     )
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")
@@ -1411,7 +1412,8 @@ def spatial_difference_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     runs = merge_runs(
-        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "difference")
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "difference"),
+        pre_partitioned=True,
     )
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")
@@ -1446,7 +1448,8 @@ def spatial_symdiff_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     runs = merge_runs(
-        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "symdiff")
+        boolean_runs_tagged(_tagged_parity_runs(spark, sf_dir), "symdiff"),
+        pre_partitioned=True,
     )
     geo = union_rings_by_key(runs, key="c_nationkey", cell=0.0625)
     nation = load_table(spark, sf_dir, "nation")

@@ -732,7 +732,17 @@ def bpe_encode_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical greatest/least-guarded positional rewrite in DuckDB list
     lambdas — engine and oracle share the spec but not the execution
     path. Exact integer outputs; no rounding anywhere."""
-    d = _t(spark, sf_dir, "documents")
+    from ..session import ensure_min_partitions
+
+    # Parallelism (r15 optimization, guide §2.5): the single-file corpus
+    # scans as ONE partition, serializing the tokenize/explode map side;
+    # and the vocabulary aggregate's output is MB-scale, so AQE's
+    # byte-based coalescing handed the ENTIRE 14-rank HOF chain to one
+    # core. The spread is a no-op at scale; the pinned repartition
+    # shuffles only VOCABULARY-sized rows (never the corpus) and keeps
+    # the per-word merge chain — the entry's real compute — parallel.
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    n_part = spark.sparkContext.defaultParallelism * 2
     words = (
         d.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
@@ -740,6 +750,7 @@ def bpe_encode_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(n_part, "w")
     )
     seq = F.split(F.col("w"), "")
     for x, y in _BPE_MERGES:

@@ -24,6 +24,7 @@ from ..functions.spatial import (
 from ..functions.text import html_to_markdown_udf
 from ..operators.multimodal import extract_byte_stats, with_binary_payload
 from ..schemas import load_table
+from ..session import ensure_min_partitions
 from ..sources.ingest import derive_bbox
 from ._registry import query
 from ._store_cache import MaterializedStoreCache, store_width
@@ -708,7 +709,12 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c_custkey").alias("c_custkey"))
     )
     pk = F.col("p_partkey")
-    p = _t(spark, sf_dir, "part").select(
+    # ensure_min_partitions (r15 optimization, guide §2.5): the probe
+    # side of the broadcast candidate join is the single-file part scan
+    # — ONE partition at bench scale, so the join, the candidate
+    # explosion, and the map-side partial argmin all serialized on one
+    # core. No-op at scale where the point table carries many splits.
+    p = ensure_min_partitions(_t(spark, sf_dir, "part")).select(
         "p_partkey",
         ((pk * 13) % 401).cast("long").alias("px"),
         ((pk * 29) % 161).cast("long").alias("py"),
@@ -855,7 +861,10 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pk = F.col("p_partkey")
-    p = _t(spark, sf_dir, "part").select(
+    # same probe-side spread as the k=1 sibling (r15 optimization,
+    # guide §2.5): keeps the candidate join + bounded k-list partial
+    # aggregation parallel over the single-file part scan
+    p = ensure_min_partitions(_t(spark, sf_dir, "part")).select(
         "p_partkey",
         ((pk * 13) % 401).cast("long").alias("px"),
         ((pk * 29) % 161).cast("long").alias("py"),

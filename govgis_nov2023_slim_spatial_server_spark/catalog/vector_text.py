@@ -1180,8 +1180,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings demonstrates on raw terms."""
     from ..functions.hashes import _let
     from ..functions.text import _FP_BASE, _FP_MOD
+    from ..session import ensure_min_partitions
 
-    d = _t(spark, sf_dir, "documents")
+    # The whole selection chain is per-document map work over the scan:
+    # a single-file corpus scans as ONE partition and the interpreted
+    # HOF chain serializes on one core (r15 optimization, guide §2.5 —
+    # same class as the MinHash spread). The round-robin spread is a
+    # no-op at scale where scans carry thousands of splits.
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     toks_col = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
 
     def tok_hash(t):

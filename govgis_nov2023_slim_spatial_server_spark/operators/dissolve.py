@@ -233,7 +233,9 @@ def runs_to_rings(
     return polys, n_cells, (min(vxs), min(vys), max(vxs), max(vys))
 
 
-def merge_runs(iv: DataFrame, key: str = "c_nationkey") -> DataFrame:
+def merge_runs(
+    iv: DataFrame, key: str = "c_nationkey", pre_partitioned: bool = False
+) -> DataFrame:
     """Union overlapping [x0, x1] runs per (key, iy) in-engine — the
     running-max island break of `interval_union_seconds` on integer
     cells (same mechanism as the buffer entry's merge_lengths). This is
@@ -254,9 +256,18 @@ def merge_runs(iv: DataFrame, key: str = "c_nationkey") -> DataFrame:
     parallelism-derived, not a constant, and (key, iy) has thousands of
     distinct values at any SF; at shuffle sizes where AQE would split
     anyway (GB-scale runs), 2× cores is still the right order for a
-    window whose per-row work dominates its bytes."""
-    n_part = iv.sparkSession.sparkContext.defaultParallelism * 2
-    iv = iv.repartition(n_part, key, "iy")
+    window whose per-row work dominates its bytes.
+
+    ``pre_partitioned=True`` skips that repartition: callers whose input
+    is ALREADY hash-partitioned on (key, iy) at pinned width — the
+    `boolean_runs_tagged` sweep, whose windows/filter/project preserve
+    its own (key, iy) pin — would otherwise pay a second full Exchange
+    of the same rows for the same clustering (r15 optimization, guide
+    §2.1: the merge windows' ClusteredDistribution(key, iy) is satisfied
+    by the sweep's partitioning, so EnsureRequirements adds nothing)."""
+    if not pre_partitioned:
+        n_part = iv.sparkSession.sparkContext.defaultParallelism * 2
+        iv = iv.repartition(n_part, key, "iy")
     w = (
         Window.partitionBy(key, "iy")
         .orderBy("x0", "x1")

@@ -239,8 +239,10 @@ class TestWinnowingFingerprints:
 
     def test_plan_is_map_only(self, spark):
         """The selection chain is one projection over the scan — the
-        only Exchange in the plan is the output ORDER BY's range
-        partitioning (no aggregation/join shuffle anywhere)."""
+        only Exchanges in the plan are the output ORDER BY's range
+        partitioning and the parallelism spread's round-robin
+        (ensure_min_partitions, r15 optimization; no aggregation/join
+        shuffle anywhere)."""
         df = QUERIES["winnowing_fingerprints"](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
@@ -248,7 +250,10 @@ class TestWinnowingFingerprints:
         import re
 
         exchanges = re.findall(r"Exchange (\w+)", plan)
-        assert all(e == "rangepartitioning" for e in exchanges), exchanges
+        assert all(
+            e in ("rangepartitioning", "RoundRobinPartitioning")
+            for e in exchanges
+        ), exchanges
 
     def test_two_doc_parquet_falsifier(self, spark):
         """The r15 wave-3 property find, pinned: on THIS exact 2-doc
