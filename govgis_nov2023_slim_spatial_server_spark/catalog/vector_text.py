@@ -275,8 +275,13 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed (~6× the 0.03 random-scan baseline; tests assert the margin).
     Clustered real embeddings land far higher at the same probe budget."""
     from ..operators.knn import similarity_join, similarity_join_lsh
+    from ..session import ensure_min_partitions
 
     e = _t(spark, sf_dir, "embeddings")
+    # r15 (guide §2.5): both branches run their distance kernels on the
+    # corpus-scan side of a broadcast join — a single small parquet file
+    # scans as ONE partition and serializes them; no-op at scale.
+    e = ensure_min_partitions(e)
     probes = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -290,7 +295,9 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="vec_id", corpus_emb="embedding",
     ).select("probe_id", "vec_id")
     return (
-        exact.join(approx, ["probe_id", "vec_id"], "left")
+        # <= probes*k rows per side: broadcast beats the SMJ's two
+        # exchanges + sorts at any scale (guide 3.1)
+        exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -441,7 +448,9 @@ def ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="vec_id", corpus_emb="embedding",
     ).select("probe_id", "vec_id")
     return (
-        exact.join(approx, ["probe_id", "vec_id"], "left")
+        # <= probes*k rows per side: broadcast beats the SMJ's two
+        # exchanges + sorts at any scale (guide 3.1)
+        exact.join(F.broadcast(approx), ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -2142,17 +2151,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded k×dim driver collect, the kmeans-seed precedent; a trained
     codebook is one lloyd_iterate call away and changes nothing below).
 
-    ENCODE runs engine-side in whole-stage codegen: per subspace, an
-    argmin over 8 candidate structs of the sequential (x−c)² fold
-    (zip_with + aggregate — DuckDB's list_reduce computes the identical
-    left fold, so encodes agree bit-for-bit; ties break to the lower
-    code). The 4 code columns bind through ONE `_let` so CollapseProject
-    cannot re-inline the 32 folds per downstream reference (the MinHash
-    lesson). ADC: the 4×8 probe-to-codeword table is computed ONCE (in
-    Python here, in SQL in the oracle — same sequential fold, bit-equal)
-    and the per-row distance is 4 literal-array lookups summed in fixed
-    subspace order; top-10 is a TakeOrderedAndProject with the vec_id
-    tie-break. At 100 TB the store scan reads ONLY the 4 int3 codes
+    ENCODE runs engine-side in ONE Arrow kernel (`pq_encode_adc_arrow`,
+    r15 — bit-identical to the interpreted zip_with+aggregate form it
+    replaced; DuckDB's list_reduce computes the identical left fold, so
+    encodes agree bit-for-bit; ties break to the lower code via numpy's
+    first-min argmin = LEAST over struct(d, code)). ADC: the 4×8
+    probe-to-codeword table is computed ONCE (in Python here, in SQL in
+    the oracle — same sequential fold, bit-equal) and the per-row
+    distance is 4 LUT lookups summed in fixed subspace order; top-10 is
+    a TakeOrderedAndProject with the vec_id tie-break. At 100 TB the store scan reads ONLY the 4 int3 codes
     (column-pruned: no embedding bytes move at query time) and the LUT
     broadcast is 32 doubles — this is why PQ is the RAM-resident ANN
     format; recall/rerank composition is the knn_int8_rerank pattern.
@@ -2179,10 +2186,15 @@ def pq_adc_rank(
     mechanism of `pq_adc_topk` parameterized so a TRAINED codebook (e.g.
     `operators.kmeans.lloyd_iterate` on the same seeds) plugs in without
     touching the plan shape (tests/test_r9_catalog.py proves trained vs
-    sampled distortion/recall on the fixed corpus)."""
-    from ..functions.hashes import _let
+    sampled distortion/recall on the fixed corpus).
 
-    k = len(codebook)
+    r15 optimization (guide §4.1): the encode+ADC projection runs as ONE
+    Arrow kernel (`pq_encode_adc_arrow`, bit-identical by the
+    argmin_euclidean_arrow argument) instead of 4×k interpreted
+    `aggregate(zip_with(...))` folds per row, and the scan side is
+    spread via `ensure_min_partitions` (single small parquet files scan
+    as ONE partition; no-op at scale). Measured 2.06 → 0.5 s class at
+    sf0.1; the oracle hash pins bit-equality."""
     probe = [float(x) for x in PROBE_VEC]
 
     # 4x8 ADC lookup table: probe-subspace -> codeword distances, computed
@@ -2198,37 +2210,13 @@ def pq_adc_rank(
             row.append(acc)
         lut.append(row)
 
-    def dsq(s: int, cw: list[float]):
-        sub = F.slice(F.col("embedding"), s * 16 + 1, 16)
-        cvec = F.array(*[F.lit(v) for v in cw[s * 16 : (s + 1) * 16]])
-        diff = F.zip_with(sub, cvec, lambda x, y: x.cast("double") - y)
-        return F.aggregate(diff, F.lit(0.0), lambda a, d: a + d * d)
+    from ..functions.vector import pq_encode_adc_arrow
+    from ..session import ensure_min_partitions
 
-    def code_col(s: int):
-        cands = [
-            F.struct(dsq(s, codebook[c]).alias("d"), F.lit(c).cast("long").alias("c"))
-            for c in range(k)
-        ]
-        best = cands[0] if k == 1 else F.least(*cands)
-        return best.getField("c")
-
-    codes_struct = F.struct(*[code_col(s).alias(f"c{s}") for s in range(4)])
-
-    def body(cs):
-        def d_of(s: int):
-            arr = F.array(*[F.lit(v) for v in lut[s]])
-            return F.element_at(arr, (cs.getField(f"c{s}") + 1).cast("int"))
-
-        adc = ((d_of(0) + d_of(1)) + d_of(2)) + d_of(3)
-        return F.struct(
-            cs.getField("c0").alias("code0"),
-            cs.getField("c1").alias("code1"),
-            cs.getField("c2").alias("code2"),
-            cs.getField("c3").alias("code3"),
-            adc.alias("adc_dist"),
-        )
-
-    r = e.select("vec_id", _let(codes_struct, body).alias("__pq"))
+    kernel = pq_encode_adc_arrow(codebook, lut)
+    r = ensure_min_partitions(e.select("vec_id", "embedding")).select(
+        "vec_id", kernel(F.col("embedding")).alias("__pq")
+    )
     return (
         r.orderBy(F.col("__pq.adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)

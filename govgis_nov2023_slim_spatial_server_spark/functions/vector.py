@@ -227,3 +227,69 @@ def argmin_euclidean_arrow(cents: list[tuple[int, list[float]]]):
         )
 
     return _assign
+
+
+def pq_encode_adc_arrow(codebook: list[list[float]], lut: list[list[float]]):
+    """Arrow-vectorized PQ encode + ADC distance: a pandas UDF mapping an
+    embedding column to struct<code0..code3: long, adc_dist: double>,
+    BIT-IDENTICAL to the native form it replaces in `pq_adc_rank` —
+    per subspace ``LEAST(struct(aggregate(zip_with(slice(emb), cw, x−y),
+    0.0, acc + d·d), code) …).c`` then four literal-LUT lookups summed as
+    ``((d0 + d1) + d2) + d3`` — by the `argmin_euclidean_arrow` argument:
+
+    - float32 → float64 widening is exact; (x − c) and d·d are single
+      binary64 ops on identical inputs;
+    - the HOF's sequential left fold is replicated by accumulating the 16
+      per-element squares in index order (``acc = acc + d_j·d_j`` per j —
+      never ``np.sum``, whose pairwise summation reassociates);
+    - ``np.argmin`` returns the FIRST minimum = the lowest code on exact
+      distance ties, exactly what LEAST over struct(d, code) picks with
+      codes ascending;
+    - the ADC sum uses the same float64 LUT values in the same fixed
+      subspace order.
+
+    Why it exists (guide §4.1): the native encode is 4 subspaces × k
+    codewords interpreted ``aggregate(zip_with(...))`` folds PER ROW —
+    measured 2.1 s for 2 000 rows on one core at sf0.1 — while this
+    kernel is 64·k fused numpy lane ops per Arrow batch. Batch
+    temporaries are batch × k float64 per subspace (~1.3 MB at the
+    default 10k Arrow batch), constant in corpus size."""
+    C = np.array(codebook, dtype=np.float64)  # (k, 64)
+    L = [np.array(row, dtype=np.float64) for row in lut]  # 4 × (k,)
+    n_sub = len(lut)
+    sub_dim = C.shape[1] // n_sub
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_type = StructType(
+        [StructField(f"code{s}", LongType(), False) for s in range(n_sub)]
+        + [StructField("adc_dist", DoubleType(), False)]
+    )
+
+    @pandas_udf(out_type)
+    def _encode(batch: pd.Series) -> pd.DataFrame:
+        cols: dict[str, np.ndarray] = {}
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    **{f"code{s}": np.array([], dtype=np.int64) for s in range(n_sub)},
+                    "adc_dist": np.array([], dtype=np.float64),
+                }
+            )
+        x = np.array(list(batch), dtype=np.float32).astype(np.float64)
+        adc = None
+        for s in range(n_sub):
+            sub = x[:, s * sub_dim : (s + 1) * sub_dim]  # (n, 16)
+            csub = C[:, s * sub_dim : (s + 1) * sub_dim]  # (k, 16)
+            acc = np.zeros((len(x), C.shape[0]), dtype=np.float64)
+            for j in range(sub_dim):  # sequential left fold, element order
+                d = sub[:, j][:, None] - csub[None, :, j]
+                acc = acc + d * d
+            codes = np.argmin(acc, axis=1).astype(np.int64)
+            cols[f"code{s}"] = codes
+            term = L[s][codes]
+            adc = term if adc is None else adc + term  # ((d0+d1)+d2)+d3
+        cols["adc_dist"] = adc
+        return pd.DataFrame(cols)
+
+    return _encode
