@@ -851,8 +851,10 @@ def bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring runs (write once, broadcast if the vocab head is truncated).
     DuckDB's 1-based list indexing pairs ws[i], ws[i+1] over i ∈
     [1, len-1], matching Spark's slice-zip bigram formation."""
+    from ..session import ensure_min_partitions
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = ensure_min_partitions(d).select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
     )
     bi = toks.select(
@@ -865,6 +867,10 @@ def bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # localCheckpoint (r15, guide §3.3): c1, c12 AND the scoring join all
+    # re-derived the scan+tokenize+explode subtree — three documents scans
+    # in the plan; compute the exploded bigrams once (3 narrow columns).
+    bi = bi.localCheckpoint(eager=False)
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     scored = (
