@@ -1362,7 +1362,16 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusions over the prior levels — ids are non-null by
     construction, so NOT IN is the plain set difference)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b2 = li.alias("a"), li.alias("b")
+    # Pin the self-join shuffle to cluster parallelism (r15, guide §2.5,
+    # the dissolve-family class): AQE's byte-based coalescing sees the
+    # MB-scale key columns and runs the SMJ on ~3 partitions with one
+    # straggler — the entry's hottest stage. An explicit key repartition
+    # is exempt from coalescing, satisfies the join's clustering on both
+    # sides (one exchange, reused), and is parallelism-derived.
+    lij = li.repartition(
+        2 * spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
+    a, b2 = lij.alias("a"), lij.alias("b")
     pp = (
         a.join(b2, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -1386,7 +1395,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("x.s", "x.d")
     e = e.localCheckpoint(eager=False)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    frontier = nodes.where(F.col("id") % 97 == 1)
+    # Seed frontier checkpointed once (r15): level 1 referenced the
+    # distinct-seed aggregate twice (broadcast + anti side) and the final
+    # union a third time — three full lineitem scans for one small set.
+    frontier = nodes.where(F.col("id") % 97 == 1).localCheckpoint(eager=False)
     visited = frontier.withColumn("lvl", F.lit(0).cast("int"))
     for lvl in (1, 2, 3):
         nxt = (
@@ -1395,7 +1407,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("d").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            # visited is node-bounded (the broadcast-frontier size class);
+            # without the hint the checkpointed union has no stats and
+            # levels 2-3 plan the anti-join as SMJ — two exchanges + two
+            # sorts per level on both sides (r15, guide §3.1)
+            .join(F.broadcast(visited.select("id")), "id", "left_anti")
             .withColumn("lvl", F.lit(lvl).cast("int"))
         )
         nxt = nxt.localCheckpoint(eager=False)
