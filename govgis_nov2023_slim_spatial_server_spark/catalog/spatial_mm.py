@@ -927,9 +927,16 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_partkey", "px", "py")
         .agg(top_pos)
+        # flat5 INSIDE the checkpoint (r15): both the guaranteed and the
+        # residual branch need the flattened k-list, and each branch
+        # re-evaluated the nested transform+array_sort over ALL points
+        # before its filter — two full interpreted passes in the action
+        # phase. Computing it once in the (parallel) checkpoint job
+        # leaves the branches pure filters over materialized rows.
+        .select("p_partkey", "px", "py", flat5)
         .localCheckpoint()
     )
-    ranked = base.select("p_partkey", "px", "py", flat5)
+    ranked = base
     # try_element_at, not element_at: sparse-cell points carry <5
     # candidates and ANSI element_at(b, 5) would hard-error there —
     # correctness must not lean on And short-circuit order surviving
