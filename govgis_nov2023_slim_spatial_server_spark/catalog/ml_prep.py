@@ -392,6 +392,16 @@ def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > _SHINGLE_DF_CAP)
         .select("sh")
+        # lazy checkpoint (r15): the kept frame is referenced up to four
+        # times downstream (sizes + both self-join branches) and each
+        # reference re-ran this corpus-wide aggregate before its
+        # broadcast. The hot set itself is language-statistics-bounded
+        # (a handful of rows), so the barrier is ~free while the
+        # aggregate it dedups is the kept frame's whole shuffle.
+        # (Checkpointing the KEPT frame instead was A/B-rejected:
+        # materializing the corpus-sized rows cost more than the
+        # map-side anti-joins it saved.)
+        .localCheckpoint(eager=False)
     )
     return ex.join(F.broadcast(hot), "sh", "left_anti")
 
