@@ -1544,18 +1544,26 @@ def dedup_keep_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.join(comp, docs.doc_id == comp.id, "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("component"), "__q"
     )
-    wc = Window.partitionBy("component")
-    wo = Window.partitionBy("component").orderBy(
-        F.col("__q").desc(), F.col("doc_id").asc()
-    )
+    # One map-combinable aggregate instead of two windows (r15, guide
+    # §2.3): min(struct(-q, doc_id, q)) IS the (quality DESC, doc_id ASC)
+    # window pick — double negation is exact, struct order is
+    # lexicographic, and the third field never decides (equal (-q, id)
+    # implies equal q). Partial aggregation replaces the window's full
+    # sort of every member row.
+    best = F.min(
+        F.struct(
+            (-F.col("__q")).alias("nq"),
+            F.col("doc_id").alias("kid"),
+            F.col("__q").alias("q"),
+        )
+    ).alias("b")
     return (
-        m.withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .withColumn("__rn", F.row_number().over(wo))
-        .where(F.col("__rn") == 1)
+        m.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
         .select(
             "component",
-            F.col("doc_id").alias("kept_doc_id"),
-            rnd_nz("__q", 4).alias("kept_quality"),
+            F.col("b.kid").alias("kept_doc_id"),
+            rnd_nz(F.col("b.q"), 4).alias("kept_quality"),
             "n_members",
         )
     )

@@ -33,32 +33,59 @@ def connected_components(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Checkpoint the edge table ONCE (r15, guide §3.3 — the pagerank/BFS
+    # edges lesson applied here): every hash-min iteration joins against
+    # `sym`, and without the barrier each of the ~diameter iterations
+    # re-derived the caller's whole pair-generation subtree (for the
+    # dedup entries: the label-blocked cosine self-join — measured 8-9 s
+    # per entry at sf0.1, ~3x the materialized-edge cost). The
+    # checkpointed rows are two 8-byte ids per edge.
+    sym = sym.localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
 
+    # Checkpointed RDDs carry no stats, so every iteration's joins plan
+    # as SMJ regardless of size — restore the decision Spark's own
+    # threshold would make (r15, guide §3.1): broadcast the label table
+    # while its estimated bytes (16 B/row) fit autoBroadcastJoinThreshold,
+    # fall back to the co-partitioned SMJ for big graphs (the 100 TB
+    # recipe in the module docstring is unchanged).
+    try:
+        _thresh = int(
+            str(
+                sym.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            ).lower().rstrip("b")
+        )
+    except ValueError:
+        _thresh = 10 * 1024 * 1024
+    _bcast = _thresh > 0 and labels.count() * 16 <= _thresh
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bcast else df
+
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(_hint(labels), sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the per-node "label shrank" flag through the checkpoint
+        # (r15): the convergence count then reads materialized rows
+        # instead of re-joining the new labels against the old — one
+        # fewer join job per iteration (the loop is job-overhead-bound).
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            labels.join(_hint(nbr_min), labels.id == nbr_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels

@@ -347,21 +347,33 @@ def embedding_near_duplicates(
     per-block join — the required move at scale; None means full N²/2 and is
     only for small corpora / oracle checks.
     """
+    from ..functions.vector import dot, l2_norm
+
     df = ensure_min_partitions(df)
-    sel = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    # Per-ROW norm, hoisted out of the pair join (r15, guide §2.3):
+    # cosine_similarity evaluates THREE interpreted folds per pair
+    # (dot + both norms) — precomputing each row's norm once leaves one
+    # fold per pair. sqrt-of-fold on identical inputs, multiplied in the
+    # same order, so the cosine is bit-identical to the unhoisted form.
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
+    ]
     if block_col is not None:
-        sel = df.select(
-            F.col(id_col).alias("id"),
-            F.col(emb_col).alias("emb"),
-            F.col(block_col).alias("blk"),
-        )
+        cols.append(F.col(block_col).alias("blk"))
+    sel = df.select(*cols)
     a, b = sel.alias("a"), sel.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col is not None:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(
+        denom > 0, dot(F.col("a.emb"), F.col("b.emb")) / denom
+    ).otherwise(F.lit(None).cast("double"))
     return (
         a.join(b, cond)
-        .withColumn("cos_sim", cosine_similarity(F.col("a.emb"), F.col("b.emb")))
+        .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
