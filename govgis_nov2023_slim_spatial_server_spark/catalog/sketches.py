@@ -254,7 +254,14 @@ def sketch_hll_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     users seen under BOTH types; per-user fan-out ≤ types², bounded).
     Pairs with no shared user emit exact_overlap = 0 via the left join."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    regs = hll_registers_by_group(ev, "event_type", "user_id")
+    # lazy checkpoint (r15, guide §3.3): the register table is referenced
+    # three times (pair fan-out, per-type estimates, type list) and each
+    # reference re-ran the corpus-wide register aggregate. The sketch is
+    # ≤ types·64 rows — the barrier is free, the dedup is a full scan+agg
+    # per duplicate.
+    regs = hll_registers_by_group(ev, "event_type", "user_id").localCheckpoint(
+        eager=False
+    )
     types = regs.select("event_type").distinct()
     pairs = types.select(F.col("event_type").alias("ta")).join(
         types.select(F.col("event_type").alias("tb")),
@@ -282,7 +289,11 @@ def sketch_hll_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = est.select(
         F.col("event_type").alias("tb"), F.col("hll_estimate").alias("est_b")
     )
-    du = ev.select("event_type", "user_id").distinct()
+    # both self-join branches re-derived the scan+DISTINCT without the
+    # barrier (same r15 class as regs above)
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     ovl = (
         du.select(F.col("event_type").alias("ta"), "user_id")
         .join(du.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
