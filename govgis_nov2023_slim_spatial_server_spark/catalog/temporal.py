@@ -443,15 +443,28 @@ def recursive_cte_chain_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX(cum), which only coincides with the final running total when
     every per-event value is non-negative (a refund-style negative cents
     would make the running sum non-monotone)."""
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "events")
+    # Materialize the windowed sequence ONCE (r15, guide §3.3): `seq`
+    # referenced inside the recursive step is INLINED into every
+    # iteration — ten scan+window derivations for a depth-10 walk. A
+    # lazy checkpoint behind the temp view leaves the recursion plumbing
+    # (UnionLoop over the frontier) untouched while each iteration joins
+    # materialized (user_id, cents, rn) rows.
+    seq_df = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).localCheckpoint(eager=False)
     view = f"__events_rec_{abs(hash(sf_dir)) % 10_000}"
-    e.createOrReplaceTempView(view)
+    seq_df.createOrReplaceTempView(view)
     return spark.sql(
         f"""
         WITH RECURSIVE seq AS (
-          SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
-                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          FROM {view}
+          SELECT user_id, cents, rn FROM {view}
         ),
         walk AS (
           SELECT user_id, rn, cents AS cum FROM seq WHERE rn = 1
