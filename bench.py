@@ -314,6 +314,23 @@ FLOORS_CHANGED: list[str] = [
     "graph_bfs_levels",
     "winnowing_fingerprints",
     "spatial_convex_hull_edges",
+    # r15 OPTIMIZATION round: every headline entry whose code changed in
+    # the optimization sessions — their r13/r14 floors are stale in the
+    # FAST direction (timing/floor would read < 1 and bias
+    # drift_ratio_median low). Floors re-recorded at this round's end
+    # (min over the final passes); all rejoin the drift set in r16.
+    "spatial_clip_convex_pairs",
+    "ngram_containment_capped",
+    "ngram_containment_topk",
+    "substring_dup_chains",
+    "spatial_union_rings",
+    "spatial_union_snap_rings",
+    "spatial_intersection_rings",
+    "spatial_nn_join_ring",
+    "pq_adc_topk",
+    "ann_recall_at_10",
+    "bigram_lm_cross_entropy",
+    "embedding_near_dup",
 ]
 
 
