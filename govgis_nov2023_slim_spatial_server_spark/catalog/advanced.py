@@ -13,6 +13,7 @@ from ..functions.hashes import char_shingles
 from ..functions.text import tokens
 from ..functions.vector import dot, euclidean_distance, l2_norm
 from ..schemas import load_table
+from ..session import local_rows_df
 from ._registry import fmt_vec_sql, query, rnd_nz
 from .vector_text import PROBE_SQL, PROBE_VEC
 
@@ -1119,7 +1120,8 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = [t for t in targets if t["hi"] - t["lo"] != 1]
     parts = []
     if scan:
-        tgt = spark.createDataFrame(
+        tgt = local_rows_df(
+            spark,
             [(t["s"], t["lo"], t["hi"], t["off"], t["tag"]) for t in scan],
             "ts string, lo long, hi long, off long, tag string",
         )
@@ -1141,7 +1143,8 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if direct:
         parts.append(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(t["s"], t["tag"], t["lo"]) for t in direct],
                 "s string, tag string, cents long",
             )
@@ -1592,7 +1595,8 @@ def weighted_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = [t for t in targets if t["hi"] - t["lo"] != 1]
     parts = []
     if scan:
-        tgt = spark.createDataFrame(
+        tgt = local_rows_df(
+            spark,
             [(t["s"], t["lo"], t["hi"], t["off"], t["tag"]) for t in scan],
             "ts string, lo long, hi long, off long, tag string",
         )
@@ -1618,7 +1622,8 @@ def weighted_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if direct:
         parts.append(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(t["s"], t["tag"], t["lo"]) for t in direct],
                 "s string, tag string, cents long",
             )

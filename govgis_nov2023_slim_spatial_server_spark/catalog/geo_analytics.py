@@ -47,7 +47,7 @@ from ..functions.spatial import (
 )
 from ..operators.spatial_join import grid_blocked_overlap_join
 from ..schemas import load_table
-from ..session import ensure_min_partitions
+from ..session import ensure_min_partitions, local_rows_df
 from ..sources.ingest import derive_bbox
 from ._registry import query
 from ._store_cache import MaterializedStoreCache, store_width
@@ -389,7 +389,9 @@ def spatial_dwithin_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("bbox.xmin") + F.col("bbox.xmax")) / F.lit(2.0)).alias("cx"),
         ((F.col("bbox.ymin") + F.col("bbox.ymax")) / F.lit(2.0)).alias("cy"),
     )
-    probes = spark.createDataFrame(_PROBES, "probe_id int, plon double, plat double")
+    probes = local_rows_df(
+        spark, _PROBES, "probe_id int, plon double, plat double"
+    )
     d = centers.crossJoin(F.broadcast(probes)).select(
         "probe_id",
         "k",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.hashes import word_shingles
 from ..operators.windows import floor_round
 from ..schemas import load_table
-from ..session import ensure_min_partitions
+from ..session import ensure_min_partitions, local_rows_df
 from ._registry import fmt_vec_sql, query, rnd_nz
 from .vector_text import _SHINGLE_SQL
 
@@ -993,8 +993,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ia", "ib", sim.alias("sim"))
         .localCheckpoint(eager=True)
     )
-    thr = spark.range(0).sparkSession.createDataFrame(
-        [(t,) for t in (20, 30, 40, 50, 75)], "thr_pct int"
+    thr = local_rows_df(
+        spark.range(0).sparkSession,
+        [(t,) for t in (20, 30, 40, 50, 75)],
+        "thr_pct int",
     )
     m = pairs.crossJoin(F.broadcast(thr)).where(
         F.col("sim") >= F.col("thr_pct").cast("double") / 100.0

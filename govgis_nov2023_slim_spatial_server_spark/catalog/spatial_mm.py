@@ -24,7 +24,7 @@ from ..functions.spatial import (
 from ..functions.text import html_to_markdown_udf
 from ..operators.multimodal import extract_byte_stats, with_binary_payload
 from ..schemas import load_table
-from ..session import ensure_min_partitions
+from ..session import ensure_min_partitions, local_rows_df
 from ..sources.ingest import derive_bbox
 from ._registry import query
 from ._store_cache import MaterializedStoreCache, store_width
@@ -513,7 +513,8 @@ def spatial_knn_rect_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("xmin") + F.col("xmax")) / 2.0).alias("cx"),
         ((F.col("ymin") + F.col("ymax")) / 2.0).alias("cy"),
     )
-    probes = spark.createDataFrame(
+    probes = local_rows_df(
+        spark,
         [(1, -100.0, 30.0), (2, -90.5, 38.2), (3, -110.25, 42.0),
          (4, -80.0, 26.5), (5, -120.0, 45.0)],
         "probe_id: long, px: double, py: double",

@@ -18,6 +18,7 @@ from ..operators.windows import floor_round
 from ..schemas import load_table as _t
 from ..schemas import normalize_events_ts
 from ..streaming.facade import streaming_tumbling_counts
+from ..session import local_rows_df
 from ._registry import query
 
 _SINK_SEQ = [0]
@@ -837,9 +838,10 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sentinels(offset_h: int):
         t = max_ts + _dt.timedelta(hours=offset_h)
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [(-10 - offset_h, t, -1, "purchase"), (-20 - offset_h, t, -2, "click")],
-            schema=ranked.drop("rn").schema,
+            ranked.drop("rn").schema,
         )
 
     d = tempfile.mkdtemp(prefix="stream_louter_")
@@ -1250,12 +1252,13 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sentinels(offset_h: int):
         t = max_ts + _dt.timedelta(hours=offset_h)
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [
                 (-10 - offset_h, t, -1, "purchase"),
                 (-20 - offset_h, t, -2, "click"),
             ],
-            schema=ranked.drop("rn").schema,
+            ranked.drop("rn").schema,
         )
 
     d = tempfile.mkdtemp(prefix="stream_fouter_")

@@ -73,6 +73,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_rows_df(spark, rows, schema):
+    """Single-slice local DataFrame for tiny literal tables.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows over
+    ``defaultParallelism`` partitions, so the FIRST action on the frame
+    runs ~32 near-empty Python tasks — measured ~5 s PER ACTION for a
+    2-row sentinel write at local[32] (python worker fork per task; the
+    cost repeats for every fresh frame). One slice = one task = one
+    worker (~0.3 s). Semantics identical; these frames are literal
+    dimension/sentinel tables that downstream code broadcasts or writes
+    as a single file anyway."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def ensure_min_partitions(df, min_partitions: int | None = None):
     """Parallelism guard for CPU-heavy per-row stages (shingling, hashing,
     vector math) fed by SMALL scans.
