@@ -1349,14 +1349,26 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT l_partkey, not just edge endpoints.
 
     Engine: textbook frontier iteration, driver-bounded like
-    pagerank/kmeans — edges localCheckpointed ONCE (three frontier
-    joins would otherwise each rescan the co-order self-join: the
-    plan-branch rescan trap), then per level ONE broadcast of the
-    node-sized frontier into the edge scan, DISTINCT targets,
-    anti-join against the accumulated visited set, and a
-    localCheckpoint so the visited/frontier lineage never chains
-    across levels. At 100 TB the frontier outgrows broadcast: the
-    production swap is edges bucketed by s (shuffle-free frontier
+    pagerank/kmeans. UNDIRECTED pairs are localCheckpointed ONCE (r16:
+    half the rows of the doubled edge table the r15 form materialized;
+    the per-level explode to both directions is a pure map over the
+    checkpointed rows — three frontier joins would otherwise each
+    rescan the co-order self-join: the plan-branch rescan trap), then
+    per level ONE broadcast of the node-sized frontier into the pair
+    scan, the visited anti-join applied BEFORE the target DISTINCT
+    (r16, guide §2.3 — the broadcast anti is a map-side filter, so
+    pruning first shrinks the distinct's exchange instead of shuffling
+    already-visited targets), and a localCheckpoint so the
+    visited/frontier lineage never chains across levels. The
+    VISITED-PRUNED loop is kept deliberately: an anti-join-free
+    candidate-min-level variant (union C_k = N(C_{k-1}) per level,
+    groupBy(id).min(lvl) at the end — one job fewer per level) was
+    MEASURED SLOWER at sf0.1 (3.39 vs 2.88 s median — this co-order
+    graph is dense, so unpruned frontiers saturate to ~the whole node
+    set by level 2 and the level joins re-emit nearly every edge; the
+    anti-join's broadcast build costs less than the fan-in it
+    removes). At 100 TB the frontier outgrows broadcast: the
+    production swap is pairs bucketed by key (shuffle-free frontier
     join, the cell_bucketed_ring_join layout argument) with the
     anti-join keyed on the 8-byte node id — the loop shape is
     unchanged, one bounded pass per level.
@@ -1388,6 +1400,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1.35M -> 1.2M pairs at sf0.1) for a full shuffle + two-sided
     # hash-agg of the self-join output. The pagerank sibling KEEPS its
     # DISTINCT because degrees and messages there count edges.
+    # Checkpoint the UNDIRECTED pairs, not the doubled edge table (r16):
+    # the materialization job writes half the rows, and the per-level
+    # explode to both directions is a pure map over the checkpointed
+    # frame — no shuffle, re-run per level on already-materialized rows.
+    pp = pp.localCheckpoint(eager=False)
     e = pp.select(
         F.explode(
             F.array(
@@ -1396,7 +1413,6 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.s", "x.d")
-    e = e.localCheckpoint(eager=False)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     # Seed frontier checkpointed once (r15): level 1 referenced the
     # distinct-seed aggregate twice (broadcast + anti side) and the final
@@ -1409,12 +1425,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(frontier.select(F.col("id").alias("s"))), "s"
             )
             .select(F.col("d").alias("id"))
-            .distinct()
             # visited is node-bounded (the broadcast-frontier size class);
             # without the hint the checkpointed union has no stats and
             # levels 2-3 plan the anti-join as SMJ — two exchanges + two
-            # sorts per level on both sides (r15, guide §3.1)
+            # sorts per level on both sides (r15, guide §3.1). Applied
+            # BEFORE the distinct (r16): the broadcast anti is a map-side
+            # filter, so already-visited targets never reach the
+            # distinct's exchange.
             .join(F.broadcast(visited.select("id")), "id", "left_anti")
+            .distinct()
             .withColumn("lvl", F.lit(lvl).cast("int"))
         )
         nxt = nxt.localCheckpoint(eager=False)

@@ -1549,10 +1549,17 @@ def dedup_keep_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window pick — double negation is exact, struct order is
     # lexicographic, and the third field never decides (equal (-q, id)
     # implies equal q). Partial aggregation replaces the window's full
-    # sort of every member row.
+    # sort of every member row. nq coalesces NULL quality to +inf
+    # (ADVICE r15): struct comparison sorts a NULL field FIRST, which
+    # would let a NULL-quality doc WIN the pick, while the window form's
+    # orderBy(desc) put NULLs LAST — +inf loses to every real -q, and an
+    # all-NULL group still picks the lowest doc_id with a NULL
+    # kept_quality, exactly the window's result. Latent-only: quality is
+    # NULL only for NULL text, absent from testdata and the property
+    # corpora.
     best = F.min(
         F.struct(
-            (-F.col("__q")).alias("nq"),
+            F.coalesce(-F.col("__q"), F.lit(float("inf"))).alias("nq"),
             F.col("doc_id").alias("kid"),
             F.col("__q").alias("q"),
         )

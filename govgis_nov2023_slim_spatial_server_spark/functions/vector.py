@@ -216,7 +216,11 @@ def argmin_euclidean_arrow(cents: list[tuple[int, list[float]]]):
     def _assign(batch: pd.Series) -> pd.DataFrame:
         if len(batch) == 0:
             return pd.DataFrame({"cid": [], "dist": []})
-        x = np.array(list(batch), dtype=np.float32).astype(np.float64)
+        # float64 directly (ADVICE r15): exact for the float32 arrays the
+        # column physically carries, and LOSSLESS if an upstream select
+        # ever ships array<double> (the float32 coercion would silently
+        # truncate those).
+        x = np.array(list(batch), dtype=np.float64)
         d = x[:, None, :] - C[None, :, :]
         sq = d * d
         dist = np.sqrt(np.cumsum(sq, axis=2)[:, :, -1])  # (n, k)
@@ -227,6 +231,44 @@ def argmin_euclidean_arrow(cents: list[tuple[int, list[float]]]):
         )
 
     return _assign
+
+
+def pair_dot_arrow():
+    """Arrow-vectorized PAIR dot product: a pandas UDF over two embedding
+    columns, BIT-IDENTICAL to ``dot(a, b)`` (the interpreted
+    ``aggregate(zip_with(a, b, x·y), 0.0, acc + x)`` fold) — by the
+    `argmin_euclidean_arrow` argument:
+
+    - float32 → float64 widening is exact (and float64 input passes
+      through lossless); each product is ONE binary64 multiply on
+      identical inputs, exactly ``x.cast('double') * y.cast('double')``;
+    - the HOF's sequential left fold (init 0.0, then acc + prod[i] in
+      index order) is replicated by ``np.cumsum`` along the dim axis
+      (cumsum adds strictly left-to-right — NOT ``np.sum``, whose
+      pairwise summation reassociates and drifts in the last ulp);
+      0.0 + prod[0] == prod[0] exactly, so dropping the explicit init
+      changes nothing.
+
+    Why it exists (guide §4.1 — the pq_adc/kmeans lesson applied to the
+    dedup pair stage, VERDICT r15 #3): the label-blocked cosine
+    self-join evaluates one interpreted 64-element fold PER CANDIDATE
+    PAIR (~199k pairs × 64 lambda steps at sf0.1); the kernel is one
+    fused numpy pass per Arrow batch. Returned non-deterministic so the
+    threshold filter over the result cannot duplicate the evaluation
+    (guide §4.4, the r13 clip-kernel convention — the function is pure,
+    the marking only pins ONE ArrowEvalPython). Batch temporaries are
+    batch × 2 × dim float64 (~10 MB at the default 10k Arrow batch),
+    constant in corpus size."""
+
+    @pandas_udf(DoubleType())
+    def _pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        xa = np.array(list(a), dtype=np.float64)
+        xb = np.array(list(b), dtype=np.float64)
+        return pd.Series(np.cumsum(xa * xb, axis=1)[:, -1])
+
+    return _pdot.asNondeterministic()
 
 
 def pq_encode_adc_arrow(codebook: list[list[float]], lut: list[list[float]]):
@@ -276,7 +318,9 @@ def pq_encode_adc_arrow(codebook: list[list[float]], lut: list[list[float]]):
                     "adc_dist": np.array([], dtype=np.float64),
                 }
             )
-        x = np.array(list(batch), dtype=np.float32).astype(np.float64)
+        # float64 directly (ADVICE r15): exact for float32 input, lossless
+        # for float64 — never a silent truncation.
+        x = np.array(list(batch), dtype=np.float64)
         adc = None
         for s in range(n_sub):
             sub = x[:, s * sub_dim : (s + 1) * sub_dim]  # (n, 16)

@@ -40,7 +40,21 @@ def connected_components(
     # dedup entries: the label-blocked cosine self-join — measured 8-9 s
     # per entry at sf0.1, ~3x the materialized-edge cost). The
     # checkpointed rows are two 8-byte ids per edge.
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=True)
+    # Right-size the per-iteration map stages (r16, guide §2.2/§6 — the
+    # scheduling analogue of the r10 store_width row-sizing): the
+    # checkpointed edges inherit the pair join's shuffle width (64 at
+    # local[32]), so EVERY hash-min iteration scheduled ~64 near-empty
+    # tasks per stage — profiled at ~0.7 s/iteration for a 92k-edge
+    # graph where the actual work is milliseconds. Coalesce (narrow, no
+    # shuffle) to ~64k edges per task, floored at 1 and capped at the
+    # existing width so a genuinely large edge table keeps its layout —
+    # the target is row-count-derived, never a local-mode constant.
+    n_edges = sym.count()
+    width = sym.rdd.getNumPartitions()
+    target = max(1, min(width, int(n_edges // 65536) + 1))
+    if target < width:
+        sym = sym.coalesce(target)
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
 
@@ -50,37 +64,63 @@ def connected_components(
     # while its estimated bytes (16 B/row) fit autoBroadcastJoinThreshold,
     # fall back to the co-partitioned SMJ for big graphs (the 100 TB
     # recipe in the module docstring is unchanged).
+    _conf_val = str(
+        sym.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
     try:
+        # SparkConf's own byte-string parser handles every unit-suffixed
+        # form ('10MB', '1g', '100kb', plain bytes) — the rstrip('b')
+        # hand-parse silently fell back to 10 MB on them (ADVICE r15).
         _thresh = int(
-            str(
-                sym.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            ).lower().rstrip("b")
+            sym.sparkSession.sparkContext._jvm.org.apache.spark.util.Utils.byteStringAsBytes(  # noqa: E501
+                _conf_val
+            )
         )
-    except ValueError:
-        _thresh = 10 * 1024 * 1024
-    _bcast = _thresh > 0 and labels.count() * 16 <= _thresh
+    except Exception:
+        try:
+            _thresh = int(_conf_val.lower().rstrip("b"))
+        except ValueError:
+            _thresh = 10 * 1024 * 1024
+    # 64 B/row: 16 B of longs + UnsafeRow/relation overhead (the 16 B/row
+    # estimate undercounted the built relation 3-5x — ADVICE r15).
+    _bcast = _thresh > 0 and labels.count() * 64 <= _thresh
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if _bcast else df
 
     for _ in range(max_iter):
-        nbr_min = (
+        # ONE join + ONE aggregation per iteration (r16, guide §2.4 —
+        # was join→agg→left-join→project): each node's new label is
+        # min(own comp, neighbor comps), computed by unioning the label
+        # table itself (the "self message", tagged __own) with the
+        # neighbor messages and taking a single map-combinable min per
+        # node. The old label rides the same aggregation as
+        # min(comp WHERE __own) — every node contributes exactly one own
+        # message, so the conditional min IS the previous comp and the
+        # left-join that used to recover it is gone. The union leg keeps
+        # isolated nodes in the table (same role as the old left join).
+        msgs = (
             sym.join(_hint(labels), sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
+            .select("src", "comp", F.lit(False).alias("__own"))
+            .unionByName(
+                labels.select(
+                    F.col("id").alias("src"), "comp", F.lit(True).alias("__own")
+                )
+            )
         )
         # carry the per-node "label shrank" flag through the checkpoint
         # (r15): the convergence count then reads materialized rows
-        # instead of re-joining the new labels against the old — one
-        # fewer join job per iteration (the loop is job-overhead-bound).
+        # instead of re-joining the new labels against the old.
         new_labels = (
-            labels.join(_hint(nbr_min), labels.id == nbr_min.src, "left")
+            msgs.groupBy("src")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("__own"), F.col("comp"))).alias("__old"),
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("__chg"),
+                F.col("src").alias("id"),
+                "comp",
+                (F.col("comp") < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )

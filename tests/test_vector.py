@@ -289,3 +289,43 @@ def test_argmin_euclidean_arrow_bit_identical_to_native(spark):
     assert arrow == native  # exact: cids and raw doubles
     # the duplicate-centroid tie resolved to the LOWER cid somewhere
     assert all(c != 6 for c, _ in arrow.values())
+
+
+def test_pair_dot_arrow_bit_identical_to_native(spark):
+    """The r16 Arrow pair-dot kernel must be BIT-identical (raw doubles)
+    to the native sequential aggregate(zip_with) fold it can replace in
+    `embedding_near_duplicates` (dot_impl='arrow') — 500 random float32
+    pairs incl. zero vectors and denormal-ish magnitudes, where any fold
+    reassociation would drift in the last ulp."""
+    import random
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.vector import (
+        dot,
+        pair_dot_arrow,
+    )
+
+    rng = random.Random(20260818)
+    dim = 64
+    rows = []
+    for i in range(500):
+        scale = 10.0 ** rng.randint(-6, 3)
+        a = [rng.uniform(-scale, scale) for _ in range(dim)]
+        b = [rng.uniform(-scale, scale) for _ in range(dim)]
+        if i % 97 == 0:
+            a = [0.0] * dim
+        rows.append((i, a, b))
+    df = (
+        spark.createDataFrame(rows, ["pid", "ea", "eb"])
+        .withColumn("ea", F.col("ea").cast("array<float>"))
+        .withColumn("eb", F.col("eb").cast("array<float>"))
+    )
+    native = {
+        r["pid"]: r["d"]
+        for r in df.select("pid", dot("ea", "eb").alias("d")).collect()
+    }
+    kern = pair_dot_arrow()
+    arrow = {
+        r["pid"]: r["d"]
+        for r in df.select("pid", kern("ea", "eb").alias("d")).collect()
+    }
+    assert arrow == native  # exact raw doubles, no tolerance

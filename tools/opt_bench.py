@@ -1,14 +1,14 @@
-"""Optimization-round measurement helper (r15): time individual catalog
+"""Optimization-round measurement helper (r15/r16): time individual catalog
 queries in isolation with bench.py's exact methodology (same session conf,
 same timed action — count(), or the forced-hash agg for map-only plans)
-and/or capture their .explain("formatted") to plans/r15/.
+and/or capture their .explain("formatted") to plans/r16/.
 
 Usage:
     python tools/opt_bench.py --queries a,b,c [--reps 3] [--explain before]
     python tools/opt_bench.py --queries a --noop          # noop-sink timing
     python tools/opt_bench.py --all-headline --reps 1
 
---explain before|after writes plans/r15/<name>_<tag>.txt.
+--explain before|after writes plans/r16/<name>_<tag>.txt.
 Timed numbers print to stdout as one line per query:
     name  min=..  med=..  reps=[..]  rows=N
 """
@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--queries", default="")
     ap.add_argument("--all-headline", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--explain", default="", help="tag: write plans/r15/<q>_<tag>.txt")
+    ap.add_argument("--explain", default="", help="tag: write plans/r16/<q>_<tag>.txt")
     ap.add_argument("--noop", action="store_true", help="time via noop sink")
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -78,8 +78,8 @@ def main() -> None:
         fn = QUERIES[name]
         if args.explain:
             df = fn(spark, sf_dir)
-            os.makedirs("plans/r15", exist_ok=True)
-            path = os.path.join("plans/r15", f"{name}_{args.explain}.txt")
+            os.makedirs("plans/r16", exist_ok=True)
+            path = os.path.join("plans/r16", f"{name}_{args.explain}.txt")
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
