@@ -680,15 +680,16 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     celly) and joins with no Exchange on either side (plan + row
     equality pinned in tests/test_r14_catalog.py).
 
-    The per-point best is computed ONCE over a LEFT candidate join (a
-    sentinel (2^62, -1) stands in for no-ring-candidate — real dsq is
-    bounded by the extent, so it never wins a populated ring) and
-    localCheckpointed before the kept/residual split: without the
-    barrier, Catalyst recomputes the whole candidate join under the
-    residual branch (verified in the first cut's plan — two
-    BroadcastHashJoins on the cell keys). The checkpoint materializes a
-    point-table-sized 5-int64 relation, strictly cheaper at scale than a
-    second candidate join + point scan."""
+    Since r16 the whole reduction — ring argmin AND the sparse-frontier
+    full re-rank (the former residual branch) — runs inside ONE
+    vectorized mapInPandas kernel closing over the driver-collected
+    position table (`_ring_bottomk_map` with k = 1; exactness and tier
+    semantics in its docstring — the k = 5 sibling shares the kernel).
+    The former shape (broadcast ring join + left-join sentinel +
+    min(struct) exchange + localCheckpoint barrier + guarantee split +
+    residual crossJoin) is gone: points stream through map-only, the
+    position table ships once per executor — the same broadcast-dim
+    size class as before."""
     ck = F.col("c_custkey")
     # Position-dedup is a LOSSLESS pre-aggregation for argmin semantics:
     # co-located facilities all tie on dsq, so keeping the min custkey per
@@ -710,65 +711,173 @@ def spatial_nn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c_custkey").alias("c_custkey"))
     )
     pk = F.col("p_partkey")
-    # ensure_min_partitions (r15 optimization, guide §2.5): the probe
-    # side of the broadcast candidate join is the single-file part scan
-    # — ONE partition at bench scale, so the join, the candidate
-    # explosion, and the map-side partial argmin all serialized on one
-    # core. No-op at scale where the point table carries many splits.
+    # ensure_min_partitions (r15 optimization, guide §2.5): keeps the
+    # kernel pass parallel over the single-file part scan. No-op at
+    # scale where the point table carries many splits.
     p = ensure_min_partitions(_t(spark, sf_dir, "part")).select(
         "p_partkey",
         ((pk * 13) % 401).cast("long").alias("px"),
         ((pk * 29) % 161).cast("long").alias("py"),
     )
-    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    fring = (
-        f.withColumn("dxc", off)
-        .withColumn("dyc", off)
-        .select(
-            "c_custkey", "fx", "fy",
-            (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
-            (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
+    # r16: the shared two-tier kernel with k = 1 (see the k = 5 sibling
+    # and _ring_bottomk_map for the mechanism and measurements).
+    fac_pos = [(r["fx"], r["fy"], [r["c_custkey"]]) for r in f.collect()]
+    kern = _ring_bottomk_map(fac_pos, k=1, cell=32, guarantee=1088)
+    kout = p.mapInPandas(kern, "p_partkey long, d0 long, k0 long")
+    return kout.where(F.col("d0") >= 0).select(
+        "p_partkey",
+        F.col("k0").alias("nearest_custkey"),
+        F.col("d0").alias("dsq"),
+        (F.sqrt(F.col("d0").cast("double")) / 8.0).alias("dist_deg"),
+    )
+
+
+def _ring_bottomk_map(
+    fac_pos: list, k: int = 5, cell: int = 32, guarantee: int = 1088
+):
+    """mapInPandas kernel for the whole ring-kNN reduction (r16, guide
+    §4.1/§2.4): per point, the EXACT bottom-k (dsq, custkey) pairs over
+    the facility keys, computed vectorized in int64 from a
+    driver-collected facility position table closed over by the kernel.
+
+    Two tiers, mirroring the former two-branch plan exactly:
+
+    * RING tier — candidates from the point's 3×3 ring of ``cell``-unit
+      cells, evaluated as one (points × ring keys) distance matrix per
+      cell group. If the k-th ring candidate has dsq ≤ ``guarantee``
+      (33² − 1: any facility outside the ring is at dsq ≥ 33²), the
+      five are globally correct — done.
+    * FULL tier — the sparse-frontier fallback the residual branch used
+      to compute via crossJoin + collect_list: points whose ring list
+      is short or un-guaranteed re-rank against ALL positions, as a
+      row-chunked (points × all keys) matrix in the same pass. The
+      per-position bottom-k key dedup keeps the column count bounded by
+      k × position vocabulary, the same losslessness argument as
+      before.
+
+    Replaces: the broadcast candidate join that fanned every point out
+    to ~160 candidate rows, the exchange that re-grouped them
+    (p_partkey is unique — the rows were never apart; ~3.2M structs at
+    sf0.1), the interpreted array_sort k-lists, the checkpoint barrier,
+    the guarantee split, the residual BroadcastNestedLoopJoin (54% of
+    points at sf0.1 — the measured dominant cost), and the union.
+
+    Exactness: every quantity is int64 (coordinates are mod-401/161
+    lattice values, so dsq < 2^18); the bottom-k order is the single
+    integer key ``dsq·2^44 + custkey`` — exactly the (dsq, custkey)
+    lexicographic tie-break, valid while custkey < 2^44 (asserted;
+    ~10^13, far above any TPC-H scale). -1 sentinels mark missing
+    candidates (fewer facilities than k).
+
+    Scale shape: the facility position table is the entry's existing
+    broadcast-dim assumption (it was already shipped to every executor
+    as a broadcast relation); closing over it moves the same bytes once
+    per executor. Points stream through in Arrow batches; the full-tier
+    matrix is chunked to ≤8M int64 elements — constant memory, no
+    shuffle, no per-candidate row ever materialized."""
+    import numpy as np
+
+    from collections import defaultdict
+
+    by_cell: dict = defaultdict(list)
+    fkx: list = []
+    fky: list = []
+    fkk: list = []
+    for fx, fy, keys in fac_pos:
+        by_cell[(fx // cell, fy // cell)].append((fx, fy, keys))
+        for key in keys:
+            fkx.append(fx)
+            fky.append(fy)
+            fkk.append(key)
+    full = (
+        (
+            np.asarray(fkx, dtype=np.int64),
+            np.asarray(fky, dtype=np.int64),
+            np.asarray(fkk, dtype=np.int64),
         )
+        if fkk
+        else None
     )
-    pc = p.select(
-        "p_partkey", "px", "py",
-        F.expr("px DIV 32").alias("cellx"),
-        F.expr("py DIV 32").alias("celly"),
-    )
-    dsq = (
-        (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
-        + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
-    ).alias("dsq")
-    base = (
-        pc.join(F.broadcast(fring), ["cellx", "celly"], "left")
-        .select(
-            "p_partkey", "px", "py",
-            F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
-            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("c_custkey"),
+    if full is not None:
+        assert int(full[2].max()) < (1 << 44), "custkey outgrew the enc"
+    cache: dict = {}
+
+    def _ring_arrays(cxy):
+        if cxy in cache:
+            return cache[cxy]
+        kx: list = []
+        ky: list = []
+        kk: list = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for fx, fy, keys in by_cell.get(
+                    (cxy[0] + dx, cxy[1] + dy), ()
+                ):
+                    for key in keys:
+                        kx.append(fx)
+                        ky.append(fy)
+                        kk.append(key)
+        arrs = (
+            (
+                np.asarray(kx, dtype=np.int64),
+                np.asarray(ky, dtype=np.int64),
+                np.asarray(kk, dtype=np.int64),
+            )
+            if kk
+            else None
         )
-        .groupBy("p_partkey", "px", "py")
-        .agg(F.min(F.struct("dsq", "c_custkey")).alias("b"))
-        .localCheckpoint()
-    )
-    best_ring = (
-        base.where(F.col("b.dsq") <= 1088)
-        .select("p_partkey", F.col("b.c_custkey").alias("nearest_custkey"),
-                F.col("b.dsq").alias("dsq"))
-    )
-    residual = (
-        base.where(F.col("b.dsq") > 1088)
-        .select("p_partkey", "px", "py")
-        .crossJoin(F.broadcast(f))
-        .select("p_partkey", dsq, "c_custkey")
-        .groupBy("p_partkey")
-        .agg(F.min(F.struct("dsq", "c_custkey")).alias("b"))
-        .select("p_partkey", F.col("b.c_custkey").alias("nearest_custkey"),
-                F.col("b.dsq").alias("dsq"))
-    )
-    return best_ring.unionByName(residual).select(
-        "p_partkey", "nearest_custkey", "dsq",
-        (F.sqrt(F.col("dsq").cast("double")) / 8.0).alias("dist_deg"),
-    )
+        cache[cxy] = arrs
+        return arrs
+
+    def _bottomk(px, py, arrs, out_d, out_k, idx):
+        kx, ky, kk = arrs
+        dx = px[idx][:, None] - kx[None, :]
+        dy = py[idx][:, None] - ky[None, :]
+        enc = ((dx * dx + dy * dy) << 44) | kk[None, :]
+        m = enc.shape[1]
+        if m > k:
+            part = np.argpartition(enc, k - 1, axis=1)[:, :k]
+            sel = np.take_along_axis(enc, part, axis=1)
+            top = np.take_along_axis(sel, np.argsort(sel, axis=1), axis=1)
+        else:
+            top = np.sort(enc, axis=1)
+        out_d[idx, : top.shape[1]] = top >> 44
+        out_k[idx, : top.shape[1]] = top & ((1 << 44) - 1)
+
+    def _fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            px = pdf["px"].to_numpy(np.int64)
+            py = pdf["py"].to_numpy(np.int64)
+            out_d = np.full((n, k), -1, dtype=np.int64)
+            out_k = np.full((n, k), -1, dtype=np.int64)
+            if full is not None:
+                cells = np.stack([px // cell, py // cell], axis=1)
+                uniq, inv = np.unique(cells, axis=0, return_inverse=True)
+                for g in range(len(uniq)):
+                    arrs = _ring_arrays((int(uniq[g][0]), int(uniq[g][1])))
+                    if arrs is None:
+                        continue
+                    _bottomk(px, py, arrs, out_d, out_k, np.nonzero(inv == g)[0])
+                # full tier: short or un-guaranteed ring lists
+                need = np.nonzero(
+                    (out_d[:, k - 1] < 0) | (out_d[:, k - 1] > guarantee)
+                )[0]
+                if len(need):
+                    chunk = max(1, (8 << 20) // max(1, len(full[2])))
+                    for s in range(0, len(need), chunk):
+                        _bottomk(
+                            px, py, full, out_d, out_k, need[s : s + chunk]
+                        )
+            cols = {"p_partkey": pdf["p_partkey"]}
+            for j in range(k):
+                cols[f"d{j}"] = out_d[:, j]
+                cols[f"k{j}"] = out_k[:, j]
+            yield pd.DataFrame(cols)
+
+    return _fn
 
 
 @query(
@@ -818,34 +927,33 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
       outside the 3×3 ring of 32-unit cells has dsq ≥ 33² = 1089, so IF
       a point holds 5 ring candidates with dsq₅ ≤ 1088, all five are
       globally correct (an outside facility can neither beat nor tie
-      any of them). Fewer than 5 candidates, or dsq₅ > 1088 → residual.
-    * The per-point reduction is slice(array_sort(collect_list(struct(
-      dsq, custkey))), 1, 5) — a bounded k-list, NOT a window: ring
+      any of them). Fewer than 5 candidates, or dsq₅ > 1088 → the
+      full-scan tier.
+    * The per-point reduction is a bounded bottom-k, NOT a window: ring
       candidates per point are capped by 5 × positions-per-ring (the
-      density bound that is the design's point), so the list never
-      outgrows a task, and array_sort's lexicographic struct order IS
-      the (dsq, custkey) tie-break. No global sort, no window shuffle,
-      no all-pairs anywhere engine-side (the quadratic lives only in
-      the oracle's CROSS JOIN).
+      density bound that is the design's point), and the (dsq, custkey)
+      lexicographic tie-break is the single integer sort key
+      dsq·2^44 + custkey. No global sort, no window shuffle, no
+      all-pairs anywhere engine-side (the quadratic lives only in the
+      oracle's CROSS JOIN).
 
-    The per-point candidate list is computed ONCE behind the same
-    localCheckpoint barrier as the k=1 entry (without it Catalyst
-    recomputes the candidate join under the residual branch — the
-    plan-asserted r12 lesson). Residual points re-rank against the
-    position-k-list table (lossless, see above) via a bounded broadcast
-    nested-loop — exact, and only the sparse-frontier tail takes it at
-    production density. 100 TB shape: cell-equi candidate join
-    (shuffle-free point side when cell-bucketed), broadcast ring dim,
-    bounded per-point k-list; denser tables shrink cells, larger
-    facility dims swap broadcast for the cell-bucketed join
-    (`operators.spatial_join.cell_bucketed_ring_join`, code since
+    Since r16 the whole reduction — ring tier AND the sparse-frontier
+    full re-rank (the former residual branch, which 54% of sf0.1 points
+    took and which dominated the entry's wall time) — runs inside ONE
+    vectorized mapInPandas kernel closing over the driver-collected
+    position table (`_ring_bottomk_map`; exactness and tier semantics
+    in its docstring). 100 TB shape: the position table is the entry's
+    existing broadcast-dim assumption shipped once per executor; points
+    stream through map-only, so the point side is shuffle-free
+    unconditionally (the cell-bucketed join remains the swap for
+    facility dims that outgrow the closure —
+    `operators.spatial_join.cell_bucketed_ring_join`, code since
     r14)."""
     ck = F.col("c_custkey")
     # per-position bottom-5 custkeys kept AS AN ARRAY (lossless for
-    # top-5 by (dsq, key)) — the array rides the candidate join
-    # unexploded, so join fan-out is positions, not positions×5
-    # (measured: the exploded first cut spent its 20×-rehearsal wall in
-    # a 5×-wider collect_list input; α 0.69 → see SCALING run 17)
+    # top-5 by (dsq, key)) — bounds the kernel's candidate columns by
+    # 5 × the position vocabulary (SCALING run 17's co-located-replica
+    # argument, unchanged).
     f5 = (
         _t(spark, sf_dir, "customer")
         .where(ck % 10 == 1)
@@ -863,113 +971,61 @@ def spatial_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pk = F.col("p_partkey")
     # same probe-side spread as the k=1 sibling (r15 optimization,
-    # guide §2.5): keeps the candidate join + bounded k-list partial
-    # aggregation parallel over the single-file part scan
+    # guide §2.5): keeps the kernel pass parallel over the single-file
+    # part scan
     p = ensure_min_partitions(_t(spark, sf_dir, "part")).select(
         "p_partkey",
         ((pk * 13) % 401).cast("long").alias("px"),
         ((pk * 29) % 161).cast("long").alias("py"),
     )
-    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
-    fring = (
-        f5.withColumn("dxc", off)
-        .withColumn("dyc", off)
-        .select(
-            "keys", "fx", "fy",
-            (F.expr("fx DIV 32") + F.col("dxc")).alias("cellx"),
-            (F.expr("fy DIV 32") + F.col("dyc")).alias("celly"),
-        )
-    )
-    pc = p.select(
-        "p_partkey", "px", "py",
-        F.expr("px DIV 32").alias("cellx"),
-        F.expr("py DIV 32").alias("celly"),
-    )
-    dsq = (
-        (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx"))
-        + (F.col("py") - F.col("fy")) * (F.col("py") - F.col("fy"))
-    ).alias("dsq")
-    # top-5 POSITIONS provably contain the top-5 individuals: keys are
-    # unique, so a position holding one of the 5 smallest (dsq, key)
-    # candidates has min-key ≤ the 5th smallest at its dsq level, while
-    # any non-holder's min-key is strictly larger — under the
-    # (dsq, keys-array) lexicographic position sort every holder
-    # precedes every non-holder, and there are ≤ 5 holders. The
-    # flattened ≤25 candidates are re-sorted before the final slice:
-    # positions TYING on dsq interleave their key sets, so flatten
-    # order alone is NOT (dsq, custkey) order (caught by the sf0.01
-    # oracle on symmetric facility positions).
-    top_pos = F.slice(
-        F.array_sort(F.collect_list(F.struct("dsq", "keys"))), 1, 5
-    ).alias("bp")
-    flat5 = F.slice(
-        F.array_sort(
-            F.flatten(
-                F.transform(
-                    F.col("bp"),
-                    lambda x: F.transform(
-                        x["keys"],
-                        lambda k: F.struct(
-                            x["dsq"].alias("dsq"), k.alias("c_custkey")
-                        ),
-                    ),
+    # r16 (guide §4.1/§2.4): the WHOLE per-point reduction is ONE
+    # vectorized mapInPandas pass closing over the driver-collected
+    # position table (the same k-row-collect pattern as the IVF seeds —
+    # the table was already a broadcast relation, so its size class is
+    # unchanged). The former shape — broadcast 3×3-ring join fanning
+    # every point out to ~160 candidate rows, groupBy(p_partkey)
+    # re-collecting them through an exchange (~3.2M structs at sf0.1;
+    # p_partkey is unique — the rows were never apart) into interpreted
+    # array_sort k-lists, then a guarantee split whose residual
+    # crossJoin re-ranked 54% of sf0.1 points (the measured dominant
+    # cost) — is all inside the kernel now, ring tier + full-scan tier
+    # (see _ring_bottomk_map). Per-point result = the exact bottom-5
+    # (dsq, custkey) pairs: the direct form of what
+    # top-5-positions-then-flatten-then-re-sort recovered (the position
+    # top-5 provably CONTAINS the global 5 — keys are unique, so a
+    # holder position's min key precedes every non-holder under the
+    # (dsq, keys) sort — and bottom-5 over the full multiset needs no
+    # flatten-order repair at all: the r13 interleaving class cannot
+    # arise).
+    fac_pos = [(r["fx"], r["fy"], list(r["keys"])) for r in f5.collect()]
+    kern = _ring_bottomk_map(fac_pos, k=5, cell=32, guarantee=1088)
+    kcols = ", ".join(f"d{j} long, k{j} long" for j in range(5))
+    kout = p.mapInPandas(kern, f"p_partkey long, {kcols}")
+    # rebuild the bounded k-list from the kernel's flat columns (-1
+    # sentinels = missing candidates with fewer facilities than k,
+    # filtered out before the rank explode).
+    b_arr = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"d{j}").alias("dsq"),
+                    F.col(f"k{j}").alias("c_custkey"),
                 )
-            )
+                for j in range(5)
+            ]
         ),
-        1,
-        5,
+        lambda x: x["dsq"] >= 0,
     ).alias("b")
-    base = (
-        pc.join(F.broadcast(fring), ["cellx", "celly"], "left")
+    return (
+        kout.select("p_partkey", b_arr)
+        .select("p_partkey", F.posexplode("b").alias("pos", "cand"))
         .select(
-            "p_partkey", "px", "py",
-            F.coalesce(dsq, F.lit(2**62)).alias("dsq"),
-            F.coalesce(F.col("keys"), F.array(F.lit(-1))).alias("keys"),
-        )
-        .groupBy("p_partkey", "px", "py")
-        .agg(top_pos)
-        # flat5 INSIDE the checkpoint (r15): both the guaranteed and the
-        # residual branch need the flattened k-list, and each branch
-        # re-evaluated the nested transform+array_sort over ALL points
-        # before its filter — two full interpreted passes in the action
-        # phase. Computing it once in the (parallel) checkpoint job
-        # leaves the branches pure filters over materialized rows.
-        .select("p_partkey", "px", "py", flat5)
-        .localCheckpoint()
-    )
-    ranked = base
-    # try_element_at, not element_at: sparse-cell points carry <5
-    # candidates and ANSI element_at(b, 5) would hard-error there —
-    # correctness must not lean on And short-circuit order surviving
-    # Catalyst predicate transforms (ADVICE r13; the r8 kmeans
-    # try_element_at convention). NULL <= 1088 is NULL, and
-    # false & NULL = false, so short arrays stay un-guaranteed.
-    guaranteed = (F.size("b") == 5) & (
-        F.try_element_at("b", F.lit(5)).getField("dsq") <= 1088
-    )
-
-    def _emit(df: DataFrame) -> DataFrame:
-        e = df.select(
-            "p_partkey", F.posexplode("b").alias("pos", "cand")
-        )
-        return e.select(
             "p_partkey",
             (F.col("pos") + 1).alias("nn_rank"),
             F.col("cand.c_custkey").alias("nn_custkey"),
             F.col("cand.dsq").alias("dsq"),
+            (
+                F.sqrt(F.col("cand.dsq").cast("double")) / 8.0
+            ).alias("dist_deg"),
         )
-
-    kept = _emit(ranked.where(guaranteed))
-    residual = (
-        ranked.where(~guaranteed)
-        .select("p_partkey", "px", "py")
-        .crossJoin(F.broadcast(f5))
-        .select("p_partkey", dsq, "keys")
-        .groupBy("p_partkey")
-        .agg(top_pos)
-        .select("p_partkey", flat5)
-    )
-    return kept.unionByName(_emit(residual)).select(
-        "p_partkey", "nn_rank", "nn_custkey", "dsq",
-        (F.sqrt(F.col("dsq").cast("double")) / 8.0).alias("dist_deg"),
     )

@@ -571,19 +571,22 @@ def test_nn_join_ring_guarantee_constant():
 
 
 def test_nn_join_ring_plan_shapes(spark):
-    """Physical plan of the returned DataFrame: the per-point best is read
-    from the localCheckpoint barrier (Scan ExistingRDD) — the candidate
-    join is NOT recomputed under the residual branch (the first cut had
-    two BroadcastHashJoins on the cell keys); the residual's full search
-    is a bounded BroadcastNestedLoopJoin of the facility dim, and nothing
-    is an unbounded CartesianProduct."""
+    """r16 kernel shape: the whole per-point argmin (ring tier +
+    full-scan fallback) is ONE MapInPandas over the spread point scan —
+    no join of any kind, no aggregation exchange, no checkpoint."""
     plan = QUERIES["spatial_nn_join_ring"](
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") >= 1  # the checkpoint barrier
-    assert "BroadcastHashJoin" not in plan  # candidate join ran pre-barrier
-    assert plan.count("BroadcastNestedLoopJoin") == 1
-    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    for node in (
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "CartesianProduct",
+        "Window",
+        "HashAggregate",
+    ):
+        assert node not in plan, node
 
 
 def test_intersection_snap_rings_nonvacuous_and_bounded(spark):

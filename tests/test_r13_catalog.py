@@ -181,23 +181,27 @@ class TestKnnJoinRing:
         assert 2 * 32 - 31 == 33 and 33 * 33 == 1089
 
     def test_plan_shapes(self, spark):
-        """Candidate k-lists are read from the localCheckpoint barrier
-        (no BroadcastHashJoin under either branch — the candidate join
-        ran pre-barrier once); the residual re-rank is one bounded
-        BroadcastNestedLoopJoin; nothing is a CartesianProduct and
-        nothing is a window sort (the per-point top-k is a bounded
-        k-list aggregate)."""
+        """r16 kernel shape: the whole per-point reduction (ring tier +
+        full-scan fallback) is ONE MapInPandas over the spread point
+        scan — no join of any kind, no aggregation exchange, no
+        checkpoint, no window sort. The only exchange is the
+        round-robin probe-side spread."""
         plan = (
             QUERIES["spatial_knn_join_ring"](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert plan.count("Scan ExistingRDD") >= 1
-        assert "BroadcastHashJoin" not in plan
-        assert plan.count("BroadcastNestedLoopJoin") == 1
-        assert "CartesianProduct" not in plan
-        assert "Window" not in plan
+        assert plan.count("MapInPandas") == 1
+        for node in (
+            "BroadcastHashJoin",
+            "BroadcastNestedLoopJoin",
+            "SortMergeJoin",
+            "CartesianProduct",
+            "Window",
+            "HashAggregate",
+        ):
+            assert node not in plan, node
 
 
 # ---------------------------------------------------------------------------
