@@ -54,6 +54,54 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return _let(tokens(col), _shingles_from)
 
 
+def word_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingle HASHES as an array<long> (native) —
+    membership-equivalent to ``xxhash64`` over `word_shingles` strings,
+    for consumers that key on the 8-byte hash and never read the shingle
+    text (the containment/triangle family).
+
+    Hashes each TOKEN once (``xxhash64`` per token) and mixes the k token
+    hashes per shingle with one multi-argument ``xxhash64`` call — no
+    per-shingle ``slice`` array copy, no ``concat_ws`` string allocation,
+    no re-scan of ~25 string bytes per shingle (r16, guide §4.1 applied
+    inside the JVM: same interpreted-HOF lambda count, far cheaper ops;
+    measured 1.79 → 1.53 s med on ngram_containment_topk, output
+    identical). Docs shorter than k words yield one shingle of their
+    full token list (``try_element_at`` past the end contributes NULL,
+    which multi-arg xxhash64 skips — so short docs of equal token
+    sequences still collide exactly with each other and with nothing
+    structurally).
+
+    Collision class: equal string shingles ⟺ equal token sequences ⟺
+    equal hash INPUTS, so membership is preserved exactly up to 64-bit
+    hash collisions — the same ~2³²-distinct-shingles birthday bound the
+    string-keyed form already documented (token-level xxhash64 collisions
+    fold into the same bound)."""
+
+    def _shingles_from(toks: Column) -> Column:
+        def _from_th(th: Column) -> Column:
+            n = F.size(th)
+            starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+                F.when(n > 0, F.array(F.lit(0))).otherwise(
+                    F.array().cast("array<int>")
+                )
+            )
+            return F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.xxhash64(
+                        *[F.try_element_at(th, i + j + 1) for j in range(k)]
+                    ),
+                )
+            )
+
+        return _let(
+            F.transform(toks, lambda t: F.xxhash64(t)), _from_th
+        )
+
+    return _let(tokens(col), _shingles_from)
+
+
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Distinct k-char shingles (native substring enumeration)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -188,3 +188,47 @@ def test_arrow_minhash_matches_native(spark):
     )
     for r in both.collect():
         assert r["native"] == r["arrow"], r["id"]
+
+
+def test_word_shingle_hashes_membership_equivalent(spark):
+    """word_shingle_hashes (r16 token-hash mixing) must be MEMBERSHIP-
+    equivalent to xxhash64 over word_shingles strings: equal string
+    shingles <=> equal hashes, across docs. Random texts incl. empty,
+    one-token, shorter-than-k, exact-duplicate and overlapping docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from govgis_nov2023_slim_spatial_server_spark.functions.hashes import (
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = ["", "one", "two words", "  padded   ws\ttab  "]
+    for _ in range(40):
+        n = rng.randint(3, 40)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts.append(texts[-1])  # exact duplicate doc
+    texts.append(" ".join(texts[-1].split()[:10]))  # shared prefix
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        F.transform(word_shingles("text", 3), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
+        word_shingle_hashes("text", 3).alias("hh"),
+        word_shingles("text", 3).alias("ss"),
+    ).collect()
+    # sizes equal per doc (both dedupe), and the cross-doc equality
+    # structure matches: string shingle equality <=> new-hash equality
+    str2new = {}
+    for r in got:
+        assert len(r["hh"]) == len(r["ss"]) == len(r["hs"])
+        for s, h in zip(r["ss"], r["hh"]):
+            assert str2new.setdefault(s, h) == h, s
+    # distinct strings got distinct hashes (no accidental collisions in
+    # this corpus)
+    assert len(set(str2new.values())) == len(str2new)
