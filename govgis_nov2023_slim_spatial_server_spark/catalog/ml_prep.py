@@ -1681,28 +1681,34 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ngram_containment_topk) needs an imposed df cap — the prefix is
     the principled version of that cap. One df aggregate (map-combined),
     one per-doc rank window, the prefix self-join, then the bounded
-    candidate set verifies via two id joins carrying the shingle
-    arrays. Candidate count vs brute force is pinned in
-    tests/test_r11_catalog.py."""
+    candidate set verifies via two id joins carrying the 8-byte
+    shingle-hash arrays (r16 — |∩|/|∪| over hash sets equal the
+    string-set values under the documented collision convention; the
+    string intersect was the measured dominant stage). Boundary
+    completeness and pruning are pinned in tests/test_r11_catalog.py."""
     d = _t(spark, sf_dir, "documents")
+    # r16: the WHOLE pipeline runs on the 8-byte shingle-hash sets
+    # (word_shingle_hashes — token-hash mixing, no per-shingle string
+    # allocation). Membership-identical under the documented ~2³²
+    # birthday-bound convention (ngram_containment_topk keys AND grades
+    # its shared counts the same way), so |∩| and |∪| over hash sets
+    # equal the string-set values; the r15 form paid an interpreted
+    # STRING array_intersect per candidate (68k candidates × two
+    # ~88-string arrays — the measured dominant stage, 1.4-1.7 s) plus a
+    # per-row xxhash64 re-derivation in the prefix machinery. Candidate
+    # completeness is unchanged: any globally consistent shingle order
+    # works, and (df, hash) is one.
     t = ensure_min_partitions(d).select(
-        "doc_id", word_shingles("text", 3).alias("s")
+        "doc_id", word_shingle_hashes("text", 3).alias("s")
     )
-    # the shingle-set table feeds THREE join branches (explode, verify-a,
-    # verify-b); pin it once so the regexp split + dedup runs one time —
-    # the production form is a shingle-set table written at ingest
+    # the shingle-hash-set table feeds THREE join branches (explode,
+    # verify-a, verify-b); pin it once so the split + hash + dedup runs
+    # one time — the production form is a shingle-set table written at
+    # ingest
     sized = t.select("doc_id", "s", F.size("s").alias("n")).localCheckpoint(
         eager=False
     )
-    # candidate machinery keys on the shingle's xxhash64, not the ~25-byte
-    # string (same keying convention as ngram_containment_topk): the
-    # Exchange bytes drop ~2×, and hashing cannot LOSE a candidate —
-    # completeness only needs a globally consistent shingle order (the
-    # hash is one; df ties merge) and a collision can only ADD a shared
-    # prefix key. Verification below is exact on the shingle arrays.
-    ex = sized.select(
-        "doc_id", "n", F.explode("s").alias("shs")
-    ).select("doc_id", "n", F.xxhash64("shs").alias("sh"))
+    ex = sized.select("doc_id", "n", F.explode("s").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = ex.join(dfreq, "sh").withColumn(
         "rk",
