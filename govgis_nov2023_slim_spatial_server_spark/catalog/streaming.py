@@ -814,14 +814,19 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    n = ev.count()
-    lo = ev.agg(F.min("user_id").alias("m")).collect()[0]["m"]
+    # one map-combined aggregate for all three staging scalars (r16,
+    # guide §2.4 — was three separate driver actions/scans)
+    _st = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("lo"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    n, lo, max_ts = _st["n"], _st["lo"], _st["mx"]
     if lo is not None and lo < 0:
         raise AssertionError(
             "stream_left_outer_join reserves negative user_ids for its "
             f"watermark-advancer sentinels; data has user_id {lo}"
         )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     if max_ts is None:  # empty stream ⇒ empty join result
         return spark.createDataFrame(
             [], "purchase_id long, click_id long, user_id long"
@@ -1229,14 +1234,19 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    n = ev.count()
-    lo = ev.agg(F.min("user_id").alias("m")).collect()[0]["m"]
+    # one map-combined aggregate for all three staging scalars (r16,
+    # guide §2.4 — was three separate driver actions/scans)
+    _st = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("lo"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    n, lo, max_ts = _st["n"], _st["lo"], _st["mx"]
     if lo is not None and lo < 0:
         raise AssertionError(
             "stream_full_outer_join reserves negative user_ids for its "
             f"watermark-advancer sentinels; data has user_id {lo}"
         )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     if max_ts is None:  # empty stream ⇒ empty join result
         return spark.createDataFrame(
             [], "purchase_id long, click_id long, user_id long"
