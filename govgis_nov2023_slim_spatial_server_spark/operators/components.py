@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import coalesce_materialized
+
 
 def connected_components(
     edges: DataFrame,
@@ -41,20 +43,11 @@ def connected_components(
     # per entry at sf0.1, ~3x the materialized-edge cost). The
     # checkpointed rows are two 8-byte ids per edge.
     sym = sym.localCheckpoint(eager=True)
-    # Right-size the per-iteration map stages (r16, guide §2.2/§6 — the
-    # scheduling analogue of the r10 store_width row-sizing): the
-    # checkpointed edges inherit the pair join's shuffle width (64 at
-    # local[32]), so EVERY hash-min iteration scheduled ~64 near-empty
-    # tasks per stage — profiled at ~0.7 s/iteration for a 92k-edge
-    # graph where the actual work is milliseconds. Coalesce (narrow, no
-    # shuffle) to ~64k edges per task, floored at 1 and capped at the
-    # existing width so a genuinely large edge table keeps its layout —
-    # the target is row-count-derived, never a local-mode constant.
-    n_edges = sym.count()
-    width = sym.rdd.getNumPartitions()
-    target = max(1, min(width, int(n_edges // 65536) + 1))
-    if target < width:
-        sym = sym.coalesce(target)
+    # Right-size the per-iteration map stages (r16, guide §2.2/§6):
+    # every hash-min iteration otherwise schedules the pair join's full
+    # shuffle width of near-empty tasks — see
+    # session.coalesce_materialized (profiled ~0.7 s/iteration here).
+    sym = coalesce_materialized(sym)
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
 
