@@ -26,7 +26,7 @@ from ..functions.hashes import (
 )
 from ..functions.text import fingerprint_udf
 from ..functions.vector import cosine_similarity
-from ..session import ensure_min_partitions
+from ..session import coalesce_materialized, ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
@@ -160,6 +160,13 @@ def minhash_near_duplicates(
         .select("id", "__x.sh", sig_udf(F.col("__x.bh")).alias("sig"))
         .localCheckpoint(eager=True)
     )
+    # narrow the materialized signature table (r16,
+    # session.coalesce_materialized): it feeds four downstream branches
+    # (banding explode, both verification joins) that otherwise each
+    # schedule the spread's full 64-task width over ~5k rows; the
+    # CPU-heavy shingle+signature work already ran wide inside the
+    # checkpoint job.
+    sigs = coalesce_materialized(sigs)
     buckets = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -218,6 +225,7 @@ def minhash_near_duplicates_exactband(
             ),
         ).alias("__x"),
     ).select("id", "__x.sh", "__x.sig").localCheckpoint(eager=True)
+    sigs = coalesce_materialized(sigs)  # r16: see minhash_near_duplicates
     banded = sigs.select(
         "id",
         F.explode(
