@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from ..functions.hashes import word_shingle_hashes, word_shingles
 from ..operators.windows import floor_round
 from ..schemas import load_table
-from ..session import ensure_min_partitions, local_rows_df
+from ..session import (
+    coalesce_materialized,
+    ensure_min_partitions,
+    local_rows_df,
+)
 from ._registry import fmt_vec_sql, query, rnd_nz
 from .vector_text import _SHINGLE_SQL
 
@@ -485,6 +489,41 @@ def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positional_gram_hashes(base: DataFrame) -> DataFrame:
+    """(doc_id, pos, sh): positional 4-gram hashes for the substring-dedup
+    family, via token-hash mixing (r16 — the word_shingle_hashes move
+    applied positionally): each token is xxhash64'd once, each gram hash
+    is one multi-arg xxhash64 over its four token hashes — no slice array
+    copy, no concat_ws string allocation, no ~30-byte string re-scan per
+    gram. Membership-identical to xxhash64 over the gram string (equal
+    gram strings ⟺ equal token sequences ⟺ equal hash inputs) under the
+    same ~2^-64 collision convention both consumers already document
+    against their string-keyed oracles. ``base`` must carry (doc_id,
+    toks) with size(toks) >= 4, so every element_at is in bounds under
+    ANSI. pos is 1-based, as before."""
+    th = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    return (
+        base.select("doc_id", th.alias("th"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("th") - 3),
+                    lambda i: F.xxhash64(
+                        F.element_at(F.col("th"), i),
+                        F.element_at(F.col("th"), i + 1),
+                        F.element_at(F.col("th"), i + 2),
+                        F.element_at(F.col("th"), i + 3),
+                    ),
+                )
+            ).alias("p0", "sh"),
+        )
+        .select(
+            "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "sh"
+        )
+    )
+
+
 @query(
     "substring_dup_chains",
     rf"""
@@ -566,23 +605,14 @@ def substring_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 4)
     )
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 3),"
-                " i -> concat_ws(' ', slice(toks, i, 4)))"
-            )
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
-        F.xxhash64("gram").alias("sh"),
-    )
+    grams = _positional_gram_hashes(base)
     # localCheckpoint (r15 optimization): the positional-gram subtree
     # feeds the df aggregate and BOTH self-join branches — the barrier
     # computes the scan+posexplode+hash pass once instead of three
-    # times; fresh per invocation.
-    grams = grams.localCheckpoint(eager=False)
+    # times; fresh per invocation. Narrowed after materialization (r16,
+    # session.coalesce_materialized): the 64-task spread width otherwise
+    # re-schedules across the three downstream scans.
+    grams = coalesce_materialized(grams.localCheckpoint(eager=True))
     hot = (
         grams.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -705,23 +735,7 @@ def substring_trim_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = ensure_min_partitions(d).select("doc_id", toks.alias("toks"))
-    grams = (
-        base.where(F.size("toks") >= 4)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 3),"
-                    " i -> concat_ws(' ', slice(toks, i, 4)))"
-                )
-            ).alias("p0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).cast("long").alias("pos"),
-            F.xxhash64("gram").alias("sh"),
-        )
-    )
+    grams = _positional_gram_hashes(base.where(F.size("toks") >= 4))
     hot = (
         grams.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
