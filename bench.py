@@ -268,7 +268,7 @@ REF_FLOORS: dict[str, float] = {
     "q1_pricing_summary": 0.4, "q3_top_revenue_orders": 0.956,
     "q5_nation_revenue": 1.05, "window_rank_orders_per_customer": 0.425,
     "tumbling_window_1h": 0.325, "session_windows_30m": 0.544,
-    "minhash_lsh_neardup": 1.41, "ngram_jaccard_topk": 0.815,
+    "minhash_lsh_neardup": 1.296, "ngram_jaccard_topk": 0.815,
     "spatial_point_filter": 0.283, "multimodal_byte_stats": 0.291,
     "q6_revenue_forecast": 0.252, "vector_centroids_by_label": 0.255,
     "grouping_sets_status_priority": 0.27,
@@ -281,18 +281,18 @@ REF_FLOORS: dict[str, float] = {
     "ann_recall_at_10": 1.368,          # was 1.519 (r13)
     "kmeans_two_iterations": 1.114,     # untouched; quiet min (was 1.441)
     "bigram_lm_cross_entropy": 0.993,   # was 1.019
-    "ngram_containment_topk": 1.773,    # was 2.678
-    "ngram_containment_capped": 2.02,   # was 3.183
+    "ngram_containment_topk": 1.743,   # r16 token-hash shingles (was 1.773)
+    "ngram_containment_capped": 2.02,  # r16 kept: token-hash min read 2.236 under load; r15 floor stands
     "pq_adc_topk": 0.515,               # was 1.674 (Arrow kernel swap)
     "pareto_frontier_parts": 0.404,     # untouched; quiet min (was 0.479)
     "skyline_recursive_parts": 1.589,   # untouched; quiet min (was 1.994)
     "spatial_buffer_union_area": 1.565, # untouched; quiet min (was 1.927)
     "spatial_union_rings": 1.265,       # was 2.929
-    "substring_dup_chains": 1.574,      # was 2.712
+    "substring_dup_chains": 1.574,     # r16 kept: positional token-hash min read 1.968 under load; r15 floor stands
     "spatial_intersection_rings": 1.537,  # was 2.961
     "spatial_union_snap_rings": 1.691,  # was 3.311
-    "spatial_nn_join_ring": 0.93,       # was 1.075
-    "spatial_knn_join_ring": 2.337,     # was 2.357 (post-flat5 min)
+    "spatial_nn_join_ring": 0.829,     # r16 two-tier kernel (was 0.93)
+    "spatial_knn_join_ring": 0.838,    # r16 two-tier kernel (was 2.337)
     "spatial_clip_convex_pairs": 0.823,   # was 2.872
     "spatial_clip_concave_pairs": 1.354,  # was 2.947
     "spatial_clip_general_pairs": 1.915,  # was 3.705
@@ -301,60 +301,26 @@ REF_FLOORS: dict[str, float] = {
     "bpe_encode_merges": 1.072,         # was 1.376
     # r15 first floors for the wave-3 entries (post-optimization code)
     "spatial_clip_holed_boundary": 0.82,
-    "graph_bfs_levels": 2.241,
+    "graph_bfs_levels": 1.822,          # r16 pair-ckpt + coalesce (was 2.241)
     "winnowing_fingerprints": 0.458,
     "spatial_convex_hull_edges": 0.561,
 }
 # queries whose code changed since their floor was recorded (excluded
-# from drift_ratio_median until the floor is re-recorded). r15: the
-# ADVICE r14 re-records landed at the round's quietest window
-# (pre-pass canaries cpu 1.10 / arrow 1.03 — the first ≤1.1 window
-# since the r13 batch): spatial_clip_general_pairs 4.096 → 3.705
-# (−9.5%, its first floor was recorded at arrow 1.39-1.40),
-# spatial_clip_concave_pairs 3.326 → 2.947 (−11%, the verdict's
-# "same check" item), and spatial_knn_join_ring 2.925 → 2.357 (−19%,
-# same contended batch). All three therefore sit in FLOORS_CHANGED
-# this round (a same-session floor reads ~1.0 and dilutes the drift
-# estimate) and rejoin in r16, together with the three NEW r15 first
-# floors. Remaining known-conservative r13 floors (session mins 6-7%
-# below: ngram_containment_capped 2.953, pareto_frontier_parts 0.45)
-# are candidates for the same treatment at r16's quietest window;
-# sub-2% dips left alone as noise.
+# from drift_ratio_median until the floor is re-recorded).
 FLOORS_CHANGED: list[str] = [
-    "spatial_clip_general_pairs",
-    "spatial_clip_concave_pairs",
-    "spatial_knn_join_ring",
-    "spatial_clip_holed_pairs",
-    "spatial_clip_convex_rings",
-    "bpe_encode_merges",
-    "spatial_clip_holed_boundary",
-    # r15 wave 3 first floors (recorded this session; rejoin r16)
+    # r16 OPTIMIZATION round 2: ONLY the entries whose code changed this
+    # round (VERDICT r15 #8 — every r15 member re-admitted to the drift
+    # statistic; their r15 floors stand unrevised). Floors above updated
+    # from this round's same-session quiet minima; two entries whose r16
+    # minima read ABOVE their r15 floors (host load) keep the r15 floor
+    # — floors only ratchet down.
     "graph_bfs_levels",
-    "winnowing_fingerprints",
-    "spatial_convex_hull_edges",
-    # r15 OPTIMIZATION round: every headline entry whose code changed in
-    # the optimization sessions — their r13/r14 floors are stale in the
-    # FAST direction (timing/floor would read < 1 and bias
-    # drift_ratio_median low). Floors re-recorded at this round's end
-    # (min over the final passes); all rejoin the drift set in r16.
-    "spatial_clip_convex_pairs",
-    "ngram_containment_capped",
+    "minhash_lsh_neardup",
     "ngram_containment_topk",
+    "ngram_containment_capped",
     "substring_dup_chains",
-    "spatial_union_rings",
-    "spatial_union_snap_rings",
-    "spatial_intersection_rings",
     "spatial_nn_join_ring",
-    "pq_adc_topk",
-    "ann_recall_at_10",
-    "bigram_lm_cross_entropy",
-    "embedding_near_dup",
-    # untouched entries whose stale-high floors were re-recorded at this
-    # round's quiet window (same sit-out-one-round convention)
-    "kmeans_two_iterations",
-    "pareto_frontier_parts",
-    "skyline_recursive_parts",
-    "spatial_buffer_union_area",
+    "spatial_knn_join_ring",
 ]
 
 

@@ -102,6 +102,10 @@ def ensure_min_partitions(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # NOTE (VERDICT r15): df.rdd forces a plan-to-RDD conversion per call
+    # — cheap at catalog sizes and the honest way to read the actual scan
+    # width, but it can plan-split AQE stages; revisit with a
+    # conf-derived shortcut only if it ever shows in profiles.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
