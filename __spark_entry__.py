@@ -23,100 +23,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades exactly the FIRST 50 queries() entries in dict order
-# (verified key-by-key against CORRECTNESS_r01..r14), so insertion order
-# decides which queries get correctness rows. r15 prefix: shipped from
-# the LEDGER (`proof_ledger.py --assume-next-green` after the green r14
-# card): stream_static_enrich FIRST (the ONE proof older than r10 —
-# displaced from the r14 prefix by the wave-2 general-clip staging; r9
-# fully retires after a green r15) + ALL 49 remaining r10-proven in
-# ledger order — the five r14 displacement-buffer members, then the 44
-# original r10-proven — = 50 exactly. r10 retires too after a green
-# r15. DISPLACEMENT BUFFER (pre-agreed victim list, VERDICT r14 #6):
-# new/code-changed r15 entries displace TAIL-first — the deepest
-# original-r10 members (time_weighted_avg_value first, then
-# interval_union_seconds, stream_left_outer_join, ...) — NEVER
-# stream_static_enrich or the five buffer members (now the oldest
-# proofs in the prefix). Displaced members keep their proofs and head
-# the r16 queue together with the r11-proven (knn_lsh_approx ...).
+# (verified key-by-key against CORRECTNESS_r01..r15), so insertion order
+# decides which queries get correctness rows. r16 prefix (ADVICE r15
+# medium: the 'code changed jumps the re-proof queue' convention applied
+# to BOTH optimization rounds): (A) the 15 entries whose code changed in
+# the r16 optimization round; (B) the 20 entries whose code changed in
+# the r15 optimization round but were NOT in the r15 graded prefix
+# (their changed plans have never been driver-graded — the clip pairs
+# trio, the seven dissolve/boolean ring consumers, the shared-subtree
+# checkpoint consumers, the embedding_near_duplicates norm-hoist
+# consumers, and the local_rows_df literal-frame sites); (C) the six
+# remaining displaced r10-proven (stream_left_outer_join, the seventh,
+# is in group A); (D) the first 9 of the 50 r11-proven in ledger order
+# (incl. three rows-only members, each with a driver-green exact twin)
+# = 50 exactly. The remaining 41 r11-proven (grouping_sets_status_
+# priority ... markov_transition_matrix, ledger order) head the r17
+# queue. Four rows-only members total this round
+# (minhash_lsh_neardup in A — its code changed; the three queue members
+# in D); every one has a green exact twin (minhash_neardup_oracle
+# staged right beside it, knn_lsh_oracle r12, knn_ivf_oracle r13,
+# simhash_poly_signature r13). Non-stagings (plan/results identical,
+# r11 _release precedent): the embedding_near_duplicates dot_impl
+# parameter (default native = the r15 expression verbatim) for
+# embedding_near_dup_blocked/pagerank_one_iter beyond their group-B
+# staging reasons, and the float64-direct batch coercion in
+# pq_encode_adc_arrow/argmin_euclidean_arrow (bit-identical for the
+# array<float> columns shipped) for pq_adc_topk/kmeans_two_iterations.
 _DRIVER_PRIORITY = [
-    # never driver-graded (r15): snap-free exact clipping where BOTH
-    # sides carry an INTERIOR RING (VERDICT r14 #2) — donut-notched
-    # octagons through the r15 holes extension of trapezoid_decompose,
-    # oracle = nine-term inclusion-exclusion. Displaces
-    # time_weighted_avg_value (tail-first buffer rule).
-    "spatial_clip_holed_pairs",
-    # never driver-graded (r15): BPE merge APPLICATION (VERDICT r14 #4)
-    # — the tokenizer's iterative encode loop over a fixed ranked merge
-    # table, fourteen chained JVM-side positional rewrites on the
-    # distinct-word vocabulary; oracle = the same table unrolled into
-    # chained CTEs. Displaces interval_union_seconds (tail-first).
-    "bpe_encode_merges",
-    # never driver-graded (r15): GEOMETRY OUTPUT for the snap-free clip
-    # family (VERDICT r14 #2 stretch) — the intersection RING's ordered
-    # exact vertices on the r13 convex stores; boundary pieces sorted by
-    # the 8-way direction class (strictly increasing on a CCW convex
-    # ring), chain closure asserted per pair. Displaces
-    # stream_left_outer_join (tail-first).
-    "spatial_clip_convex_rings",
-    # never driver-graded (r15): the FULL geometry-output closure — the
-    # complete exact boundary of A∩B with BOTH sides non-convex AND
-    # holed (multi-ring + hole-ring outputs in the graded data); area
-    # graded boundary-shoelace vs nine-term Green, ring topology graded
-    # via the Umlaufsatz turning sum. Displaces stream_cdc_apply
-    # (tail-first).
-    "spatial_clip_holed_boundary",
-    # never driver-graded (r15 wave 2): multi-source BFS hop counts over
-    # the co-order part graph — driver-bounded frontier iteration,
-    # oracle = unrolled NOT-IN level CTEs. Displaces spatial_grid_density
-    # (tail-first).
-    "graph_bfs_levels",
-    # never driver-graded (r15 wave 2): MOSS robust winnowing (rightmost-
-    # min of every 4-window of token-3-gram keys) — map-only JVM HOF
-    # chain, oracle = the identical selection in doc-level DuckDB list
-    # ops (no unnest+join — the r15 corruption class stays out).
-    # Displaces multimodal_frame_sample (tail-first).
-    "winnowing_fingerprints",
-    # never driver-graded (r15 wave 2): ST_ConvexHull as a distributed
-    # aggregate — CCW ring EDGES graded (full ring topology, no angular
-    # sort), exact int64 strict monotone chain behind a lossless
-    # partition-local hull pre-reduce; oracle = the independent
-    # maximal-edge characterization (the cubic lives only in DuckDB).
-    # Displaces multimodal_resize (tail-first).
-    "spatial_convex_hull_edges",
-    # the one pre-r10 proof (r9): displaced from the r14 prefix by the
-    # sixth r14 staging per the oldest-LAST rule; re-proves first.
-    "stream_static_enrich",
-    # the five r14 displacement-buffer members (r10-proven, consumed
-    # tail-first in r14; each kept its r10 proof):
-    "ann_recall_at_10", "lsh_bucket_balance", "ivf_recall_at_10",
-    "retrieval_ndcg_labels", "ivf_cell_balance",
-    # ALL 44 original r10-proven, ledger order (r10 retires after a
-    # green r15):
-    "zipf_slope_unigrams", "pq_adc_topk", "scalar_subquery_above_avg",
-    "zscore_norms_by_label", "pagerank_one_iter",
-    "spatial_linestring_length", "spatial_union_area",
-    "roc_auc_purchase_vs_view", "calibration_bins_decile",
-    "user_behavior_entropy", "assoc_rules_event_pairs",
-    "chi2_type_by_arm", "activity_islands_daily", "vocab_kl_train_val",
-    "cooccurrence_pmi_topk", "phrase_merge_apply", "pca_power_iteration",
-    "ngram_containment_topk", "hard_negative_mining",
-    "parallel_moments_merge", "mixture_temperature_schedule",
-    "udtf_trigram_counts", "graph_triangle_count",
-    "incremental_dedup_merge", "dp_noisy_type_counts",
-    "agg_distinct_stats", "skewed_agg_salted", "bucketed_join_revenue",
-    "pareto_frontier_parts", "sketch_bloom_join_counts",
-    "sketch_cms_priority_counts", "spatial_point_filter",
-    "spatial_join_overlap", "spatial_join_blocked",
-    "reproject_mercator", "html_to_markdown", "multimodal_byte_stats",
-    # tail-first displacements (each keeps its r10 proof and heads the
-    # r16 queue with the r11-proven): time_weighted_avg_value by
-    # spatial_clip_holed_pairs, interval_union_seconds by
-    # bpe_encode_merges, stream_left_outer_join by
-    # spatial_clip_convex_rings, stream_cdc_apply by
-    # spatial_clip_holed_boundary, spatial_grid_density by
-    # graph_bfs_levels, multimodal_frame_sample by
-    # winnowing_fingerprints, multimodal_resize by
-    # spatial_convex_hull_edges
+    # ---- (A) r16-optimization code-changed ----
+    "spatial_knn_join_ring", "spatial_nn_join_ring", "graph_bfs_levels",
+    "dedup_components", "dedup_keep_best_doc", "ngram_containment_topk",
+    "ngram_containment_capped", "graph_triangle_count",
+    "prefix_filter_jaccard_pairs", "substring_dup_chains",
+    "substring_trim_retention", "stream_left_outer_join",
+    "stream_full_outer_join", "minhash_neardup_oracle",
+    "minhash_lsh_neardup",
+    # ---- (B) r15-optimization code-changed, not in the r15 prefix ----
+    "spatial_clip_convex_pairs", "spatial_clip_concave_pairs",
+    "spatial_clip_general_pairs", "spatial_union_rings",
+    "spatial_intersection_rings", "spatial_union_snap_rings",
+    "spatial_intersection_snap_rings", "spatial_difference_rings",
+    "spatial_symdiff_rings", "spatial_buffer_rings",
+    "sketch_hll_merge_union", "recursive_cte_chain_totals",
+    "bigram_lm_cross_entropy", "embedding_near_dup",
+    "embedding_near_dup_blocked", "exact_quantiles_histogram",
+    "weighted_median_histogram", "dedup_threshold_sweep",
+    "spatial_knn_rect_centroids", "spatial_dwithin_haversine",
+    # ---- (C) displaced r10-proven (r10 retires after a green r16) ----
+    "multimodal_resize", "multimodal_frame_sample",
+    "spatial_grid_density", "stream_cdc_apply",
+    "interval_union_seconds", "time_weighted_avg_value",
+    # ---- (D) r11-proven re-proof queue head, ledger order ----
+    "knn_lsh_approx", "knn_ivf_approx", "vector_stats_by_label",
+    "simhash_neardup", "fuzzy_match_levenshtein", "bm25_keyword_search",
+    "doc_length_outliers", "domain_mixture_weights", "rrf_fusion_topk",
 ]
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
 
