@@ -43,7 +43,7 @@ NOTES = {
     "cooccurrence_pmi_topk": "pair formation is two LEADs over ONE doc-partitioned window (no position self-join); unigram marginals + scalars broadcast onto pair counts.",
     "phrase_merge_apply": "winning pair is a 1-row BroadcastExchange; the corpus rewrite is a map-only project over the documents scan.",
     "pca_power_iteration": "no per-vector shuffle: dot fold + posexplode feed a 64-group map-combined HashAggregate; normalizer is a 1-row broadcast.",
-    "ngram_containment_topk": "inverted-index formulation: shingle explode + SortMergeJoin on the 8-byte hashed shingle key (no CartesianProduct); sizes ride the explode so no recovery join.",
+    "ngram_containment_topk": "inverted-index formulation: shingle explode + SortMergeJoin on the 8-byte shingle-hash key (r16 word_shingle_hashes: token-hash mixing, no per-shingle string build; no CartesianProduct); sizes ride the explode so no recovery join.",
     "matryoshka_rerank_16": "both funnel stages are TakeOrderedAndProject (per-partition heaps); the 16-dim coarse distance prunes before any full-dim arithmetic on non-candidates.",
     "hard_negative_mining": "anchors broadcast; the annulus band Filter runs BEFORE the per-anchor rank window, so ranked state is already pruned.",
     "parallel_moments_merge": "two stacked HashAggregates, both map-combined — the shard level materializes the partial-merge algebra the engine uses internally.",
@@ -90,22 +90,22 @@ NOTES = {
     "spatial_simplify_collinear": "map-only: scan → WKB parse + collinear-vertex elimination in ONE ArrowEval → project; no Exchange anywhere — vertex reduction is embarrassingly parallel.",
     "pps_systematic_sample": "the k=10 pick positions are a broadcast probe (corpus never shuffles for the pick join); the global cumsum window is the documented test-scale form — at 100 TB the offsets come from a P-row partial-sum broadcast (two-phase prefix sum).",
     "spatial_union_rings": "rasterize to boundary-proportional runs (mapInPandas) → ONE Exchange on the dissolve key (FlatMapGroupsInPandas ring reconstruction) → 25-row broadcast nation join; the graded scorecard is derived from the reconstructed rings' integer shoelace.",
-    "substring_dup_chains": "positional 4-grams join on the 8-byte xxhash64 key after the stop-gram df-cap anti-join (fan-out ≤ cap² per gram); diagonal chain windows partition by (pair, diagonal); 50-row TakeOrderedAndProject.",
+    "substring_dup_chains": "positional 4-grams join on the 8-byte token-hash-mixed key (r16 _positional_gram_hashes) after the stop-gram df-cap anti-join (fan-out ≤ cap² per gram); gram checkpoint eager + size-coalesced; diagonal chain windows partition by (pair, diagonal); 50-row TakeOrderedAndProject.",
     "spatial_buffer_rings": "x-dilation on run endpoints (free) → (nation, iy) interval merge → ±4 segment explode → merge again → the dissolve-key ring reconstruction; boundary-proportional bytes at every merge, then one Exchange to the 25 dissolve groups.",
     "quota_stratified_split": "one map-combined 5-group count; everything after (remainder window, target broadcast) is constant-size — the allocation plan is corpus-scale-independent past the first aggregate.",
-    "prefix_filter_jaccard_pairs": "prefix shingles are the globally RAREST per doc (df agg + per-doc rank window), so the candidate equi-join's fan-out is self-limiting — the principled form of the df cap; bounded candidates verify via two id joins carrying shingle arrays.",
+    "prefix_filter_jaccard_pairs": "prefix shingles are the globally RAREST per doc (df agg + per-doc rank window), so the candidate equi-join's fan-out is self-limiting — the principled form of the df cap; bounded candidates verify via two id joins carrying the 8-byte shingle-HASH arrays (r16 — the string array_intersect was the measured dominant stage).",
     "spatial_intersection_rings": "two parity-filtered rasterize passes → per-layer (nation, iy) merges → the boolean sweep (one event aggregate + one (nation, iy) window — parallelizes over scan lines, never the dissolve key) → merge → ONE dissolve-key Exchange for ring reconstruction.",
     "spatial_difference_rings": "identical stage structure to the intersection (same sweep, cA>0 ∧ cB=0 predicate); difference regions punch NEW holes, so the per-group chaining does strictly more work per run than the union's.",
     "spatial_symdiff_rings": "the fourth sweep predicate (exactly one counter positive) on the same single tagged rasterize; the most fragmented output — every overlap becomes a hole — so it upper-bounds the chaining work of the family.",
     "spatial_union_snap_rings": "jittered store builds inline (width-sized repartition BEFORE the WKB UDF so encode + rasterize parallelize); then the union_rings pipeline unchanged — pad-4 window only adds ray-cast point tests, runs stay boundary-proportional.",
-    "substring_trim_retention": "detection shares the dup-chains shape (df-cap anti-join, 8-byte gram key, (pair,diagonal) windows); the action adds one span DISTINCT and one doc_id-partitioned interval-union window; 30-row TakeOrderedAndProject.",
+    "substring_trim_retention": "detection shares the dup-chains shape (df-cap anti-join, r16 token-hash-mixed gram key, (pair,diagonal) windows); the action adds one span DISTINCT and one doc_id-partitioned interval-union window; 30-row TakeOrderedAndProject.",
     "exact_quantiles_histogram": "pass 2 only — pass 1's histogram is a separate bounded-collect job: the scan shows PushedFilters on o_totalprice (the widened bin ranges reach row-group pruning), the window runs over bin-sized partitions, the target probe is a BroadcastHashJoin, and n_orders rejoins as a literal map (no join node for it).",
     "pagerank_power_iters": "edges + degrees localCheckpoint once (scan leaves, not a re-run self-join); each of the 3 iterations is one broadcast of the node-sized message table into the edge list + one map-combined dst-sum; 20-row TakeOrderedAndProject with partkey tie-break.",
     "sketch_hll_merge_union": "ONE map-combined register aggregate over the corpus; everything after is sketch-sized (≤ types·64 rows) — the pair fan-out is a deliberate BroadcastNestedLoopJoin of the register table, corpus-independent; the exact-overlap side is a distinct (type,user) self-join with fan-out ≤ types² per user.",
     "stream_hll_distinct_windows": "STATEFUL streaming aggregate with sketch-bounded state: groupBy(win, register).MAX(rho) keeps 64 rows per window whatever the arrival count; complete-mode availableNow drain, then register_sum/estimate derive batch-side from the tiny snapshot (plan shown is the batch tail over the localCheckpointed snapshot).",
     "spatial_intersection_snap_rings": "the snap-union store build (inline jittered WKB, width-sized repartition) rasterized ONCE with the layer tag in the run key; then the lattice intersection's sweep + ring reconstruction unchanged — one event aggregate, one (key, iy) window, ONE dissolve-key Exchange.",
-    "spatial_nn_join_ring": "per-point best computed ONCE (facility position-dedup → broadcast 3×3 cell-ring → cell equi BroadcastHashJoin → map-combined min(struct)) behind a localCheckpoint barrier — the shown plan reads Scan ExistingRDD, splits kept (dsq ≤ 1088 ring guarantee) from residual, and the residual's full search is the ONE bounded BroadcastNestedLoopJoin; without the barrier Catalyst recomputed the whole candidate join under the residual branch.",
-    "spatial_knn_join_ring": "k=5 form of the ring join: per-position bottom-5 key arrays ride the cell equi-join UNEXPLODED (the exploded cut multiplied join fan-out 5× — SCALING 17); bounded slice(array_sort(collect_list)) k-list, no window; guarantee predicate reads try_element_at(b, 5) (ANSI-safe on sparse cells, r14); same localCheckpoint barrier before the kept/residual split.",
+    "spatial_nn_join_ring": "r16: the whole per-point argmin (ring tier + full-scan fallback for points beyond the dsq ≤ 1088 guarantee) is ONE vectorized int64 MapInPandas closing over the driver-collected facility position table (the former broadcast dim) — no join, no aggregation exchange, no checkpoint; the only Exchange is the probe-side spread.",
+    "spatial_knn_join_ring": "k=5 form of the ring join, r16: the whole bottom-5 reduction (ring tier + full-scan tier — the former residual crossJoin that 54% of sf0.1 points took) is ONE MapInPandas sharing the k=1 kernel; per-position bottom-5 key arrays bound the closure by 5 × position vocabulary; (dsq, custkey) order = the single integer key dsq·2^44+custkey; no join/window/aggregate anywhere.",
     "spatial_clip_convex_pairs": "grid-blocked bbox equi-join → ONE ArrowEvalPython running the vectorized int64 per-edge Green kernel (asNondeterministic pins single evaluation under filter+project — Catalyst extracted TWO nodes for the deterministic form); TakeOrderedAndProject absent by design (full result graded).",
     "spatial_clip_concave_pairs": "TWO ArrowEvalPython nodes by design: trapezoid decomposition ONCE per subject row (store-sized, nondeterministic-pinned), then the convex kernel per (piece, diamond) candidate after the cell equi-join; per-pair SUM is a map-combined HashAggregate; subj_area_e4 rides the piece rows so the partition grade needs no extra join.",
     "spatial_clip_general_pairs": "THREE ArrowEvalPython nodes by design: one trapezoid decomposition per STORE (each store-sized, nondeterministic-pinned) + the convex kernel per (pieceA, pieceB) candidate after the cell equi-join; both subjects' piece-sum shoelaces ride the piece rows, so the double partition grade adds no join.",
@@ -118,7 +118,7 @@ NOTES = {
     "spatial_clip_convex_rings": "geometry OUTPUT, snap-free: the same single-ArrowEval plan as spatial_clip_convex_pairs, but the kernel emits the exact boundary pieces; a CCW convex ring's 8-way direction classes are strictly increasing, so the per-pair sort IS the ring (chain closure asserted per positive pair); output explodes to ≤ 8 vertex rows per positive pair — posexplode, no window, no extra Exchange.",
     "spatial_clip_holed_boundary": "the full geometry-output closure: subject-level cell-blocked candidates (NO decomposition explode — candidate rows are pairs, not piece pairs), ten scalar param columns through ONE ArrowEvalPython running the coverage sweep (∂(A∩B) = ∂A∩B ∪ ∂B∩A over signed convex components); directed segment rows out, shoelace area + Umlaufsatz turning ride along so ring topology grades without shipping ring ids.",
     "bpe_encode_merges": "the scale move is visible as ONE Exchange to the DISTINCT-word vocabulary (merge chain runs per vocab entry, never per corpus token); fourteen chained JVM HOF rewrites stay in a single Project (each rank let-bound via hashes._let so CollapseProject cannot re-inline); merge table = plan literals, no Python, map-combined weighted agg after the final explode.",
-    "graph_bfs_levels": "the co-order edge set materializes ONCE (Scan ExistingRDD via localCheckpoint — three frontier joins would otherwise each rescan the lineitem self-join); each level is one BroadcastHashJoin of the node-sized frontier into the edge scan + a left-anti against visited; per-level localCheckpoints keep the loop's lineage flat.",
+    "graph_bfs_levels": "the co-order UNDIRECTED pairs materialize ONCE (r16: half the doubled edge table; per-level explode is a free map; size-coalesced to ~64k rows/task) — each level is one BroadcastHashJoin of the node-sized frontier into the pair scan, a map-side left-anti against visited BEFORE the target distinct, and a localCheckpoint keeping the loop's lineage flat; the candidate-min-level fusion was measured slower (dense graph) and rejected.",
     "winnowing_fingerprints": "map-only: token-hash → gram-key → window-selection chain is ONE Project of nested JVM HOFs over the documents scan (toks/hs/gk/sel each let-bound — CollapseProject cannot re-inline the char fold into its gram references); zero Join, zero hash-agg Exchange; the only Exchange is the output ORDER BY's rangepartitioning (plan-pinned in test_r15_wave2).",
     "spatial_convex_hull_edges": "two Python stages by design: a mapInPandas partition-local hull pre-reduce (lossless — non-vertices of a local hull are interior to the group hull) so the groupBy(g) Exchange carries only hull candidates, then one applyInPandas strict monotone chain per group emitting the CCW ring edges; at 100 TB the shuffle is O(groups × hull size), never the point cloud.",
 }
