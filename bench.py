@@ -268,7 +268,7 @@ REF_FLOORS: dict[str, float] = {
     "q1_pricing_summary": 0.4, "q3_top_revenue_orders": 0.956,
     "q5_nation_revenue": 1.05, "window_rank_orders_per_customer": 0.425,
     "tumbling_window_1h": 0.325, "session_windows_30m": 0.544,
-    "minhash_lsh_neardup": 1.296, "ngram_jaccard_topk": 0.815,
+    "minhash_lsh_neardup": 1.247, "ngram_jaccard_topk": 0.815,
     "spatial_point_filter": 0.283, "multimodal_byte_stats": 0.291,
     "q6_revenue_forecast": 0.252, "vector_centroids_by_label": 0.255,
     "grouping_sets_status_priority": 0.27,
@@ -291,8 +291,8 @@ REF_FLOORS: dict[str, float] = {
     "substring_dup_chains": 1.574,     # r16 kept: positional token-hash min read 1.968 under load; r15 floor stands
     "spatial_intersection_rings": 1.537,  # was 2.961
     "spatial_union_snap_rings": 1.691,  # was 3.311
-    "spatial_nn_join_ring": 0.829,     # r16 two-tier kernel (was 0.93)
-    "spatial_knn_join_ring": 0.838,    # r16 two-tier kernel (was 2.337)
+    "spatial_nn_join_ring": 0.622,     # r16 two-tier kernel (was 0.93)
+    "spatial_knn_join_ring": 0.712,    # r16 two-tier kernel (was 2.337)
     "spatial_clip_convex_pairs": 0.823,   # was 2.872
     "spatial_clip_concave_pairs": 1.354,  # was 2.947
     "spatial_clip_general_pairs": 1.915,  # was 3.705
